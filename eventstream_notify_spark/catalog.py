@@ -1,0 +1,83 @@
+"""Table catalog over the driver's parquet testdata.
+
+The reference's "catalog" is a Redis keyspace (``event:{id}`` strings,
+``offsets:*`` hashes — reference: auto_kafka_redis.py:88-91); ours is
+explicit StructType-schema'd parquet tables that Catalyst can push
+predicates and projections into.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Explicit schema for the event stream — the engine's core abstraction.
+# Reference wire format: {"id": int, "value": str, "user_id": str,
+# "timestamp": float} (reference: auto_kafka_redis.py:203-208); the
+# driver's batch twin `events` table widens it with event_type/props.
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# Wire-format schema for streaming sources (JSON payloads off Kafka).
+WIRE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("timestamp", T.DoubleType()),
+    ]
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → full pushdown support.
+
+    The ``events`` table stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read nanos as int64 (legacy conf, settable at
+    runtime) and convert to microsecond TIMESTAMP — same truncation
+    DuckDB applies, keeping the oracle bit-compatible.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-aware defaults.
+
+Mirrors the role of the reference's ``config.yaml`` loader
+(reference: auto_kafka_redis.py:43-67) — one place that turns
+configuration into a ready-to-use engine handle.
+
+Defaults are tuned for the test harness (local[N], 10^4..10^6 rows)
+but every setting is chosen to also be the right *shape* at cluster
+scale: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), shuffle partitions sized via env, UTC session timezone
+(determinism vs naive-timestamp oracles), Arrow for any pandas
+exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "eventstream-notify-spark") -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Honors the driver env contract:
+    - ``SPARK_GRAFT_CPUS``: local[] parallelism (default ``*``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- determinism / oracle compatibility -------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- scale posture ----------------------------------------
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python exchange is always Arrow ----------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- streaming state at scale: RocksDB, not heap ----------
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
