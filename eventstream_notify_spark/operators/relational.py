@@ -1,1 +1,735 @@
-"""Placeholder — populated in later milestones."""
+"""Relational substrate — SURVEY.md §2.D (D1–D20).
+
+The reference has zero relational code (SURVEY §2.D preamble); this is
+the idiomatic-Spark query surface the north star mandates, exercised
+on the driver's TPC-H-ish tables. Everything here is built-in Spark —
+Catalyst supplies pushdown, pruning, join selection, partial
+aggregation and codegen; the only "engineering" is scale discipline:
+
+- dimension joins are explicitly broadcast (D2) — no shuffle of facts;
+- large joins (D3) rely on sort-merge + AQE (skew splitting);
+- non-equi range joins (D6) broadcast the *small* anchor side, which
+  is the only strategy that survives 100 TB facts;
+- top-k (D12) is TakeOrdered — never a global sort;
+- money aggregates accumulate in DECIMAL, so results are bit-exact
+  and order-independent (the DuckDB oracle matches exactly, and the
+  answer doesn't drift with partitioning at cluster scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.registry import register
+
+
+def _money(col: str | Column) -> Column:
+    """2-decimal money value as DECIMAL(12,2) — exact accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,2)")
+
+
+def _rate(col: str) -> Column:
+    """Small rate in [0,1] (discount/tax) as DECIMAL(3,2)."""
+    return F.col(col).cast("decimal(3,2)")
+
+
+# ---------------------------------------------------------------- D1
+
+
+@register(
+    "project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+      AND l_discount BETWEEN 0.05 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — projection + selective predicates (TPC-H Q6 shape).
+    Predicates and the 5-column projection push down to the parquet
+    scan (verify: .explain shows PushedFilters + pruned ReadSchema)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-07-01")
+        & F.col("l_discount").between(0.05, 0.08)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (_money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _rate("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------- D2
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS num_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — fact ⋈ broadcast dims (customer⋈nation⋈region). The dims
+    ship to every executor; the customer table never shuffles for the
+    join (only the final 25-group agg moves)."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("num_customers"),
+            F.sum(_money("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D3
+
+
+@register(
+    "join_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS num_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — large equi-join orders⋈lineitem → sort-merge join, both
+    sides shuffled on the key; AQE handles skew. Revenue accumulates
+    in decimal (order-independent ⇒ plan-change-proof)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    rev = _money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _rate("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("num_lineitems"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D4
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_mktsegment, 'with_orders' AS label, COUNT(*) AS cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'no_orders' AS label, COUNT(*) AS cnt
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — left-semi / left-anti joins (EXISTS / NOT EXISTS):
+    customers with vs without orders, per market segment."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cond = c.c_custkey == o.o_custkey
+    semi = (
+        c.join(o, cond, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("label", F.lit("with_orders"))
+    )
+    anti = (
+        c.join(o, cond, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("label", F.lit("no_orders"))
+    )
+    return semi.unionByName(anti).select("c_mktsegment", "label", "cnt")
+
+
+# ---------------------------------------------------------------- D5
+
+
+@register(
+    "join_outer",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_custkey) AS num_customers,
+           COUNT(o.o_orderkey) AS num_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — left outer join preserving order-less customers
+    (COUNT(o_orderkey) skips the nulls they produce)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("num_customers"),
+            F.count("o_orderkey").alias("num_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D6
+
+
+@register(
+    "join_range",
+    oracle="""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+    anchors AS (SELECT * FROM e WHERE event_id % 97 = 0)
+    SELECT a.event_id AS anchor_id, COUNT(*) AS events_within_10min
+    FROM anchors a JOIN e b
+      ON b.ts_us >= a.ts_us AND b.ts_us < a.ts_us + 600000000
+    GROUP BY a.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — non-equi (range) join: events within 10 minutes after each
+    anchor event. The anchor side is small and explicitly broadcast —
+    a broadcast-nested-loop join is the only range-join shape that
+    scales (never shuffle-NL both sides). Comparison on unix-micros
+    bigints keeps the oracle exact."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", F.expr("unix_micros(ts)").alias("ts_us")
+    )
+    anchors = F.broadcast(
+        e.filter(F.col("event_id") % 97 == 0)
+        .select(F.col("event_id").alias("anchor_id"), F.col("ts_us").alias("a_us"))
+    )
+    return (
+        e.join(
+            anchors,
+            (F.col("ts_us") >= F.col("a_us"))
+            & (F.col("ts_us") < F.col("a_us") + 600_000_000),
+        )
+        .groupBy("anchor_id")
+        .agg(F.count("*").alias("events_within_10min"))
+    )
+
+
+# ---------------------------------------------------------------- D7
+
+
+@register(
+    "agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+        SUM(l_quantity) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+             AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+             AS DOUBLE) AS sum_charge,
+        ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              / COUNT(*), 6) AS avg_price,
+        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+              / COUNT(*), 6) AS avg_disc,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — grouped hash aggregation, TPC-H Q1 shape. Partial (map-side)
+    + final aggregation is Spark's default; decimal accumulation makes
+    every sum exact and therefore partitioning-independent."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = _money("l_extendedprice") * (one - _rate("l_discount"))
+    charge = disc_price * (one + _rate("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+        F.round(
+            F.sum(_money("l_extendedprice")).cast("double") / F.count("*"), 6
+        ).alias("avg_price"),
+        F.round(F.sum(_rate("l_discount")).cast("double") / F.count("*"), 6).alias(
+            "avg_disc"
+        ),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------- D8
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — grouped COUNT(DISTINCT). Spark expands distinct aggregates
+    into a two-phase plan; at 100 TB prefer approx_count_distinct when
+    exactness isn't contractual."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D9
+
+
+@register(
+    "agg_rollup_cube",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS num_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — hierarchical totals: region → nation ROLLUP (grand total,
+    per-region, per-nation rows; NULL marks the rolled-up level)."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("num_customers"),
+            F.sum(_money("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D10
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 — ranking within partition: top-3 orders per customer by
+    price. Deterministic tie-break on o_orderkey. One shuffle on the
+    partition key; no global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------- D11
+
+
+@register(
+    "window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 — analytic window functions: lag + running sum with an
+    explicit ROWS frame, per customer in order-date order."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.sum(_money("o_totalprice")).over(wsum).cast("double").alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------- D12
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 — global top-k. Spark plans TakeOrderedAndProject: each
+    partition keeps its local top-100, driver merges — no global sort,
+    no full shuffle, scales to any table size."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- D13
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'both' AS label, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'building_only' AS label, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'all_building' AS label, c_custkey
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13 — INTERSECT / EXCEPT / UNION ALL over compatible selects,
+    labeled so one result covers all three."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders_ck = o.select(F.col("o_custkey").alias("c_custkey"))
+    both = building.intersect(orders_ck).withColumn("label", F.lit("both"))
+    only = building.exceptAll(orders_ck).distinct().withColumn(
+        "label", F.lit("building_only")
+    )
+    allb = building.withColumn("label", F.lit("all_building"))
+    return both.unionByName(only).unionByName(allb).select("label", "c_custkey")
+
+
+# ---------------------------------------------------------------- D14
+
+
+@register(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 10) AS name_prefix,
+           p_brand || '/' || p_type AS brand_type,
+           (p_type LIKE '%BRASS%') AS is_brass,
+           len(string_split(p_type, ' ')) AS type_words,
+           regexp_extract(p_name, '[a-z]+') AS first_word,
+           replace(p_brand, '#', '-') AS brand_dashed
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14 — string scalar functions: case, substring, concat, LIKE,
+    split, regexp, replace. All JVM-side built-ins inside one
+    whole-stage-codegen span."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+        F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dashed"),
+    )
+
+
+# ---------------------------------------------------------------- D15
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS order_dow,
+           strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS days_since_1995,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 — datetime scalars: extract, truncate, diff, interval add.
+    Dates are emitted as formatted strings (oracle type parity).
+    Spark dayofweek is Sunday=1..7 while DuckDB's is Sunday=0..6 —
+    the oracle adds 1."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.dayofweek("o_orderdate")).alias("order_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since_1995"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+        .alias("due_date"),
+    )
+
+
+# ---------------------------------------------------------------- D16
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / l_quantity AS unit_price,
+           abs(l_discount - 0.05) AS disc_dev,
+           power(2.0, l_linenumber) AS pow2,
+           sqrt(l_quantity) AS qty_sqrt,
+           ((l_orderkey - 3) % 7 + 7) % 7 AS pmod7,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16 — math scalars incl. the reference's id-wraparound pmod
+    semantics (auto_kafka_redis.py:216-217): pmod is non-negative,
+    unlike SQL % — the oracle spells it ((a%b)+b)%b."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw IEEE quotient — bit-identical across engines, unlike
+        # round(x, n) whose decimal-tie behavior differs
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pow(F.lit(2.0), F.col("l_linenumber")).alias("pow2"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pmod(F.col("l_orderkey") - 3, F.lit(7)).alias("pmod7"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+    )
+
+
+# ---------------------------------------------------------------- D17
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+           (json_extract_string(props, '$.missing') IS NULL) AS missing_absent
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17 — JSON scalar extraction from the ``events.props`` blob
+    (the engine twin of the reference's implicit-JSON event payloads,
+    auto_kafka_redis.py:301)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod10"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_absent"),
+    )
+
+
+# ---------------------------------------------------------------- D18
+
+
+@register(
+    "scalar_array_map",
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+           round(list_sum(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 6) AS l1_norm
+    FROM embeddings
+    """,
+)
+def scalar_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18 — array higher-order functions over the embedding column:
+    size, element_at, transform+aggregate folds. All JVM-side — no UDF
+    in the hot path (SURVEY §4.2#6)."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "first_component"
+        ),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: xd(x) * xd(x)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(xd(x))),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("l1_norm"),
+    )
+
+
+# ---------------------------------------------------------------- D19
+
+
+@register(
+    "subquery_scalar_in",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND c_custkey IN (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      )
+    """,
+)
+def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 — scalar subquery + IN-subquery through the SQL surface.
+    Catalyst rewrites IN to a left-semi join; the scalar subquery
+    becomes a broadcast of one value."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND c_custkey IN (
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          )
+        """
+    )
+
+
+# ---------------------------------------------------------------- D20
+
+
+@register(
+    "udf_surface",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+           len(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 — the Python UDF surface: an Arrow-batched pandas UDF
+    (token count). This is the *slow path* by design — the X-series
+    uses it only where built-ins can't express the op; here it proves
+    the registration/Arrow plumbing with an oracle-checkable result."""
+    from eventstream_notify_spark.functions.udfs import n_tokens
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
