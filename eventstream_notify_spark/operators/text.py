@@ -1,1 +1,497 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis / dedup extension operators — SURVEY.md §2.F (X1, X2,
+X4–X6) plus the training-data-pipeline text ops the north star adds
+(token counting, quality scoring, language-ID heuristic, document
+fingerprinting).
+
+Scale design: every op is tokens-as-rows (explode) or tokens-as-array
+(higher-order fns) — both JVM-side, no Python in the hot path. Pair
+generation (near-dup) always goes through an inverted-index join on a
+blocking key (shared token / MinHash band / LSH bucket), never an
+O(n²) cross join: at 100 TB the candidate set is what you shuffle,
+nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.registry import register
+
+TOKEN_RE = "[a-z0-9]+"
+
+# Signed unigram lexicon for X6 — embedded as data (rules-as-data
+# pattern); at scale this is a broadcast dim table.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 2,
+    "slow": -2,
+    "small": -1,
+    "large": 1,
+    "merge": 1,
+    "error": -3,
+    "stream": 1,
+    "batch": -1,
+    "clean": 2,
+    "stale": -2,
+}
+
+STOPWORDS = ("the", "a", "or", "and", "of", "to", "in")
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Lowercased token array — the shared tokenizer of every text op."""
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+
+
+def doc_tokens(df: DataFrame) -> DataFrame:
+    """Tokens-as-rows view: (doc_id, term). One narrow explode."""
+    return df.select("doc_id", F.explode(tokens_col()).alias("term"))
+
+
+def _lexicon_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(SENTIMENT_LEXICON.items()), "term string, score int"
+    )
+
+
+def _lexicon_values_sql() -> str:
+    rows = ", ".join(f"('{t}', {s})" for t, s in SENTIMENT_LEXICON.items())
+    return f"(VALUES {rows}) lex(term, score)"
+
+
+# ---------------------------------------------------------------- X1
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact content dedup: group by content hash, keep the
+    smallest doc_id. We group on sha2(text) so the shuffle key is 32
+    bytes regardless of document size — at 100 TB you never shuffle
+    the documents themselves to find duplicates (the oracle groups by
+    raw text, which is equivalent absent a SHA-256 collision)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("copies"))
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------- X2
+
+
+@register(
+    "dedup_near",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.95
+    """,
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (exact twin) — near-duplicate pairs by token-set Jaccard via
+    an inverted-index self-join: candidates are generated ONLY for
+    docs sharing a token (the blocking key), then J = |∩|/|∪| is
+    computed from group counts. No cross join anywhere; the shuffle is
+    bounded by the posting lists. The approximate scale path is
+    ``dedup_minhash`` (banded MinHash → same join shape on band keys,
+    posting lists bounded by band width)."""
+    d = table(spark, sf_dir, "documents")
+    tok = doc_tokens(d).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("common") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("common"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.95)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("dedup_minhash")  # rows-only: LSH is approximate by design
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (scale path) — MinHash + banded LSH candidate generation,
+    pure DataFrame ops (no spark.ml dependency, no vector UDT):
+
+    1. per (doc, term): 8 independent hash values via xxhash64(term, seed)
+    2. per doc: signature = min hash per seed  (map-side combinable agg)
+    3. band the signature (2 rows/band × 4 bands), hash each band
+    4. docs sharing a band bucket are candidate pairs
+
+    The only shuffles are the signature agg and the band-bucket join —
+    exactly the shape that survives 100 TB (bucket posting lists are
+    the unit of work). Emits candidate pairs with their band; verified
+    rows-only (hash functions differ across engines)."""
+    d = table(spark, sf_dir, "documents")
+    tok = doc_tokens(d).distinct()
+    n_hashes, band_rows = 8, 2
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("term"), F.lit(seed))).alias(f"h{seed}")
+            for seed in range(n_hashes)
+        ]
+    )
+    bands = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+        ).alias(f"band{b}")
+        for b in range(n_hashes // band_rows)
+    ]
+    banded = sig.select("doc_id", *bands)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bucket")
+                    )
+                    for b in range(n_hashes // band_rows)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_no", "bb.bucket")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # emit per-doc candidate degree (bounded output; the raw pair set
+    # is the intermediate you'd feed to an exact-Jaccard verifier)
+    return pairs.groupBy("doc_a").agg(F.count("*").alias("n_candidates"))
+
+
+@register("dedup_simhash")  # rows-only: bit-mix differs across engines
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (variant) — 16-bit SimHash per document, computed entirely
+    with built-in expressions: each distinct token votes its xxhash64
+    bits, the sign of the per-bit vote sum forms the fingerprint.
+    Hamming-close fingerprints ⇒ similar token sets. The fingerprint
+    doubles as a blocking key for near-dup candidate joins."""
+    d = table(spark, sf_dir, "documents")
+    tok = doc_tokens(d).distinct().withColumn("h", F.xxhash64("term"))
+    nbits = 16
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(nbits)
+        ]
+    )
+    fingerprint = sum(
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+            for i in range(nbits)
+        ],
+        F.lit(0),
+    )
+    return votes.select(
+        "doc_id", fingerprint.cast("bigint").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------- X4
+
+
+@register(
+    "text_tokenize_tf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term)
+    SELECT term, freq
+    FROM tf
+    ORDER BY freq DESC, term
+    LIMIT 100
+    """,
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — tokenize + global term frequency, top-100 terms.
+    Explode → partial+final count → TakeOrdered top-k."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        doc_tokens(d)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- X5
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*), 6) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — per-(lang, source) document stats. Integer sums are exact;
+    the average derives from them (order-independent)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars") * 1.0 / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------- X6
+
+
+@register(
+    "text_sentiment_lex",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, CAST(SUM(score) AS BIGINT) AS sentiment
+        FROM tok JOIN {_lexicon_values_sql()} USING (term)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(h.sentiment, 0) AS sentiment
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def text_sentiment_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — lexicon-based sentiment: tokens joined against a broadcast
+    signed lexicon, summed per document (pattern from 'Large Scale
+    Sentiment Analysis on Twitter with Spark', EDBT 2016 — PAPERS.md).
+    Every-token counting (not distinct): repeated words accumulate."""
+    d = table(spark, sf_dir, "documents")
+    lex = F.broadcast(_lexicon_df(spark))
+    hits = (
+        doc_tokens(d)
+        .join(lex, "term")
+        .groupBy("doc_id")
+        .agg(F.sum("score").cast("bigint").alias("sentiment"))
+    )
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce("sentiment", F.lit(0)).alias("sentiment"))
+    )
+
+
+# ------------------------------------------- training-pipeline extras
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')))
+               AS n_unique_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, all JVM-side (contrast with udf_surface's
+    pandas-UDF path): total and distinct token counts per document."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           n_chars * 1.0 / len(toks) AS chars_per_token,
+           len(list_filter(toks, x -> x IN {STOPWORDS!r})) * 1.0 / len(toks)
+               AS stopword_ratio,
+           n_punct * 1.0 / n_chars AS punct_ratio,
+           len(list_distinct(toks)) * 1.0 / len(toks) AS unique_ratio
+    FROM t
+    WHERE len(toks) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: length, stopword
+    ratio, punctuation density, lexical diversity — the standard
+    cheap-heuristic battery, all as one codegen'd projection."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            toks.alias("toks"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0)
+            ).alias("n_punct"),
+        )
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            (F.col("n_chars") * 1.0 / F.size("toks")).alias("chars_per_token"),
+            (
+                F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+                * 1.0
+                / F.size("toks")
+            ).alias("stopword_ratio"),
+            (F.col("n_punct") * 1.0 / F.col("n_chars")).alias("punct_ratio"),
+            (F.size(F.array_distinct("toks")) * 1.0 / F.size("toks")).alias(
+                "unique_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) * 1.0
+                  / greatest(len(toks), 1) > 0.05 THEN 'en'
+             WHEN len(toks) = 0 THEN 'unknown'
+             ELSE 'other'
+           END AS guessed_lang
+    FROM t
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-density rule (the degenerate
+    1-gram case of n-gram-profile language ID — real profiles plug in
+    as a broadcast dim keyed by character n-gram). Deterministic, so
+    oracle-checkable; emits the labeled lang alongside for accuracy
+    eval downstream."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    en_stops = F.array(F.lit("the"), F.lit("a"), F.lit("of"))
+    density = (
+        F.size(F.filter(toks, lambda x: F.array_contains(en_stops, x)))
+        * 1.0
+        / F.greatest(F.size(toks), F.lit(1))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(density > 0.05, "en")
+        .when(F.size(toks) == 0, "unknown")
+        .otherwise("other")
+        .alias("guessed_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(range(1, len(toks) - 1),
+               i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+               AS fingerprint
+    FROM t
+    WHERE len(toks) >= 3
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash-of-shingles (the winnowing
+    family's 1-fingerprint case) — md5 over rolling token 3-grams,
+    keep the minimum. Identical fingerprints ⇒ near-identical prefixes
+    of content; used as a cheap join key for dedup candidates. md5 is
+    identical across engines, so this is oracle-checkable."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    witht = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    shingle_hash = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            )
+        ),
+    )
+    return witht.select(
+        "doc_id", F.array_min(shingle_hash).alias("fingerprint")
+    )

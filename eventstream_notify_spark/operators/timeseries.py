@@ -1,1 +1,90 @@
-"""Placeholder — populated in later milestones."""
+"""Time-series similarity — SURVEY.md §2.F X8 (pattern per 'Time
+Series Similarity Search for Streaming Data in Distributed Systems',
+EDBT 2019 — PAPERS.md).
+
+Pipeline: per-user daily averages -> per-user z-normalization (window
+aggregates) -> pairwise z-normalized Euclidean distance via a join on
+the day axis. Everything is expressible with built-in aggregates, so
+unlike the survey's initial rows-only plan this op is fully
+oracle-checked.
+
+Scale: the day-aligned join shuffles on the day key; the anchor side
+is a deterministic user sample (at 100 TB: the query set). Distances
+accumulate per pair — partial aggregation applies. A pandas-UDF DTW
+kernel can slot into the same pair frame when warping is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.registry import register
+
+ANCHOR_MOD = 5  # user_id % 5 == 0 -> anchor (query) series
+MIN_OVERLAP = 10  # days both series must share
+
+
+@register(
+    "ts_similarity",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               SUM(value) / COUNT(*) AS v
+        FROM events
+        GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT user_id, day,
+               (v - AVG(v) OVER (PARTITION BY user_id))
+               / stddev_samp(v) OVER (PARTITION BY user_id) AS zv
+        FROM daily
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_common_days,
+           ROUND(sqrt(SUM((a.zv - b.zv) * (a.zv - b.zv)) / COUNT(*)), 6)
+               AS znorm_dist
+    FROM z a
+    JOIN z b ON a.day = b.day AND a.user_id < b.user_id
+    WHERE a.user_id % {ANCHOR_MOD} = 0
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {MIN_OVERLAP}
+    """,
+)
+def ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — z-normalized Euclidean distance between per-user daily
+    event-value series (anchored sample vs all users)."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .agg((F.sum("value") / F.count("*")).alias("v"))
+    )
+    uw = Window.partitionBy("user_id")
+    z = daily.select(
+        "user_id",
+        "day",
+        ((F.col("v") - F.avg("v").over(uw)) / F.stddev_samp("v").over(uw)).alias("zv"),
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    diff = F.col("a.zv") - F.col("b.zv")
+    return (
+        a.filter(F.col("a.user_id") % ANCHOR_MOD == 0)
+        .join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(
+            F.count("*").alias("n_common_days"),
+            F.round(F.sqrt(F.sum(diff * diff) / F.count("*")), 6).alias("znorm_dist"),
+        )
+        .filter(F.col("n_common_days") >= MIN_OVERLAP)
+    )

@@ -1,1 +1,296 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search / multimodal-vector operators — SURVEY.md §2.F
+(X3, X7) plus the ANN scale paths (IVF, random-hyperplane LSH) and
+embedding-based near-dup the north star mandates.
+
+Scale design:
+- brute-force cosine is always (small query set) × (big corpus) with
+  the query side BROADCAST — the corpus never shuffles;
+- top-k per query is a window row_number over the query key, not a
+  global sort;
+- the IVF path turns O(Q·N) into O(Q·N/K): assign once (broadcast
+  centroids), then probe only the matching cluster — the same two
+  broadcast joins at any corpus size;
+- LSH bucketing replaces distance joins with equi-joins on bucket
+  keys — the only join shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.functions.vector import (
+    cosine,
+    cosine_sql,
+    dot,
+    l2_norm,
+    l2_norm_sql,
+)
+from eventstream_notify_spark.registry import register
+
+TOP_K = 5
+QUERY_MOD = 50  # vec_id % 50 == 0 -> the query set
+CENTROID_MOD = 100  # vec_id % 100 == 0 -> IVF "centroids"
+
+
+# ---------------------------------------------------------------- X3
+
+
+@register(
+    "sim_search_cosine",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS score
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, score
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id
+    ) <= {TOP_K}
+    """,
+)
+def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — brute-force top-k cosine search: broadcast the query set
+    against the full corpus, score with higher-order-function dot
+    products (no UDF), keep top-5 per query via windowed row_number.
+    Scores rounded to 6 d.p. and tie-broken on vec_id so the ranking
+    is engine-independent."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        e.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine("qe", "embedding"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+@register(
+    "sim_search_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cid
+        FROM embeddings e JOIN cent c ON TRUE
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY ROUND({cosine_sql('e.embedding', 'c.ce')}, 6) DESC, c.cid
+        ) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, cid
+          FROM assign WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               ROUND({cosine_sql('q.qe', 'a.embedding')}, 6) AS score
+        FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, score
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id
+    ) <= 3
+    """,
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — IVF-style ANN: (1) assign every vector to its
+    nearest 'centroid' (a deterministic sample here; k-means centroids
+    in production) via a broadcast join + argmax window; (2) probe
+    only the query's own cluster. Search cost drops from Q·N to
+    Q·N/K while both phases stay broadcast-equi-join shaped."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(cent)
+        .withColumn("cscore", F.round(cosine("embedding", "ce"), 6))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = F.broadcast(
+        assign.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cid").alias("qcid"),
+        )
+    )
+    scored = (
+        assign.join(
+            q,
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", "vec_id", F.round(cosine("qe", "embedding"), 6).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle="""
+    WITH sig AS (
+        SELECT vec_id,
+               list_transform(range(0, 8), j -> CASE WHEN
+                   list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST((i * 7 + j * 13) % 11 - 5 AS DOUBLE)))
+                   > 0 THEN 1 ELSE 0 END) AS bits
+        FROM embeddings
+    )
+    SELECT bits[1] * 128 + bits[2] * 64 + bits[3] * 32 + bits[4] * 16
+         + bits[5] * 8 + bits[6] * 4 + bits[7] * 2 + bits[8] AS bucket,
+           COUNT(*) AS n_vectors
+    FROM sig
+    GROUP BY 1
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2 — random-hyperplane (SimHash) LSH bucketing:
+    8 sign-bits of dot products against deterministic integer
+    hyperplanes ((i*7 + j*13) % 11 - 5 — exact in both engines, hence
+    oracle-checkable). Near-neighbors collide in buckets, turning ANN
+    candidate generation into an equi-join on the bucket key. Emits
+    bucket occupancy (the candidate-set size profile)."""
+    e = table(spark, sf_dir, "embeddings")
+    dim_idx = F.sequence(F.lit(1), F.size("embedding"))
+
+    def plane_dot(j: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(
+                    dim_idx, lambda i: ((i * 7 + F.lit(j * 13)) % 11 - 5)
+                ),
+                lambda x, w: x.cast("double") * w.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = sum(
+        [
+            F.when(plane_dot(j) > 0, F.lit(2 ** (7 - j))).otherwise(F.lit(0))
+            for j in range(8)
+        ],
+        F.lit(0),
+    )
+    return (
+        e.select(bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------- X7
+
+
+@register(
+    "multimodal_cols",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           len(e.embedding) AS dim,
+           ROUND({l2_norm_sql('e.embedding')}, 6) AS l2_norm,
+           ROUND(CAST(e.embedding[1] AS DOUBLE)
+                 / {l2_norm_sql('e.embedding')}, 6) AS first_unit
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — text + scalar + vector columns co-resident in one frame,
+    with vector math as first-class expressions (norms, normalized
+    components). The join key aligns documents with their embeddings;
+    at scale both sides bucket on the id."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+        F.round(
+            F.element_at("embedding", 1).cast("double") / l2_norm("embedding"), 6
+        ).alias("first_unit"),
+    )
+
+
+# ------------------------------------------ embedding near-dup (X2/X3)
+
+
+@register(
+    "dedup_near_embedding",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label,
+               ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nn_vec_id, label, score
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, nn_vec_id
+    ) = 1
+    """,
+)
+def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: nearest same-label neighbor per
+    vector. The label acts as the blocking key (at scale: an LSH
+    bucket or IVF cluster id), so candidate pairs are generated inside
+    blocks only — never a global cross join."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nn_vec_id"),
+        F.col("a.label").alias("label"),
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nn_vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
