@@ -57,6 +57,7 @@ def _load_all() -> None:
         timeseries,
         vectors,
     )
+    from eventstream_notify_spark.streaming import pipeline  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

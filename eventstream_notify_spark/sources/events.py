@@ -1,0 +1,120 @@
+"""Event-stream sources — the engine's ingest layer.
+
+Re-expresses the reference's ingestion (KafkaConsumer + JSON value
+deserializer + earliest reset + manual offset restore — reference:
+auto_kafka_redis.py:231-304) as Structured Streaming sources:
+
+- Kafka (production): ``readStream.format("kafka")`` + ``from_json``;
+  offset checkpoint/restore is the built-in checkpointLocation WAL —
+  strictly stronger than the reference's Redis offset hash (:398-405).
+- file/parquet (tests, replay): same schema, deterministic.
+- rate (synthetic): the reference's producer loop (:191-219) as a
+  declarative column mapping over the rate source.
+
+All variants emit one canonical schema, so every downstream operator
+is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstream_notify_spark.catalog import EVENT_SCHEMA, WIRE_EVENT_SCHEMA
+
+
+def parse_wire_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON wire payloads -> typed events, with the corrupt-record
+    path made explicit (the reference silently drops undecodable
+    messages, auto_kafka_redis.py:301; we keep them observable)."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), WIRE_EVENT_SCHEMA).alias("e"),
+        F.col(value_col).cast("string").alias("_raw"),
+    )
+    return parsed.select(
+        F.col("e.id").alias("event_id"),
+        F.timestamp_seconds(F.col("e.timestamp")).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.value").alias("value"),
+        # PERMISSIVE from_json yields an all-null struct on malformed
+        # input (never a null struct), so corrupt = every field null
+        F.when(
+            F.col("e").isNull()
+            | (
+                F.col("e.id").isNull()
+                & F.col("e.value").isNull()
+                & F.col("e.user_id").isNull()
+                & F.col("e.timestamp").isNull()
+            ),
+            F.col("_raw"),
+        ).alias("_corrupt_record"),
+    )
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka ingest (A1 streaming). Not exercised in CI (no broker in
+    the container) — the code path mirrors file_events_stream exactly
+    after the source exchange."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_wire_events(raw)
+
+
+def file_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the events table as a stream (test double for
+    Kafka — SURVEY §7 'no live Kafka in CI'). Nanos are read as long
+    and converted, same as the batch catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def rate_events_stream(
+    spark: SparkSession, events_per_second: int = 20
+) -> DataFrame:
+    """B6 streaming — the reference producer as a rate-source mapping:
+    monotone id wrapping at 10^6, 5 synthetic users, event-time stamp
+    (auto_kafka_redis.py:191-219)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", events_per_second)
+        .load()
+        .select(
+            (F.col("value") % 1_000_000).alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5 + 1).alias("user_id"),
+            F.lit("synthetic").alias("event_type"),
+            (F.col("value") % 100).cast("double").alias("value"),
+            F.format_string('{"k": %d}', F.col("value") % 100).alias("props"),
+        )
+    )
+
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "WIRE_EVENT_SCHEMA",
+    "parse_wire_events",
+    "kafka_events_stream",
+    "file_events_stream",
+    "rate_events_stream",
+]

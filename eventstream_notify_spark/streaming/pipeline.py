@@ -1,0 +1,241 @@
+"""The streaming pipeline (B5 streaming twin) and windowed operators
+(E1–E5) — SURVEY.md §2.E and §3.1's lifecycle, Spark-first:
+
+reference consumer loop (auto_kafka_redis.py:320-408)   →  here
+---------------------------------------------------------------------
+manual offset restore + commit (:231-270, :398-405)     →  checkpointLocation WAL
+per-event SETNX dedup w/ 60 s TTL (:332-346)            →  withWatermark + dropDuplicatesWithinWatermark
+per-user INCR/EXPIRE rate limit (:348-366)              →  applyInPandasWithState (streaming/state.py)
+32-event Redis pipeline flush (:368-396)                →  micro-batch foreachBatch sink
+SET event:{id} + PUBLISH events (:372-374)              →  keyed upsert store + alert/notify sink
+
+Every operator here runs a REAL streaming query; the bounded variants
+(file source + availableNow trigger + memory sink) let the driver
+oracle-check streaming execution against DuckDB.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstream_notify_spark.registry import register
+from eventstream_notify_spark.sources.events import file_events_stream
+from eventstream_notify_spark.streaming.state import rate_limit_stream
+
+
+def run_bounded(
+    stream_df: DataFrame, name: str | None = None, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow) into a
+    memory sink; return the materialized result as a batch DataFrame.
+    This is the test/driver harness — production uses start_pipeline.
+
+    Windowed aggregations should pass ``output_mode='complete'``: in
+    append mode the trailing windows (not yet passed by the watermark
+    at end-of-stream) are never emitted."""
+    table_name = name or f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{table_name}_")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(table_name)
+
+
+def streaming_dedup(events: DataFrame, ttl: str = "60 seconds") -> DataFrame:
+    """B1 streaming — TTL dedup: the watermark IS the TTL (state for
+    ids older than the watermark is GC'd, exactly the Redis EXPIRE
+    semantics, auto_kafka_redis.py:334-339)."""
+    return events.withWatermark("ts", ttl).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def start_pipeline(
+    events: DataFrame,
+    checkpoint_dir: str,
+    sink,
+    ttl: str = "60 seconds",
+    rate_limit: int = 5,
+    rate_window_s: int = 60,
+    available_now: bool = False,
+):
+    """Production shape of the full pipeline: dedup → stateful rate
+    limit → foreachBatch sink (keyed upsert + notifications), with
+    exactly-once bookkeeping via the checkpoint WAL. Returns the
+    running StreamingQuery (bounded when available_now)."""
+    admitted = rate_limit_stream(
+        streaming_dedup(events, ttl),
+        limit=rate_limit,
+        window_s=rate_window_s,
+        watermark=None,  # dedup already declared the event-time watermark
+    )
+    writer = (
+        admitted.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ----------------------------------------------------------- E-series
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — tumbling-window counts (C4's streaming twin), executed as
+    a real streaming query with watermark + window, then materialized.
+    Bounded input ⇒ equals the batch answer, so it oracle-checks."""
+    src = file_events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"), "cnt"
+        )
+    )
+    return run_bounded(agg, output_mode="complete")
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH slides AS (
+        SELECT e.event_id, s.window_start_us
+        FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events) e
+        JOIN (
+            SELECT DISTINCT (epoch_us(ts) // 1800000000) * 1800000000
+                   - (3600000000 - 1800000000) * x.i AS window_start_us
+            FROM events, (VALUES (0), (1)) x(i)
+        ) s
+          ON e.ts_us >= s.window_start_us
+         AND e.ts_us <  s.window_start_us + 3600000000
+    )
+    SELECT window_start_us, COUNT(*) AS cnt
+    FROM slides
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — sliding windows (1 h length, 30 min slide): each event
+    lands in 2 overlapping windows — the true shape of the reference's
+    'rate over trailing window' (B2). Streaming-executed; the oracle
+    reconstructs slide assignment relationally."""
+    src = file_events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"), "cnt"
+        )
+    )
+    return run_bounded(agg, output_mode="complete")
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800000000
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts_us,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — gap-based session windows per user (30 min gap), the
+    generalized 'user activity' view of the dashboard. Streaming
+    session_window; oracle = gaps-and-islands SQL."""
+    src = file_events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    return run_bounded(agg, output_mode="complete")
+
+
+@register(
+    "stream_late_data",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — watermarked streaming dedup (dropDuplicatesWithinWatermark):
+    the TTL-state + late-data machinery executed for real. On the
+    bounded single-file input nothing falls past the watermark, so the
+    result equals batch dedup (the multi-batch late/out-of-order drop
+    behavior is pinned by tests/test_streaming.py)."""
+    src = file_events_stream(spark, sf_dir)
+    out = streaming_dedup(src).select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id"
+    )
+    return run_bounded(out)
+
+
+@register("stream_foreach_sink")  # rows-only: stateful window anchoring
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — the COMPLETE streaming pipeline: file-replayed stream →
+    watermark dedup → first-event-anchored stateful rate limiter →
+    foreachBatch keyed-upsert sink (micro-batch = the reference's
+    32-event Redis pipeline flush, auto_kafka_redis.py:368-396).
+    Returns the final compacted store. Rows-only: the anchored window
+    semantics intentionally differ from the tumbling batch twin."""
+    import tempfile
+
+    from eventstream_notify_spark.streaming.sinks import ParquetKeyedStore
+
+    store = ParquetKeyedStore(tempfile.mkdtemp(prefix="keyed_store_"))
+    src = file_events_stream(spark, sf_dir)
+    q = start_pipeline(
+        src,
+        tempfile.mkdtemp(prefix="ckpt_pipeline_"),
+        store.upsert_batch,
+        rate_window_s=86400,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return store.compacted(spark)
