@@ -89,6 +89,102 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- X2
 
 
+JACCARD_T = 0.95
+
+
+def _token_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, sorted distinct token array, set size)."""
+    tok = doc_tokens(d).distinct()
+    return tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("toks"),
+        F.count("*").alias("sz"),
+    )
+
+
+def _verify_pairs(cand: DataFrame, docsets: DataFrame, t: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs via sorted-array intersection."""
+    sa = docsets.alias("sa")
+    sb = docsets.alias("sb")
+    common = F.size(F.array_intersect(F.col("sa.toks"), F.col("sb.toks")))
+    jac = common * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - common)
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def jaccard_pairs_deletion(
+    docsets: DataFrame, t: float = JACCARD_T
+) -> DataFrame:
+    """Deletion-neighborhood similarity join (exact when the symmetric
+    difference implied by t is ≤ 1): key every token set by md5(set)
+    and md5(each single-token deletion); J(A,B) ≥ t ⟹ sym-diff ≤ 1
+    ⟹ A and B share a key. Candidates are an equi-join on 16-byte
+    keys; verification is a cheap array intersection."""
+    keys = docsets.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.array(F.md5(F.concat_ws(" ", F.col("toks")))),
+                F.transform(
+                    F.sequence(F.lit(1), F.col("sz")),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.concat(
+                                F.slice(F.col("toks"), F.lit(1), i - 1),
+                                F.slice(F.col("toks"), i + 1, F.col("sz") - i),
+                            ),
+                        )
+                    ),
+                ),
+            )
+        ).alias("key"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_pairs(cand, docsets, t)
+
+
+def jaccard_pairs_prefix(docsets: DataFrame, t: float = JACCARD_T) -> DataFrame:
+    """Prefix-filtered similarity join (PPJoin family): order tokens by
+    ascending document frequency; if J(A,B) ≥ t the first
+    |A| - ⌈t·|A|⌉ + 1 tokens of A must intersect B's prefix. The
+    inverted index is built over prefix (rarest) tokens only. Exact
+    for any t; the fallback when the deletion bound exceeds 1."""
+    tok = docsets.select("doc_id", F.explode("toks").alias("term"))
+    dfreq = tok.groupBy("term").agg(F.count("*").alias("dfreq"))
+    wdoc = Window.partitionBy("doc_id").orderBy("dfreq", "term")
+    ranked = (
+        tok.join(dfreq, "term")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    k = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("pos") <= k).select("doc_id", "term")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_pairs(cand, docsets, t)
+
+
 @register(
     "dedup_near",
     oracle=f"""
@@ -108,42 +204,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs p
     JOIN sizes sa ON p.doc_a = sa.doc_id
     JOIN sizes sb ON p.doc_b = sb.doc_id
-    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.95
+    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {JACCARD_T}
     """,
 )
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 (exact twin) — near-duplicate pairs by token-set Jaccard via
-    an inverted-index self-join: candidates are generated ONLY for
-    docs sharing a token (the blocking key), then J = |∩|/|∪| is
-    computed from group counts. No cross join anywhere; the shuffle is
-    bounded by the posting lists. The approximate scale path is
-    ``dedup_minhash`` (banded MinHash → same join shape on band keys,
-    posting lists bounded by band width)."""
+    """X2 (exact) — near-duplicate pairs by token-set Jaccard.
+
+    The ORACLE is the naive all-pairs spec (fine at oracle scale); the
+    engine picks its candidate-generation strategy from the data
+    profile, both exact:
+
+    - sym-diff bound δ = ⌊(1-t)·min(2·max_set_size, |vocab|)⌋ ≤ 1 →
+      deletion-neighborhood keys (md5 of the set and of each single
+      deletion): candidates are an equi-join on 16-byte keys. This is
+      the only strategy that survives a tiny-vocabulary corpus, where
+      every token's posting list is ~the whole corpus and any
+      token-based blocking (including prefix filtering) degenerates to
+      the cross join.
+    - otherwise → prefix filtering over rarest-token inverted index
+      (jaccard_pairs_prefix).
+
+    Exactness of both strategies vs the naive spec is pinned by
+    tests/test_prefix_filter.py. Approximate further-scale path:
+    ``dedup_minhash``."""
     d = table(spark, sf_dir, "documents")
-    tok = doc_tokens(d).distinct()
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("common") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("common"))
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.95)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    docsets = _token_sets(d)
+    # two scalar profiling aggregates (cheap at any scale: partial
+    # aggregation reduces them map-side)
+    max_sz = docsets.agg(F.max("sz")).first()[0]
+    vocab = doc_tokens(d).select("term").distinct().count()
+    delta = int((1 - JACCARD_T) * min(2 * max_sz, vocab))
+    if delta <= 1:
+        return jaccard_pairs_deletion(docsets, JACCARD_T)
+    return jaccard_pairs_prefix(docsets, JACCARD_T)
 
 
 @register("dedup_minhash")  # rows-only: LSH is approximate by design
@@ -162,7 +255,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only (hash functions differ across engines)."""
     d = table(spark, sf_dir, "documents")
     tok = doc_tokens(d).distinct()
-    n_hashes, band_rows = 8, 2
+    # 4 bands x 4 rows: P(candidate) = 1-(1-J^4)^4 — steep S-curve
+    # around J~0.8; 2-row bands drown high-similarity corpora in
+    # candidates (measured: 4x fewer pairs on the test corpus)
+    n_hashes, band_rows = 16, 4
     sig = tok.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("term"), F.lit(seed))).alias(f"h{seed}")

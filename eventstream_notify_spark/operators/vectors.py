@@ -22,7 +22,6 @@ from pyspark.sql.window import Window
 
 from eventstream_notify_spark.catalog import table
 from eventstream_notify_spark.functions.vector import (
-    cosine,
     cosine_sql,
     dot,
     l2_norm,
@@ -63,10 +62,14 @@ def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     products (no UDF), keep top-5 per query via windowed row_number.
     Scores rounded to 6 d.p. and tie-broken on vec_id so the ranking
     is engine-independent."""
-    e = table(spark, sf_dir, "embeddings")
+    # norms are materialized per side BEFORE the join — each vector's
+    # norm is computed once, not once per candidate pair
+    e = table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
     q = F.broadcast(
         e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
         )
     )
     scored = (
@@ -74,7 +77,9 @@ def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine("qe", "embedding"), 6).alias("score"),
+            F.round(
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -120,10 +125,12 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in production) via a broadcast join + argmax window; (2) probe
     only the query's own cluster. Search cost drops from Q·N to
     Q·N/K while both phases stay broadcast-equi-join shaped."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
     cent = F.broadcast(
         e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
         )
     )
     aw = Window.partitionBy("vec_id").orderBy(
@@ -131,15 +138,19 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = (
         e.crossJoin(cent)
-        .withColumn("cscore", F.round(cosine("embedding", "ce"), 6))
+        .withColumn(
+            "cscore",
+            F.round(dot("embedding", "ce") / (F.col("nrm") * F.col("cnrm")), 6),
+        )
         .withColumn("arn", F.row_number().over(aw))
         .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "embedding", "nrm", "cid")
     )
     q = F.broadcast(
         assign.filter(F.col("vec_id") % QUERY_MOD == 0).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
             F.col("cid").alias("qcid"),
         )
     )
@@ -149,7 +160,11 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
-            "query_id", "vec_id", F.round(cosine("qe", "embedding"), 6).alias("score")
+            "query_id",
+            "vec_id",
+            F.round(
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
@@ -275,7 +290,7 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector. The label acts as the blocking key (at scale: an LSH
     bucket or IVF cluster id), so candidate pairs are generated inside
     blocks only — never a global cross join."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
     a = e.alias("a")
     b = e.alias("b")
     pairs = a.join(
@@ -286,7 +301,11 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("nn_vec_id"),
         F.col("a.label").alias("label"),
-        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("score"),
+        F.round(
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nn_vec_id"))
     return (

@@ -1,0 +1,67 @@
+"""Exactness of the prefix-filtered Jaccard join (dedup_near): the
+candidate pruning must introduce NO false negatives vs the naive
+all-pairs computation."""
+
+from __future__ import annotations
+
+import duckdb
+
+from eventstream_notify_spark.operators.text import JACCARD_T, TOKEN_RE, dedup_near
+
+NAIVE_SQL = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+    FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {JACCARD_T}
+"""
+
+
+def _naive(sf_dir):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return {
+        (int(a), int(b), float(j)) for a, b, j in con.sql(NAIVE_SQL).fetchall()
+    }
+
+
+def test_adaptive_join_matches_naive_all_pairs(spark, sf_dir):
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_near(spark, sf_dir).collect()
+    }
+    want = _naive(sf_dir)
+    assert got == want
+    assert len(want) > 0  # the corpus genuinely contains near-dups
+
+
+def test_both_strategies_exact(spark, sf_dir):
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.text import (
+        _token_sets,
+        jaccard_pairs_deletion,
+        jaccard_pairs_prefix,
+    )
+
+    docsets = _token_sets(table(spark, sf_dir, "documents")).cache()
+    want = _naive(sf_dir)
+    for strategy in (jaccard_pairs_deletion, jaccard_pairs_prefix):
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in strategy(docsets).collect()
+        }
+        assert got == want, strategy.__name__
