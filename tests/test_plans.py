@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the plans we'd want on a
+1000-executor cluster, asserted on the actual Catalyst output
+(SURVEY §4.2 'free vs custom' — verify the free things really fire)."""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstream_notify_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_contains,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    assert_take_ordered,
+    assert_whole_stage_codegen,
+)
+from eventstream_notify_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    return {name: fn for name, fn in queries().items()}
+
+
+def test_project_filter_pushdown_and_pruning(spark, q):
+    df = q["project_filter"](spark, SF)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_quantity")
+    assert_read_schema_only(
+        df,
+        "lineitem",
+        {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"},
+    )
+
+
+def test_agg_reads_only_grouping_column(spark, q):
+    df = q["agg_user_counts"](spark, SF)
+    assert_read_schema_only(df, "events", {"user_id"})
+
+
+def test_dim_joins_broadcast(spark, q):
+    assert_broadcast_join(q["join_broadcast"](spark, SF))
+    assert_broadcast_join(q["join_outer"](spark, SF))
+
+
+def test_range_join_is_broadcast_not_cartesian(spark, q):
+    df = q["join_range"](spark, SF)
+    assert_no_cartesian(df)
+    assert_contains(df, "BroadcastNestedLoopJoin")
+
+
+def test_topk_is_take_ordered(spark, q):
+    assert_take_ordered(q["sort_limit_topk"](spark, SF))
+
+
+def test_replay_last_n_is_take_ordered(spark, q):
+    # the last-N replay buffer must never become a global sort
+    assert_take_ordered(q["replay_last_n"](spark, SF))
+
+
+def test_scalar_pipeline_stays_in_codegen(spark, q):
+    assert_whole_stage_codegen(q["scalar_string"](spark, SF))
+    assert_whole_stage_codegen(q["scalar_math"](spark, SF))
+
+
+def test_alert_rules_broadcasts_rule_dim(spark, q):
+    df = q["alert_rules"](spark, SF)
+    assert_no_cartesian(df)
+    assert_contains(df, "Broadcast")
+
+
+def test_sim_search_broadcasts_queries(spark, q):
+    df = q["sim_search_cosine"](spark, SF)
+    assert_no_cartesian(df)
+    assert_contains(df, "Broadcast")
