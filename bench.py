@@ -25,8 +25,11 @@ HEADLINE = [
     "pipeline_e2e",
     "sink_keyed_upsert",
     "rate_limit_user",
-    "agg_user_counts",
-    "agg_rate_per_min",
+    "agg_hash",
+    "join_shuffle",
+    "dedup_near",
+    "sim_search_cosine",
+    "ts_similarity",
 ]
 
 

@@ -63,6 +63,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies, keeping the oracle bit-compatible.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date/time rendering must be tz-stable regardless of who built the
+    # session (the DuckDB oracle compares against naive timestamps)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -1,0 +1,85 @@
+"""Property-based tests (SURVEY §5.2 #4): invariants that must hold
+for arbitrary event streams, via hypothesis over small generated
+frames (examples kept low — each case is a Spark job)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from eventstream_notify_spark.operators import events as ops
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # event_id (collisions likely)
+        st.integers(min_value=0, max_value=600),  # seconds offset
+        st.integers(min_value=0, max_value=4),  # user_id
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def make_df(spark, rows):
+    data = [
+        (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s),
+            u,
+            "click",
+            1.0,
+            '{"k": 1}',
+        )
+        for i, s, u in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+@given(rows=events_strategy)
+@_settings
+def test_dedup_idempotent_and_key_unique(spark, rows):
+    df = make_df(spark, rows)
+    once = ops.first_per_key(df, ["event_id"], [F.col("ts"), F.col("user_id")])
+    got = once.collect()
+    # one row per distinct id, and f(f(x)) == f(x)
+    assert len(got) == len({r for r, *_ in rows})
+    twice = ops.first_per_key(once, ["event_id"], [F.col("ts"), F.col("user_id")])
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, got))
+
+
+@given(rows=events_strategy)
+@_settings
+def test_rate_limit_cardinality_bound(spark, rows):
+    df = make_df(spark, rows)
+    out = ops.rate_limit(df, window_s=60, limit=5).collect()
+    # per (user, window) at most 5; output is a subset of input
+    per_bucket: dict[tuple, int] = {}
+    for r in out:
+        bucket = (r.user_id, int(r.ts.timestamp()) // 60)
+        per_bucket[bucket] = per_bucket.get(bucket, 0) + 1
+    assert all(v <= 5 for v in per_bucket.values())
+    in_keys = {(i, u) for i, _, u in rows}
+    assert all((r.event_id, r.user_id) in in_keys for r in out)
+
+
+@given(rows=events_strategy)
+@_settings
+def test_pipeline_counts_invariant_under_permutation(spark, rows):
+    df1 = make_df(spark, rows)
+    df2 = make_df(spark, list(reversed(rows)))
+    out1 = sorted(map(tuple, ops.events_pipeline(df1, window_s=60).collect()))
+    out2 = sorted(map(tuple, ops.events_pipeline(df2, window_s=60).collect()))
+    assert out1 == out2
