@@ -38,6 +38,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM (task scheduling, codegen, shuffle machinery) so
+    # per-query numbers measure the queries, not session startup;
+    # touches no benchmark data
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1_000_000)
+        .groupBy((F.col("id") % 100).alias("k"))
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE

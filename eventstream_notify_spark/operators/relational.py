@@ -708,6 +708,70 @@ def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- scale-path extras
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT e.event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN (
+        SELECT DISTINCT user_id FROM events
+    ) u ON e.user_id = u.user_id
+    GROUP BY e.event_type
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join via EXPLICIT key salting: the fact side gets
+    a random-free deterministic salt (event_id % N), the dim side is
+    exploded N ways, and the join key becomes (user_id, salt) — a hot
+    user's rows now spread over N reducer partitions instead of one.
+    AQE's skew-join split handles this adaptively in most cases; the
+    salted form is the insurance for extreme keys and for non-AQE
+    deployments. Result is identical to the unsalted join (the oracle
+    states the unsalted spec)."""
+    n_salts = 8
+    e = table(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % n_salts).cast("int")
+    )
+    dim = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .crossJoin(
+            spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    return (
+        e.join(dim, ["user_id", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(_money("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register("agg_sketches")  # rows-only: sketch internals are engine-specific
+def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation posture: sketches instead of exact
+    distincts/percentiles — approx_count_distinct (HLL++) and
+    approx_percentile (KLL-style quantile summary) are mergeable, so
+    they keep partial+final aggregation shape with O(1)-size state
+    where COUNT(DISTINCT) needs an extra shuffle of the full key set.
+    Rows-only (sketch estimates are engine-specific by design);
+    accuracy vs exact is pinned in tests."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+            "value_quantiles"
+        ),
+        F.count("*").alias("cnt"),
+    )
+
+
 # ---------------------------------------------------------------- D20
 
 

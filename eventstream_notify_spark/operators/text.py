@@ -433,25 +433,38 @@ def text_sentiment_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- training-pipeline extras
 
 
+# GPT-2-family pre-tokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs, whitespace runs — no lookarounds, so the
+# pattern is portable between Java regex (Spark) and RE2 (DuckDB).
+BPE_RE = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+
 @register(
     "text_token_count",
     oracle=f"""
     SELECT doc_id,
            len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
            len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')))
-               AS n_unique_tokens
+               AS n_unique_tokens,
+           len(regexp_extract_all(text, '{BPE_RE.replace(chr(39), chr(39) * 2)}'))
+               AS n_bpe_tokens
     FROM documents
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, all JVM-side (contrast with udf_surface's
-    pandas-UDF path): total and distinct token counts per document."""
+    pandas-UDF path): whitespace-word totals/uniques plus a BPE-style
+    pre-tokenizer count (the GPT-2 split pattern) — the cheap proxy
+    for 'how many LLM tokens is this corpus'."""
     d = table(spark, sf_dir, "documents")
     toks = tokens_col()
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
     )
 
 
