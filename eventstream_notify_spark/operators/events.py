@@ -46,18 +46,32 @@ _TS_US = "unix_micros(ts)"
 # --------------------------------------------------------------------
 
 
+def _argmin_per_key(
+    df: DataFrame, keys: list[str], order: list[Column], agg_fn
+) -> DataFrame:
+    """arg-min/arg-max compaction via min_by/max_by over an ordering
+    struct. Unlike a row_number window (sort-based, whole rows
+    shuffled), this is a hash aggregation with MAP-SIDE COMBINE: each
+    input partition pre-reduces to one row per key before the shuffle,
+    so shuffled volume shrinks by the duplication factor — the shape
+    that survives 100 TB dedup. The ordering struct must be unique per
+    key (include tiebreak columns) for determinism."""
+    payload_cols = [c for c in df.columns if c not in keys]
+    out = df.groupBy(*keys).agg(
+        agg_fn(
+            F.struct(*[F.col(c) for c in payload_cols]), F.struct(*order)
+        ).alias("__payload")
+    )
+    return out.select(*keys, *[F.col(f"__payload.{c}").alias(c) for c in payload_cols])
+
+
 def first_per_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
     """Keep the first row per key under a deterministic order.
 
     Batch twin of the reference's SETNX dedup probe
-    (auto_kafka_redis.py:332-346): one shuffle on ``keys``.
+    (auto_kafka_redis.py:332-346): one keyed shuffle, combiner-reduced.
     """
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return _argmin_per_key(df, keys, order, F.min_by)
 
 
 def latest_per_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
@@ -66,7 +80,7 @@ def latest_per_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataF
     Batch twin of the Redis ``SET event:{id}`` store
     (auto_kafka_redis.py:372-373).
     """
-    return first_per_key(df, keys, [c.desc() for c in order])
+    return _argmin_per_key(df, keys, order, F.max_by)
 
 
 def rate_limit(
