@@ -43,7 +43,9 @@ def _rules_values_sql() -> str:
     return f"(VALUES {rows}) r(rule_id, rule_event_type, metric, op, threshold)"
 
 
-def apply_rules(events: DataFrame, rules: DataFrame) -> DataFrame:
+def apply_rules(
+    events: DataFrame, rules: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Cross-apply the rule table to an event frame: broadcast join on
     the optional event_type guard + predicate evaluation on the chosen
     metric. Returns one row per (event, fired rule)."""
@@ -64,8 +66,64 @@ def apply_rules(events: DataFrame, rules: DataFrame) -> DataFrame:
             "event_id",
             "event_type",
             metric.alias("metric_value"),
+            *extra_cols,
         )
     )
+
+
+# Free-form predicate rules: the general grammar (SURVEY §4.2 #5) —
+# any SQL boolean expression over the event row, evaluated via expr().
+EXPR_RULES: list[tuple[int, str]] = [
+    (101, "event_type = 'error' AND value > 150.0"),
+    (102, "value > 190.0"),
+    (103, "event_type = 'purchase' AND value < 10.0"),
+    (104, "event_type = 'click' AND get_json_object(props, '$.k') > 90"),
+    (105, "event_type IN ('signup', 'view') AND pmod(event_id, 1000) = 0"),
+]
+
+
+def apply_expr_rules(
+    events: DataFrame, rules: list[tuple[int, str]] = EXPR_RULES
+) -> DataFrame:
+    """Rules as arbitrary SQL predicates. Each rule compiles to a
+    Catalyst expression via expr(); the union of per-rule filters
+    shares one scan (Catalyst collapses it) and each predicate can be
+    pushed/pruned independently — strictly more expressive than the
+    structured (metric, op, threshold) table, at the cost of rules
+    being strings. Both forms coexist; choose per deployment."""
+    fired = [
+        events.filter(F.expr(pred)).select(
+            F.lit(rule_id).alias("rule_id"), "event_id", "event_type", "value"
+        )
+        for rule_id, pred in rules
+    ]
+    out = fired[0]
+    for f in fired[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _expr_rules_oracle() -> str:
+    parts = []
+    for rule_id, pred in EXPR_RULES:
+        sql_pred = (
+            pred.replace(
+                "get_json_object(props, '$.k')",
+                "CAST(json_extract_string(props, '$.k') AS DOUBLE)",
+            )
+            .replace("pmod(event_id, 1000)", "((event_id % 1000) + 1000) % 1000")
+        )
+        parts.append(
+            f"SELECT {rule_id} AS rule_id, event_id, event_type, value "
+            f"FROM events WHERE {sql_pred}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("alert_rules_expr", oracle=_expr_rules_oracle())
+def alert_rules_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 variant — free-form SQL-predicate rules over events."""
+    return apply_expr_rules(table(spark, sf_dir, "events"))
 
 
 @register(

@@ -88,6 +88,35 @@ def start_pipeline(
     return writer.start()
 
 
+def notify_sink(store, alert_store):
+    """Compose the notification fan-out into the micro-batch sink: the
+    reference's flush does SET event:{id} + PUBLISH per accepted event
+    (auto_kafka_redis.py:370-380); ours lands the batch in the keyed
+    store AND evaluates the alert rules, landing fired notifications
+    in a second keyed store (the 'channel'). Both writes are
+    epoch-idempotent, so the composition stays exactly-once."""
+    from eventstream_notify_spark.operators.alerts import apply_rules, rules_df
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            store.upsert_batch(batch_df, epoch_id)
+            fired = apply_rules(
+                batch_df, rules_df(batch_df.sparkSession), extra_cols=("ts",)
+            )
+            alert_store.upsert_batch(
+                fired.withColumn(
+                    "alert_id",
+                    F.concat_ws("-", F.col("rule_id"), F.col("event_id")),
+                ),
+                epoch_id,
+            )
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
 # ----------------------------------------------------------- E-series
 
 

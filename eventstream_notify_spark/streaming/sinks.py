@@ -43,6 +43,27 @@ class ParquetKeyedStore:
     def log(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
 
+    def compact(self, spark: SparkSession) -> None:
+        """Log-structured compaction: rewrite the epoch log as a single
+        epoch holding only the latest row per key. Run periodically (a
+        maintenance job, exactly like table-format compaction) so read
+        amplification stays bounded while appends remain cheap."""
+        latest = self.compacted(spark)
+        max_epoch = (
+            self.log(spark).agg(F.max("_epoch")).first()[0]
+        )
+        tmp = self.path + ".compacting"
+        (
+            latest.withColumn("_epoch", F.lit(int(max_epoch)))
+            .write.partitionBy("_epoch")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        import shutil
+
+        shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+
     def compacted(self, spark: SparkSession) -> DataFrame:
         """The KV view: latest write per key wins (ties broken by the
         later epoch — replay order, mirroring 'latest SET wins')."""
