@@ -121,39 +121,69 @@ def jaccard_pairs_deletion(
     """Deletion-neighborhood similarity join (exact when the symmetric
     difference implied by t is ≤ 1): key every token set by md5(set)
     and md5(each single-token deletion); J(A,B) ≥ t ⟹ sym-diff ≤ 1
-    ⟹ A and B share a key. Candidates are an equi-join on 16-byte
-    keys; verification is a cheap array intersection."""
+    ⟹ A and B share a key.
+
+    Verification needs NO set materialization: the kind of colliding
+    keys determines the intersection exactly —
+      full=full  ⟹ A=B           ⟹ |∩| = |A|
+      full=del   ⟹ A ⊂ B, +1    ⟹ |∩| = |A|
+      del=del    ⟹ sym-diff = 2 ⟹ |∩| = |A|-1
+    so J comes from sizes alone (take the max |∩| when a pair collides
+    multiple ways). The whole operator is: explode keys → equi-join on
+    16-byte keys → size arithmetic. Nothing wide ever shuffles."""
     keys = docsets.select(
         "doc_id",
+        "sz",
         F.explode(
             F.concat(
-                F.array(F.md5(F.concat_ws(" ", F.col("toks")))),
+                F.array(
+                    F.struct(
+                        F.md5(F.concat_ws(" ", F.col("toks"))).alias("key"),
+                        F.lit(1).alias("is_full"),
+                    )
+                ),
                 F.transform(
                     F.sequence(F.lit(1), F.col("sz")),
-                    lambda i: F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.concat(
-                                F.slice(F.col("toks"), F.lit(1), i - 1),
-                                F.slice(F.col("toks"), i + 1, F.col("sz") - i),
-                            ),
-                        )
+                    lambda i: F.struct(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.concat(
+                                    F.slice(F.col("toks"), F.lit(1), i - 1),
+                                    F.slice(F.col("toks"), i + 1, F.col("sz") - i),
+                                ),
+                            )
+                        ).alias("key"),
+                        F.lit(0).alias("is_full"),
                     ),
                 ),
             )
-        ).alias("key"),
-    )
+        ).alias("k"),
+    ).select("doc_id", "sz", "k.key", "k.is_full")
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
+    common = (
+        F.when((F.col("a.is_full") == 1) | (F.col("b.is_full") == 1),
+               F.least("a.sz", "b.sz"))
+        .otherwise(F.col("a.sz") - 1)
+    )
+    pairs = (
         a.join(
             b,
             (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(F.max(common).alias("common"))
     )
-    return _verify_pairs(cand, docsets, t)
+    jac = F.col("common") * 1.0 / (F.col("sza") + F.col("szb") - F.col("common"))
+    return pairs.filter(jac >= t).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
 
 
 def jaccard_pairs_prefix(docsets: DataFrame, t: float = JACCARD_T) -> DataFrame:
