@@ -1,0 +1,194 @@
+"""Temporal operators Spark lacks as built-ins — SURVEY §2 'custom
+operators' guidance: composed from existing DataFrame ops, never a
+Python loop.
+
+- as-of join: the union + keyed last-non-null-carry-forward pattern —
+  O(n log n) sort within key partitions, ZERO range join. This is the
+  only as-of shape that survives 100 TB (a range/theta join degrades
+  to nested loops; this is one shuffle on the key + one window sort).
+- hypertable rollup: cascaded time-grain aggregates (minute → hour →
+  day), each level computed FROM the previous level's partials, the
+  continuous-aggregate pattern of time-series stores: the raw table
+  is scanned once, coarser grains reuse finer sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right_ts <= left_ts within the same ``on`` key.
+
+    Pattern: tag and union both sides, sort within key by (ts, side),
+    carry the right side's values forward with last(ignorenulls), then
+    keep left rows. One shuffle on the key; no range predicates."""
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    lcols = [c for c in left.columns]
+    merged = lt.select(
+        *lcols, "__side", "__ts", *value_cols
+    ).unionByName(
+        rt.select(
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on else F.col(on)
+              for c in lcols],
+            "__side",
+            "__ts",
+            *value_cols,
+        )
+    )
+    # right rows sort before left rows at equal timestamps => a right
+    # row AT the left ts is visible to it (<= semantics, like ASOF)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *lcols,
+        "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH snap AS (
+        SELECT user_id,
+               (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+               COUNT(*) AS day_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           s.day_us AS snap_day_us, s.day_events
+    FROM (SELECT * FROM events WHERE event_id % 10 = 0) e
+    ASOF LEFT JOIN snap s
+      ON e.user_id = s.user_id AND epoch_us(e.ts) >= s.day_us
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each sampled event picks up the most recent daily
+    per-user activity snapshot at-or-before its timestamp. Oracle uses
+    DuckDB's native ASOF JOIN; the engine uses the union/carry-forward
+    pattern (asof_join above) — same semantics, shuffle-minimal."""
+    e = table(spark, sf_dir, "events")
+    snap = (
+        e.groupBy(
+            "user_id",
+            (F.expr("unix_micros(ts) div 86400000000") * 86_400_000_000).alias(
+                "day_us"
+            ),
+        )
+        .agg(F.count("*").alias("day_events"))
+        .withColumn("snap_day_us", F.col("day_us"))
+        .withColumn("__rts", F.timestamp_micros(F.col("day_us")))
+        .drop("day_us")
+    )
+    left = e.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        left,
+        snap,
+        on="user_id",
+        left_ts="ts",
+        right_ts="__rts",
+        value_cols=["snap_day_us", "day_events"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "snap_day_us",
+        "day_events",
+    )
+
+
+@register(
+    "rollup_hypertable",
+    oracle="""
+    WITH minute AS (
+        SELECT (epoch_us(ts) // 60000000) * 60000000 AS bucket_us,
+               COUNT(*) AS cnt,
+               SUM(CAST(value AS DECIMAL(12,2))) AS sum_dec
+        FROM events GROUP BY 1
+    ),
+    hour AS (
+        SELECT (bucket_us // 3600000000) * 3600000000 AS bucket_us,
+               CAST(SUM(cnt) AS BIGINT) AS cnt, SUM(sum_dec) AS sum_dec
+        FROM minute GROUP BY 1
+    ),
+    day AS (
+        SELECT (bucket_us // 86400000000) * 86400000000 AS bucket_us,
+               CAST(SUM(cnt) AS BIGINT) AS cnt, SUM(sum_dec) AS sum_dec
+        FROM hour GROUP BY 1
+    )
+    SELECT 'minute' AS grain, bucket_us, cnt,
+           CAST(sum_dec AS DOUBLE) AS sum_value FROM minute
+    UNION ALL
+    SELECT 'hour' AS grain, bucket_us, cnt,
+           CAST(sum_dec AS DOUBLE) AS sum_value FROM hour
+    UNION ALL
+    SELECT 'day' AS grain, bucket_us, cnt,
+           CAST(sum_dec AS DOUBLE) AS sum_value FROM day
+    """,
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascaded rollup: minute aggregates from raw,
+    hour from minute, day from hour — coarse grains reuse fine-grain
+    partials (the raw table is scanned exactly once; each cascade step
+    aggregates ~60x fewer rows). Decimal sums make the cascade
+    bit-stable in any order."""
+    e = table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        (F.expr("unix_micros(ts) div 60000000") * 60_000_000).alias("bucket_us")
+    ).agg(
+        F.count("*").alias("cnt"),
+        # decimal through the whole cascade: coarse sums stay exact
+        # regardless of aggregation order at any level
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_dec"),
+    )
+    minute = minute.persist()  # scanned by hour AND the final union
+
+    def up(df: DataFrame, us: int) -> DataFrame:
+        return df.groupBy(
+            F.expr(f"bucket_us div {us}").cast("long").alias("b")
+        ).agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_dec").alias("sum_dec"),
+        ).select((F.col("b") * us).alias("bucket_us"), "cnt", "sum_dec")
+
+    hour = up(minute, 3_600_000_000).persist()
+    day = up(hour, 86_400_000_000)
+
+    def tag(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_us",
+            "cnt",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+
+    return (
+        tag(minute, "minute").unionByName(tag(hour, "hour")).unionByName(
+            tag(day, "day")
+        )
+    )

@@ -53,6 +53,7 @@ def _load_all() -> None:
         events,
         multimodal,
         relational,
+        temporal,
         text,
         timeseries,
         vectors,

@@ -1,0 +1,33 @@
+"""As-of join edge semantics on literal frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from eventstream_notify_spark.operators.temporal import asof_join
+
+
+def T(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 1, T(5)), (2, 1, T(10)), (3, 1, T(2)), (4, 2, T(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T(5), 100.0), (1, T(8), 200.0), (2, T(9), 300.0)],
+        "user_id long, rts timestamp, snap double",
+    )
+    out = {
+        r.event_id: r.snap
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="rts",
+            value_cols=["snap"],
+        ).collect()
+    }
+    assert out[1] == 100.0  # snapshot AT the event ts is visible (<=)
+    assert out[2] == 200.0  # most recent of two earlier snapshots
+    assert out[3] is None   # no snapshot at-or-before -> null (left join)
+    assert out[4] is None   # user 2's snapshot is later than the event
