@@ -27,6 +27,43 @@ ANCHOR_MOD = 5  # user_id % 5 == 0 -> anchor (query) series
 MIN_OVERLAP = 10  # days both series must share
 
 
+@register("ts_similarity_dtw")  # rows-only: DTW is a Python kernel
+def ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 (warping variant) — DTW distance between per-user daily
+    series. Pair generation and series assembly are declarative
+    (groupBy + sort_array(collect_list) + broadcast anchor join); only
+    the O(n·m) warping recursion runs in Python, as an Arrow-batched
+    pandas UDF over one pair per row. Rows-only by design."""
+    from eventstream_notify_spark.functions.udfs import dtw_distance
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg((F.sum("value") / F.count("*")).alias("v"))
+    series = daily.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "v"))
+        ).alias("pts")
+    ).select(
+        "user_id",
+        F.transform("pts", lambda p: p["v"]).alias("series"),
+        F.size("pts").alias("n_days"),
+    )
+    anchors = F.broadcast(
+        series.filter(F.col("user_id") % ANCHOR_MOD == 0).select(
+            F.col("user_id").alias("user_a"), F.col("series").alias("series_a")
+        )
+    )
+    pairs = series.join(
+        anchors, F.col("user_a") < F.col("user_id")
+    ).filter(F.col("n_days") >= MIN_OVERLAP)
+    return pairs.select(
+        "user_a",
+        F.col("user_id").alias("user_b"),
+        F.round(dtw_distance("series_a", "series"), 6).alias("dtw_dist"),
+    )
+
+
 @register(
     "ts_similarity",
     oracle=f"""

@@ -31,3 +31,17 @@ def test_asof_join_semantics(spark):
     assert out[2] == 200.0  # most recent of two earlier snapshots
     assert out[3] is None   # no snapshot at-or-before -> null (left join)
     assert out[4] is None   # user 2's snapshot is later than the event
+
+
+def test_dtw_kernel_properties():
+    import numpy as np
+
+    from eventstream_notify_spark.functions.udfs import _dtw
+
+    assert _dtw(np.array([1.0, 2, 3]), np.array([1.0, 2, 3])) == 0.0
+    # warping absorbs a repeated sample at zero cost
+    assert _dtw(np.array([1.0, 1, 2, 3]), np.array([1.0, 2, 3])) == 0.0
+    assert _dtw(np.array([1.0]), np.array([5.0])) == 4.0
+    # symmetry
+    a, b = np.array([1.0, 3, 5]), np.array([2.0, 4])
+    assert _dtw(a, b) == _dtw(b, a)
