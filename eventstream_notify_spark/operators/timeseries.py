@@ -27,40 +27,60 @@ ANCHOR_MOD = 5  # user_id % 5 == 0 -> anchor (query) series
 MIN_OVERLAP = 10  # days both series must share
 
 
+DTW_CANDIDATES = 10  # cheap-distance survivors per anchor that get warped
+
+
 @register("ts_similarity_dtw")  # rows-only: DTW is a Python kernel
 def ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X8 (warping variant) — DTW distance between per-user daily
-    series. Pair generation and series assembly are declarative
-    (groupBy + sort_array(collect_list) + broadcast anchor join); only
-    the O(n·m) warping recursion runs in Python, as an Arrow-batched
-    pandas UDF over one pair per row. Rows-only by design."""
+    """X8 (warping variant) — DTW between per-user daily series, with
+    the production two-phase shape: the cheap declarative z-norm
+    distance (ts_similarity) prunes to the top-K candidates per
+    anchor, and ONLY survivors pay the O(n·m) Python warping kernel
+    (the LB-prune-then-warp pattern of the time-series literature).
+    The Python stage therefore runs anchors·K pairs, not anchors·N —
+    at 100 TB the kernel cost is governed by K, never corpus size.
+    Rows-only by design."""
     from eventstream_notify_spark.functions.udfs import dtw_distance
+
+    cheap = ts_similarity(spark, sf_dir)
+    w = Window.partitionBy("user_a").orderBy(
+        F.col("znorm_dist"), F.col("user_b")
+    )
+    cand = (
+        cheap.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= DTW_CANDIDATES)
+        .select("user_a", "user_b", "znorm_dist")
+    )
 
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(
         "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
     ).agg((F.sum("value") / F.count("*")).alias("v"))
-    series = daily.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("day", "v"))
-        ).alias("pts")
-    ).select(
-        "user_id",
-        F.transform("pts", lambda p: p["v"]).alias("series"),
-        F.size("pts").alias("n_days"),
-    )
-    anchors = F.broadcast(
-        series.filter(F.col("user_id") % ANCHOR_MOD == 0).select(
-            F.col("user_id").alias("user_a"), F.col("series").alias("series_a")
+    series = (
+        daily.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "v"))).alias("pts"))
+        .select(
+            "user_id", F.transform("pts", lambda p: p["v"]).alias("series")
         )
     )
-    pairs = series.join(
-        anchors, F.col("user_a") < F.col("user_id")
-    ).filter(F.col("n_days") >= MIN_OVERLAP)
+    sa = series.alias("sa")
+    sb = series.alias("sb")
+    pairs = (
+        cand.join(sa, F.col("user_a") == F.col("sa.user_id"))
+        .join(sb, F.col("user_b") == F.col("sb.user_id"))
+        .select(
+            "user_a",
+            "user_b",
+            "znorm_dist",
+            F.col("sa.series").alias("series_a"),
+            F.col("sb.series").alias("series_b"),
+        )
+    )
     return pairs.select(
         "user_a",
-        F.col("user_id").alias("user_b"),
-        F.round(dtw_distance("series_a", "series"), 6).alias("dtw_dist"),
+        "user_b",
+        "znorm_dist",
+        F.round(dtw_distance("series_a", "series_b"), 6).alias("dtw_dist"),
     )
 
 
