@@ -708,6 +708,38 @@ def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user x event_type as columns. The value
+    list is EXPLICIT — with it, pivot is one pass (partial+final agg);
+    without it Spark must first collect the distinct values to the
+    driver (an extra job you never want at 100 TB)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves null where a (user, type) pair never occurred;
+    # the FILTER-based oracle counts those as 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
 # -------------------------------------------------- scale-path extras
 
 

@@ -1,0 +1,59 @@
+"""Source-format generality: the wire JSON path (A1) round-trips
+through files with explicit schemas and observable corrupt records —
+no schema inference anywhere (implicit schemas don't survive 100 TB
+or schema drift)."""
+
+from __future__ import annotations
+
+import json
+
+from eventstream_notify_spark.sources.events import parse_wire_events
+
+
+def test_json_lines_wire_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "wire")
+    lines = [
+        json.dumps({"id": 1, "value": "event-1", "user_id": "u1",
+                    "timestamp": 1704067200.5}),
+        json.dumps({"id": 2, "value": "event-2", "user_id": "u2",
+                    "timestamp": 1704067201.0}),
+        "corrupt {not json",
+        json.dumps({"value": "no-id", "user_id": "u3",
+                    "timestamp": 1704067202.0}),  # null id: B4 path
+    ]
+    (tmp_path / "wire").mkdir()
+    (tmp_path / "wire" / "part-0.txt").write_text("\n".join(lines))
+
+    raw = spark.read.text(path)  # value: string — same shape as Kafka
+    events = parse_wire_events(raw)
+    rows = events.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert {r.event_id for r in good} == {1, 2, None}
+    assert len(corrupt) == 1
+    # event-time preserved to the microsecond through the double field
+    e1 = next(r for r in good if r.event_id == 1)
+    assert e1.ts.microsecond == 500000
+
+
+def test_csv_events_with_explicit_schema(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    (tmp_path / "csv").mkdir()
+    (tmp_path / "csv" / "events.csv").write_text(
+        "event_id,ts,user_id,event_type,value,props\n"
+        '1,2024-01-01T00:00:00.5,7,click,1.5,"{""k"": 3}"\n'
+        "bad-row,nope,x,y,z,w\n"
+    )
+    df = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(p)
+    )
+    rows = df.collect()
+    ok = [r for r in rows if r.event_id is not None]
+    assert len(ok) == 1 and ok[0].user_id == 7 and ok[0].value == 1.5
+    assert len(rows) == 2  # malformed row kept as all-null (observable)
