@@ -77,3 +77,26 @@ def test_sim_search_broadcasts_queries(spark, q):
     df = q["sim_search_cosine"](spark, SF)
     assert_no_cartesian(df)
     assert_contains(df, "Broadcast")
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned layout + a partition-key predicate => the scan
+    prunes partitions (PartitionFilters), reading only matching dirs —
+    the mechanism that turns a 100 TB scan into a 1-day scan."""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    src = table(spark, SF, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    src.write.partitionBy("day").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-15")
+    plan = plan_str(df)
+    assert "PartitionFilters" in plan
+    assert "2024-01-15" in plan
+    # partition values are type-inferred on read (here: date)
+    days = {str(r.day) for r in df.select("day").distinct().collect()}
+    assert days == {"2024-01-15"}
