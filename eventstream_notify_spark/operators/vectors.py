@@ -231,6 +231,82 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_search_ivf_kmeans")  # rows-only: iterative float refinement
+def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #3 — IVF with k-means-refined centroids: start
+    from the deterministic seed centroids and run Lloyd iterations as
+    pure DataFrame ops (assign = broadcast join + argmax window;
+    update = groupBy mean over array positions via posexplode), then
+    probe as in sim_search_ivf. Each iteration is one broadcast join +
+    one aggregation — the standard distributed k-means shape; K stays
+    driver-sized (centroids broadcast), N never leaves the cluster.
+    Rows-only: centroid means are iterative float refinement."""
+    n_iters = 2
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = (
+        e.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        aw = Window.partitionBy("vec_id").orderBy(
+            F.col("cscore").desc(), F.col("cid")
+        )
+        return (
+            points.crossJoin(F.broadcast(centroids))
+            .withColumn("cscore", dot("embedding", "ce") / l2_norm("ce"))
+            .withColumn("__rn", F.row_number().over(aw))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+
+    for _ in range(n_iters):
+        assigned = assign(e, cent)
+        # new centroid = positional mean of member vectors
+        cent = (
+            assigned.select(
+                "cid", F.posexplode("embedding").alias("pos", "x")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("ce")
+            )
+        )
+
+    final = assign(e, cent)
+    q = F.broadcast(
+        final.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cid").alias("qcid"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        final.join(
+            q,
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot("qe", "embedding")
+                / (l2_norm("qe") * l2_norm("embedding")),
+                6,
+            ).alias("score"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------- X7
 
 

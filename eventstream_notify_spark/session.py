@@ -39,6 +39,9 @@ def get_spark(app_name: str = "eventstream-notify-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # spill-aware input sizing: ~128 MB per scan task keeps any
+        # partition comfortably in executor memory at cluster scale
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # --- python exchange is always Arrow ----------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

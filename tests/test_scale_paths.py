@@ -99,3 +99,13 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {orders_t}")
         spark.sql(f"DROP TABLE IF EXISTS {lineitem_t}")
+
+
+def test_kmeans_ivf_shape_and_scores(spark, sf_dir):
+    out = queries()["sim_search_ivf_kmeans"](spark, sf_dir).collect()
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r.query_id, []).append(r.score)
+        assert -1.0 <= r.score <= 1.0
+    assert all(len(v) == 3 for v in per_query.values())
+    assert len(per_query) == 10  # vec_id % 50 == 0 over 500 vectors
