@@ -1,0 +1,256 @@
+"""Classic TPC-H query shapes on the driver's star schema — the
+canonical proof that the relational substrate composes: multi-way
+broadcast+shuffle joins, selective predicates, grouped decimal
+aggregation, top-k. Names follow the TPC-H numbering; semantics are
+adapted to the testdata's columns (no mktsegment on orders etc. —
+stated per query). All decimal-exact, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.registry import register
+
+_ONE = F.lit(1).cast("decimal(3,2)")
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        _ONE - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: segment-filtered customers ⋈ orders ⋈
+    lineitem, revenue per undelivered order, top-10. The customer
+    filter broadcasts; only orders⋈lineitem shuffles; top-k is
+    TakeOrdered with a deterministic tiebreak."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier volume: six-way join (three broadcast dims,
+    one fact-fact shuffle), region-filtered, revenue per nation where
+    supplier and customer share a nation."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: lost revenue per customer from
+    returned lineitems in a quarter-ish window, top-20."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "subquery_exists_agg",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def subquery_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS with a cross-table predicate
+    (lineitem shipped >60 days after its order date), aggregated.
+    Catalyst decorrelates to a left-semi join."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= '1997-01-01'
+          AND o.o_orderdate <  '1997-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           epoch_us(o_orderdate) AS order_us,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+               RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_90d_total
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per customer, trailing-90-day order total —
+    a value-based frame over event time (vs D11's ROWS frame). The
+    frame bound is in epoch micros; decimal sum keeps it exact."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_us")
+        .rangeBetween(-90 * 86_400_000_000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_us",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d_total"),
+    )
+
+
+@register(
+    "lateral_explode",
+    oracle="""
+    SELECT p.p_partkey, t.word, t.pos
+    FROM part p,
+         LATERAL (
+             SELECT UNNEST(string_split(p.p_type, ' ')) AS word,
+                    UNNEST(range(len(string_split(p.p_type, ' ')))) AS pos
+         ) t
+    """,
+)
+def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/table-generating surface: posexplode of a computed
+    array — one input row fans out to one row per element with its
+    ordinal (the LATERAL VIEW of the SQL surface)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_type", " ")).alias("pos", "word"),
+    ).select("p_partkey", "word", F.col("pos").cast("bigint").alias("pos"))

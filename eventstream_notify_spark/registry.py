@@ -55,6 +55,7 @@ def _load_all() -> None:
         relational,
         temporal,
         text,
+        tpch,
         timeseries,
         vectors,
     )
