@@ -120,7 +120,7 @@ def _expr_rules_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-@register("alert_rules_expr", oracle=_expr_rules_oracle())
+@register("alert_rules_expr", oracle=_expr_rules_oracle(), extra=True)
 def alert_rules_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 variant — free-form SQL-predicate rules over events."""
     return apply_expr_rules(table(spark, sf_dir, "events"))

@@ -125,8 +125,14 @@ def events_pipeline(df: DataFrame, window_s: int = DEMO_WINDOW_S) -> DataFrame:
     rate limit. Operator order preserved from the reference consumer
     loop (:332 dedup before :348 rate-limit)."""
     df = filter_valid(df)
+    # Ordering struct includes user_id so the dedup winner is unique even
+    # when duplicate event_ids tie on (ts, value, event_type) — otherwise
+    # the choice is partition-order-dependent and the divergence reaches
+    # the per-user rate limit downstream.
     df = first_per_key(
-        df, ["event_id"], [F.col("ts"), F.col("value"), F.col("event_type")]
+        df,
+        ["event_id"],
+        [F.col("ts"), F.col("value"), F.col("event_type"), F.col("user_id")],
     )
     return rate_limit(df, window_s=window_s)
 
@@ -358,7 +364,7 @@ def filter_valid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped AS (
         SELECT * FROM valid
         QUALIFY row_number() OVER (
-            PARTITION BY event_id ORDER BY ts, value, event_type
+            PARTITION BY event_id ORDER BY ts, value, event_type, user_id
         ) = 1
     ),
     admitted AS (

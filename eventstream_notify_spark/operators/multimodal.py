@@ -78,6 +78,7 @@ def with_media_column(df: DataFrame) -> DataFrame:
 
 @register(
     "mm_decode_stub",
+    extra=True,
     oracle="""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,

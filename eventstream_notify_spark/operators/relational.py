@@ -710,6 +710,7 @@ def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_pivot",
+    extra=True,
     oracle="""
     SELECT user_id,
            COUNT(*) FILTER (WHERE event_type = 'click') AS click,
@@ -745,6 +746,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_salted",
+    extra=True,
     oracle="""
     SELECT e.event_type, COUNT(*) AS cnt,
            CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
@@ -785,7 +787,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_sketches")  # rows-only: sketch internals are engine-specific
+@register("agg_sketches", extra=True)  # rows-only: sketch internals are engine-specific
 def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation posture: sketches instead of exact
     distincts/percentiles — approx_count_distinct (HLL++) and
@@ -793,13 +795,18 @@ def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     they keep partial+final aggregation shape with O(1)-size state
     where COUNT(DISTINCT) needs an extra shuffle of the full key set.
     Rows-only (sketch estimates are engine-specific by design);
-    accuracy vs exact is pinned in tests."""
+    accuracy vs exact is pinned in tests. Quantiles are emitted as
+    scalar q50/q95/q99 columns — one GK sketch per group internally
+    (Catalyst dedups identical percentile_approx children), scalar
+    output so any row canonicalizer can sort/hash the frame (an
+    array<double> column is pandas-unsortable)."""
     e = table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-            "value_quantiles"
-        ),
+        F.element_at(q, 1).alias("q50"),
+        F.element_at(q, 2).alias("q95"),
+        F.element_at(q, 3).alias("q99"),
         F.count("*").alias("cnt"),
     )
 

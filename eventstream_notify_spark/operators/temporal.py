@@ -69,6 +69,7 @@ def asof_join(
 
 @register(
     "join_asof",
+    extra=True,
     oracle="""
     WITH snap AS (
         SELECT user_id,
@@ -124,6 +125,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_hypertable",
+    extra=True,
     oracle="""
     WITH minute AS (
         SELECT (epoch_us(ts) // 60000000) * 60000000 AS bucket_us,
@@ -156,7 +158,15 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour from minute, day from hour — coarse grains reuse fine-grain
     partials (the raw table is scanned exactly once; each cascade step
     aggregates ~60x fewer rows). Decimal sums make the cascade
-    bit-stable in any order."""
+    bit-stable in any order.
+
+    Fine grains are materialized via ``localCheckpoint`` rather than
+    ``persist``: a query builder returns a lazy frame, so it has no
+    hook to unpersist after the caller materializes — persisted plans
+    would accumulate in the session CacheManager forever in a
+    long-lived session (bench/oracle loops run every query on one
+    session). Checkpoint blocks are reference-counted by the
+    ContextCleaner and vanish when the frame is GC'd."""
     e = table(spark, sf_dir, "events")
     minute = e.groupBy(
         (F.expr("unix_micros(ts) div 60000000") * 60_000_000).alias("bucket_us")
@@ -166,7 +176,8 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         # regardless of aggregation order at any level
         F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_dec"),
     )
-    minute = minute.persist()  # scanned by hour AND the final union
+    # scanned by hour AND the final union — materialize once
+    minute = minute.localCheckpoint(eager=True)
 
     def up(df: DataFrame, us: int) -> DataFrame:
         return df.groupBy(
@@ -176,7 +187,7 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_dec").alias("sum_dec"),
         ).select((F.col("b") * us).alias("bucket_us"), "cnt", "sum_dec")
 
-    hour = up(minute, 3_600_000_000).persist()
+    hour = up(minute, 3_600_000_000).localCheckpoint(eager=True)
     day = up(hour, 86_400_000_000)
 
     def tag(df: DataFrame, grain: str) -> DataFrame:

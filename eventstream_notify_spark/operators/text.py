@@ -259,17 +259,25 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash``."""
     d = table(spark, sf_dir, "documents")
     docsets = _token_sets(d)
-    # two scalar profiling aggregates (cheap at any scale: partial
-    # aggregation reduces them map-side)
-    max_sz = docsets.agg(F.max("sz")).first()[0]
-    vocab = doc_tokens(d).select("term").distinct().count()
+    # one scalar profiling action (cheap at any scale: partial
+    # aggregation reduces it map-side) — max set size and vocabulary
+    # size in a single job over the exploded token sets
+    prof = (
+        docsets.select("sz", F.explode_outer("toks").alias("term"))
+        .agg(
+            F.max("sz").alias("max_sz"),
+            F.countDistinct("term").alias("vocab"),
+        )
+        .first()
+    )
+    max_sz, vocab = prof.max_sz or 0, prof.vocab or 0
     delta = int((1 - JACCARD_T) * min(2 * max_sz, vocab))
     if delta <= 1:
         return jaccard_pairs_deletion(docsets, JACCARD_T)
     return jaccard_pairs_prefix(docsets, JACCARD_T)
 
 
-@register("dedup_minhash")  # rows-only: LSH is approximate by design
+@register("dedup_minhash", extra=True)  # rows-only: LSH is approximate by design
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (scale path) — MinHash + banded LSH candidate generation,
     pure DataFrame ops (no spark.ml dependency, no vector UDT):
@@ -334,7 +342,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("doc_a").agg(F.count("*").alias("n_candidates"))
 
 
-@register("dedup_simhash")  # rows-only: bit-mix differs across engines
+@register("dedup_simhash", extra=True)  # rows-only: bit-mix differs across engines
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (variant) — 16-bit SimHash per document, computed entirely
     with built-in expressions: each distinct token votes its xxhash64
@@ -471,6 +479,7 @@ BPE_RE = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
 
 @register(
     "text_token_count",
+    extra=True,
     oracle=f"""
     SELECT doc_id,
            len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
@@ -500,6 +509,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality",
+    extra=True,
     oracle=f"""
     WITH t AS (
         SELECT doc_id, n_chars,
@@ -555,6 +565,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_langid",
+    extra=True,
     oracle=f"""
     WITH t AS (
         SELECT doc_id, lang,
@@ -597,6 +608,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_fingerprint",
+    extra=True,
     oracle=f"""
     WITH t AS (
         SELECT doc_id,

@@ -30,7 +30,7 @@ MIN_OVERLAP = 10  # days both series must share
 DTW_CANDIDATES = 10  # cheap-distance survivors per anchor that get warped
 
 
-@register("ts_similarity_dtw")  # rows-only: DTW is a Python kernel
+@register("ts_similarity_dtw", extra=True)  # rows-only: DTW is a Python kernel
 def ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 (warping variant) — DTW between per-user daily series, with
     the production two-phase shape: the cheap declarative z-norm

@@ -14,12 +14,13 @@ from pyspark.sql import functions as F
 from eventstream_notify_spark.catalog import table
 from eventstream_notify_spark.registry import register
 
-_ONE = F.lit(1).cast("decimal(3,2)")
-
-
 def _rev() -> F.Column:
+    # Built lazily — module-level Column construction would require an
+    # active SparkContext at import time, breaking registry.queries()
+    # when called before SparkSession.builder.getOrCreate().
+    one = F.lit(1).cast("decimal(3,2)")
     return F.col("l_extendedprice").cast("decimal(12,2)") * (
-        _ONE - F.col("l_discount").cast("decimal(3,2)")
+        one - F.col("l_discount").cast("decimal(3,2)")
     )
 
 
@@ -31,6 +32,7 @@ _REV_SQL = (
 
 @register(
     "tpch_q3_shipping_priority",
+    extra=True,
     oracle=f"""
     SELECT o.o_orderkey,
            CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
@@ -75,6 +77,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q5_local_supplier",
+    extra=True,
     oracle=f"""
     SELECT n.n_name,
            CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
@@ -122,6 +125,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q10_returned_items",
+    extra=True,
     oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
            CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
@@ -162,6 +166,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "subquery_exists_agg",
+    extra=True,
     oracle="""
     SELECT o.o_orderpriority, COUNT(*) AS order_count
     FROM orders o
@@ -199,6 +204,7 @@ def subquery_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_range_frame",
+    extra=True,
     oracle="""
     SELECT o_orderkey, o_custkey,
            epoch_us(o_orderdate) AS order_us,
@@ -236,6 +242,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lateral_explode",
+    extra=True,
     oracle="""
     SELECT p.p_partkey, t.word, t.pos
     FROM part p,

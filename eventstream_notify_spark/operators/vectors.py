@@ -92,6 +92,7 @@ def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_search_ivf",
+    extra=True,
     oracle=f"""
     WITH cent AS (
         SELECT vec_id AS cid, embedding AS ce
@@ -177,6 +178,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_buckets",
+    extra=True,
     oracle="""
     WITH sig AS (
         SELECT vec_id,
@@ -231,7 +233,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_search_ivf_kmeans")  # rows-only: iterative float refinement
+@register("sim_search_ivf_kmeans", extra=True)  # rows-only: iterative float refinement
 def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #3 — IVF with k-means-refined centroids: start
     from the deterministic seed centroids and run Lloyd iterations as
@@ -240,8 +242,14 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe as in sim_search_ivf. Each iteration is one broadcast join +
     one aggregation — the standard distributed k-means shape; K stays
     driver-sized (centroids broadcast), N never leaves the cluster.
+    Each iteration's centroid frame is localCheckpoint()ed: K rows of
+    driver-sized data, so the checkpoint is cheap, and it truncates
+    the lineage that would otherwise grow one broadcast-join + two
+    aggregations deeper per iteration (at real iteration counts the
+    plan itself becomes the bottleneck: re-analysis cost and stack
+    depth scale with lineage).
     Rows-only: centroid means are iterative float refinement."""
-    n_iters = 2
+    n_iters = 5
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = (
         e.filter(F.col("vec_id") % CENTROID_MOD == 0)
@@ -276,6 +284,9 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["m"].cast("float"),
                 ).alias("ce")
             )
+            # truncate lineage: K centroid rows, eager, no re-planning
+            # of the whole iteration chain on every downstream use
+            .localCheckpoint(eager=True)
         )
 
     final = assign(e, cent)
@@ -346,6 +357,7 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_near_embedding",
+    extra=True,
     oracle=f"""
     WITH pairs AS (
         SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label,

@@ -26,18 +26,46 @@ from eventstream_notify_spark.catalog import EVENT_SCHEMA, WIRE_EVENT_SCHEMA
 
 
 def parse_wire_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
-    """JSON wire payloads -> typed events, with the corrupt-record
-    path made explicit (the reference silently drops undecodable
-    messages, auto_kafka_redis.py:301; we keep them observable)."""
+    """JSON wire payloads -> the canonical EVENT_SCHEMA, with the
+    corrupt-record path made explicit (the reference silently drops
+    undecodable messages, auto_kafka_redis.py:301; we keep them
+    observable).
+
+    The reference wire format is ``{"id": N, "value": "event-N",
+    "user_id": "userK", "timestamp": epoch_float}``
+    (auto_kafka_redis.py:200-207) — stringly typed. Normalization here
+    makes every source emit identical columns/types, so downstream
+    stateful operators (RATE_OUTPUT_SCHEMA declares user_id long,
+    value double, props string) accept a Kafka stream unchanged:
+
+    - ``user_id``: trailing digits of ``"userK"`` as long;
+    - ``event_type``: the alpha prefix of the payload name ("event");
+    - ``value``: trailing digits of ``"event-N"`` as double;
+    - ``props``: JSON ``{"k": value}`` mirroring the batch table's
+      shape so ``filter_valid``'s ``$.k`` guard passes.
+    """
     parsed = raw.select(
         F.from_json(F.col(value_col).cast("string"), WIRE_EVENT_SCHEMA).alias("e"),
         F.col(value_col).cast("string").alias("_raw"),
     )
+    wire_num = F.regexp_extract(F.col("e.value"), r"(\d+)$", 1)
     return parsed.select(
         F.col("e.id").alias("event_id"),
         F.timestamp_seconds(F.col("e.timestamp")).alias("ts"),
-        F.col("e.user_id").alias("user_id"),
-        F.col("e.value").alias("value"),
+        F.regexp_extract(F.col("e.user_id"), r"(\d+)$", 1)
+        .try_cast("long")
+        .alias("user_id"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col("e.value"), r"^([A-Za-z]+)", 1),
+                F.lit(""),
+            ),
+            F.lit("wire"),
+        ).alias("event_type"),
+        wire_num.try_cast("double").alias("value"),
+        F.to_json(
+            F.struct(wire_num.try_cast("double").alias("k"))
+        ).alias("props"),
         # PERMISSIVE from_json yields an all-null struct on malformed
         # input (never a null struct), so corrupt = every field null
         F.when(

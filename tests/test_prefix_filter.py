@@ -65,3 +65,16 @@ def test_both_strategies_exact(spark, sf_dir):
             for r in strategy(docsets).collect()
         }
         assert got == want, strategy.__name__
+
+
+def test_profiling_is_one_action(spark, sf_dir):
+    """The adaptive strategy choice costs exactly ONE driver-side
+    action (SQL execution): max set size and vocabulary size come from
+    a single fused aggregate (at 100 TB, an extra pass over the token
+    index is real money). AQE may split one action into several Spark
+    jobs, so we count SQL executions, not jobs."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    dedup_near(spark, sf_dir)  # builds the plan => runs profiling only
+    ran = store.executionsCount() - before
+    assert ran == 1, f"profiling ran {ran} SQL executions, want 1"

@@ -34,6 +34,8 @@ def test_json_lines_wire_roundtrip(spark, tmp_path):
     # event-time preserved to the microsecond through the double field
     e1 = next(r for r in good if r.event_id == 1)
     assert e1.ts.microsecond == 500000
+    # stringly-typed wire fields normalized to canonical types
+    assert e1.user_id == 1 and e1.value == 1.0 and e1.event_type == "event"
 
 
 def test_csv_events_with_explicit_schema(spark, tmp_path):

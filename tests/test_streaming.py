@@ -163,8 +163,19 @@ def test_parse_wire_events_corrupt_path(spark):
         ],
         "value string",
     )
-    out = parse_wire_events(raw).collect()
+    parsed = parse_wire_events(raw)
+    # Wire events normalize to the canonical EVENT_SCHEMA types so the
+    # Kafka path plugs into the stateful operators unchanged.
+    from eventstream_notify_spark.catalog import EVENT_SCHEMA
+
+    canon = {f.name: f.dataType for f in EVENT_SCHEMA.fields}
+    got = {f.name: f.dataType for f in parsed.schema.fields
+           if f.name != "_corrupt_record"}
+    assert got == canon
+    out = parsed.collect()
     good = [r for r in out if r.event_id is not None]
     bad = [r for r in out if r.event_id is None]
-    assert len(good) == 1 and good[0].user_id == "u1"
+    assert len(good) == 1
+    assert good[0].user_id == 1 and good[0].value == 1.0
+    assert good[0].event_type == "event" and '"k"' in good[0].props
     assert len(bad) == 1 and bad[0]._corrupt_record == "not json at all"
