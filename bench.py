@@ -33,7 +33,78 @@ HEADLINE = [
 ]
 
 
+def latency_mode(duration_s: float = 20.0, rate: int = 20) -> None:
+    """--latency: produce -> sink latency at the reference's configured
+    producer rate (20 ev/s, auto_kafka_redis.py:51 produce_interval_s
+    0.05), through the REAL streaming pipeline (watermark dedup ->
+    stateful rate limit -> foreachBatch sink). Each event's latency is
+    sink-wall-clock minus its rate-source event time; prints p50/p99.
+    Documents the sub-second parity claim in BASELINE.md (the
+    reference's observed consumer lag is its only latency surface)."""
+    import tempfile
+
+    from eventstream_notify_spark.sources.events import rate_events_stream
+    from eventstream_notify_spark.streaming.pipeline import start_pipeline
+
+    spark = get_spark("bench-latency")
+    spark.sparkContext.setLogLevel("ERROR")
+    # latency-path sizing: state-store instance count == shuffle
+    # partitions, and each instance pays per-batch open/commit. 32 is
+    # the right THROUGHPUT shape; for a 20 ev/s latency probe it's 31
+    # idle RocksDB commits per trigger. The partition count is pinned
+    # per-checkpoint at first start, so this scopes to this run only.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    latencies: list[float] = []
+
+    t_start = time.time()
+
+    def probe_sink(batch_df, epoch_id: int) -> None:
+        now = time.time()
+        for r in batch_df.select("ts").collect():
+            latencies.append((now - t_start, now - r.ts.timestamp()))
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = start_pipeline(
+            rate_events_stream(spark, events_per_second=rate),
+            checkpoint_dir=ckpt,
+            sink=probe_sink,
+            # rate-source users cycle 1..5 instantly; a 60 s window
+            # would admit only ~5*5 events. Small window => steady flow.
+            rate_window_s=1,
+            rate_limit=rate,
+        )
+        try:
+            time.sleep(duration_s)
+        finally:
+            q.stop()
+    def pcts(vals: list[float]) -> dict[str, float | None]:
+        vals = sorted(vals)
+        n = len(vals)
+        p = lambda q: round(vals[min(n - 1, int(q * n))], 3) if n else None  # noqa: E731
+        return {"p50": p(0.5), "p99": p(0.99), "max": p(1.0), "events": n}
+
+    # steady state excludes the first half: JVM/codegen/RocksDB warmup
+    # dominates early triggers and isn't what a long-running pipeline
+    # pays (the reference's own batching adds batch_size/rate = 1.6 s
+    # buffering latency at its configured 20 ev/s / batch=32)
+    all_l = [lat for _, lat in latencies]
+    steady = [lat for t, lat in latencies if t >= duration_s / 2]
+    out = {
+        "metric": "e2e_latency",
+        "value": pcts(steady)["p50"],
+        "unit": "sec",
+        "steady": pcts(steady),
+        "all": pcts(all_l),
+        "rate_ev_s": rate,
+        "duration_s": duration_s,
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--latency" in sys.argv:
+        latency_mode()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")

@@ -54,6 +54,35 @@ WIRE_EVENT_SCHEMA = T.StructType(
 )
 
 
+def tune_session(spark: SparkSession) -> None:
+    """Runtime confs every engine query needs, applied on whatever
+    session the caller built (the driver runs queries in its own
+    VANILLA SparkSession — builder-time confs in session.py never reach
+    it, so anything correctness- or performance-critical must be
+    runtime-settable and set here).
+
+    - nanosAsLong/UTC: correctness (see ``table``).
+    - shuffle partitions 32: a vanilla session defaults to 200 — at
+      local[32]/sf0.1 that's 6x task-scheduling overhead per shuffle,
+      and for STREAMING queries it means 200 RocksDB state-store
+      instances per trigger (state partition count is pinned to
+      shuffle partitions; AQE never coalesces streaming state).
+    - AQE + coalesce/skew: runtime re-planning for batch queries.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date/time rendering must be tz-stable regardless of who built the
+    # session (the DuckDB oracle compares against naive timestamps)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_CPUS", "32").replace("*", "32"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → full pushdown support.
 
@@ -62,10 +91,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     runtime) and convert to microsecond TIMESTAMP — same truncation
     DuckDB applies, keeping the oracle bit-compatible.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # date/time rendering must be tz-stable regardless of who built the
-    # session (the DuckDB oracle compares against naive timestamps)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tune_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

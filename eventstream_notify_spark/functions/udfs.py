@@ -20,19 +20,28 @@ def n_tokens(text: pd.Series) -> pd.Series:
 
 
 def _dtw(a, b) -> float:
-    """Classic O(n·m) dynamic-time-warping distance (abs cost)."""
+    """Classic O(n·m) dynamic-time-warping distance (abs cost),
+    vectorized by anti-diagonal sweep: cells on one anti-diagonal are
+    mutually independent, so the DP runs n+m-1 numpy steps instead of
+    n·m Python iterations. Each cell is still computed as
+    ``d + min(up, left, diag)`` — one addition, one three-way min —
+    so results are bit-identical to the naive double loop."""
     import numpy as np
 
     n, m = len(a), len(b)
-    cost = np.full((n + 1, m + 1), np.inf)
-    cost[0, 0] = 0.0
-    for i in range(1, n + 1):
-        d = np.abs(a[i - 1] - b)
-        for j in range(1, m + 1):
-            cost[i, j] = d[j - 1] + min(
-                cost[i - 1, j], cost[i, j - 1], cost[i - 1, j - 1]
-            )
-    return float(cost[n, m])
+    d = np.abs(np.asarray(a, dtype=float)[:, None] - np.asarray(b, dtype=float)[None, :])
+    cost = np.full((n, m), np.inf)
+    cost[0, 0] = d[0, 0]
+    for k in range(1, n + m - 1):
+        i = np.arange(max(0, k - m + 1), min(n - 1, k) + 1)
+        j = k - i
+        # np.where evaluates both branches; i-1/j-1 may be -1 there,
+        # which indexes a valid (masked-out) cell — never read through
+        up = np.where(i > 0, cost[i - 1, j], np.inf)
+        left = np.where(j > 0, cost[i, j - 1], np.inf)
+        diag = np.where((i > 0) & (j > 0), cost[i - 1, j - 1], np.inf)
+        cost[i, j] = d[i, j] + np.minimum(np.minimum(up, left), diag)
+    return float(cost[n - 1, m - 1])
 
 
 @pandas_udf(DoubleType())

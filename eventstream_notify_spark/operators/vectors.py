@@ -176,6 +176,26 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_dot(j: int, emb: str = "embedding") -> F.Column:
+    """Dot product of a vector column against deterministic integer
+    hyperplane #j ((i*7 + j*13) % 11 - 5) — exact in both engines, so
+    sign-bit signatures built from it are oracle-checkable."""
+    dim_idx = F.sequence(F.lit(1), F.size(emb))
+    return F.aggregate(
+        F.zip_with(
+            F.col(emb),
+            F.transform(dim_idx, lambda i: ((i * 7 + F.lit(j * 13)) % 11 - 5)),
+            lambda x, w: x.cast("double") * w.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _plane_bit(j: int, emb: str = "embedding") -> F.Column:
+    return F.when(_plane_dot(j, emb) > 0, F.lit(1)).otherwise(F.lit(0))
+
+
 @register(
     "ann_lsh_buckets",
     extra=True,
@@ -199,29 +219,13 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #2 — random-hyperplane (SimHash) LSH bucketing:
     8 sign-bits of dot products against deterministic integer
-    hyperplanes ((i*7 + j*13) % 11 - 5 — exact in both engines, hence
-    oracle-checkable). Near-neighbors collide in buckets, turning ANN
+    hyperplanes. Near-neighbors collide in buckets, turning ANN
     candidate generation into an equi-join on the bucket key. Emits
     bucket occupancy (the candidate-set size profile)."""
     e = table(spark, sf_dir, "embeddings")
-    dim_idx = F.sequence(F.lit(1), F.size("embedding"))
-
-    def plane_dot(j: int) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.transform(
-                    dim_idx, lambda i: ((i * 7 + F.lit(j * 13)) % 11 - 5)
-                ),
-                lambda x, w: x.cast("double") * w.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     bucket = sum(
         [
-            F.when(plane_dot(j) > 0, F.lit(2 ** (7 - j))).otherwise(F.lit(0))
+            F.when(_plane_dot(j) > 0, F.lit(2 ** (7 - j))).otherwise(F.lit(0))
             for j in range(8)
         ],
         F.lit(0),
@@ -394,6 +398,62 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("a.nrm") * F.col("b.nrm")),
             6,
         ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nn_vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "dedup_near_embedding_lsh", extra=True
+)  # rows-only: banded-LSH recall is approximate by design
+def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, the 100 TB blocking: candidate pairs must
+    share (label, LSH band bucket), not just the label —
+    ``dedup_near_embedding``'s raw-label blocking is O(n²/L) and dies
+    when label cardinality stays small as n grows. The 8 hyperplane
+    sign-bits (shared with ann_lsh_buckets) split into 4 bands of 2
+    bits; vectors colliding in ANY band are candidates (banding trades
+    a recall bound for block sizes that stay O(n/(L·2^bits)) per key).
+    The join key is the finer (label, band_idx, band_key) triple; the
+    per-vector nearest neighbor is then exact within candidates.
+    Rows-only: approximate recall vs the exact sibling is pinned by
+    tests instead of an oracle."""
+    e = table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
+    bands = F.array(
+        *[(_plane_bit(2 * b) * 2 + _plane_bit(2 * b + 1)) for b in range(4)]
+    )
+    sig = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "nrm",
+        F.posexplode(bands).alias("band_idx", "band_key"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nn_vec_id"),
+            F.col("a.label").alias("label"),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("score"),
+        )
+        # a pair colliding in several bands appears once
+        .dropDuplicates(["vec_id", "nn_vec_id"])
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nn_vec_id"))
     return (

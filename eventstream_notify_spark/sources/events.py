@@ -103,8 +103,12 @@ def kafka_events_stream(
 def file_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded replay of the events table as a stream (test double for
     Kafka — SURVEY §7 'no live Kafka in CI'). Nanos are read as long
-    and converted, same as the batch catalog."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    and converted, same as the batch catalog. tune_session matters
+    doubly here: on a vanilla session, shuffle partitions (200) pin the
+    streaming STATE partition count — 200 RocksDB instances/trigger."""
+    from eventstream_notify_spark.catalog import tune_session
+
+    tune_session(spark)
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"

@@ -12,10 +12,21 @@ state one window after the watermark passes it (bounded state at
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+
+# Python workers import this module while unpickling the stateful
+# kernel; PySpark's state serializer concat of empty frames trips a
+# pandas FutureWarning once per (worker, batch, key-group) — pure noise
+# in any harness log. Scope the filter to that message, not the class.
+warnings.filterwarnings(
+    "ignore",
+    message=".*DataFrame concatenation with empty or all-NA entries.*",
+    category=FutureWarning,
+)
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

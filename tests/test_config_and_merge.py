@@ -1,0 +1,110 @@
+"""Config-file parity (the reference's config.yaml contract) and the
+MERGE-shaped sink seam (Delta/Iceberg swap-in point)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from eventstream_notify_spark.config import DEFAULT_CONFIG, load_config
+from eventstream_notify_spark.streaming.sinks import MergeKeyedStore
+
+
+def test_defaults_match_reference(tmp_path):
+    cfg = load_config(str(tmp_path / "missing.yaml"))  # file absent
+    assert cfg.bootstrap_servers == "127.0.0.1:9092"
+    assert cfg.topic == "test_topic"
+    assert cfg.batch_size == 32
+    assert cfg.dedup_ttl_s == 60
+    assert cfg.rate_limit_count == 5
+    assert cfg.rate_limit_window_s == 60
+    assert cfg.events_per_second == 20.0  # 1 / 0.05 s
+    assert cfg.producer_enabled
+
+
+def test_shallow_merge_and_mapping(tmp_path):
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        "kafka:\n"
+        "  topic: prod_topic\n"
+        "consumer:\n"
+        "  rate_limit_count: 9\n"
+        "  dedup_ttl_s: 120\n"
+    )
+    cfg = load_config(str(p))
+    # overridden keys
+    assert cfg.topic == "prod_topic"
+    assert cfg.rate_limit_count == 9 and cfg.dedup_ttl_s == 120
+    # sibling keys in touched sections survive (reference merge is
+    # section.update, not section replace)
+    assert cfg.bootstrap_servers == "127.0.0.1:9092"
+    assert cfg.batch_size == 32
+    # mapped option dicts
+    assert cfg.kafka_source_options()["subscribe"] == "prod_topic"
+    kw = cfg.pipeline_kwargs()
+    assert kw == {"ttl": "120 seconds", "rate_limit": 9, "rate_window_s": 60}
+    # defaults dict itself is never mutated by a load
+    assert DEFAULT_CONFIG["consumer"]["rate_limit_count"] == 5
+
+
+def test_reference_config_file_loads_verbatim():
+    """The reference repo's own config.yaml is accepted unchanged."""
+    cfg = load_config("/root/reference/config.yaml")
+    assert cfg.topic == "test_topic"
+    assert cfg.bootstrap_servers == "127.0.0.1:9092"
+    assert cfg.rate_limit_count == 5  # untouched sections keep defaults
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(
+        [
+            (eid, dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+             + dt.timedelta(seconds=s), v)
+            for eid, s, v in rows
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+
+
+def test_merge_sink_upsert_and_idempotence(spark, tmp_path):
+    store = MergeKeyedStore(str(tmp_path / "merge_store"))
+    # epoch 0: insert 3 keys
+    store.upsert_batch(_mk_batch(spark, [(1, 0, 1.0), (2, 0, 2.0), (3, 0, 3.0)]), 0)
+    got = {r.event_id: r.value for r in store.current(spark).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    # epoch 1: update key 2, insert key 4; duplicate key 4 in-batch
+    # resolves latest-ts-wins before the merge
+    store.upsert_batch(
+        _mk_batch(spark, [(2, 5, 20.0), (4, 1, 4.0), (4, 6, 40.0)]), 1
+    )
+    got = {r.event_id: r.value for r in store.current(spark).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0, 4: 40.0}
+    # replayed epoch 1 (restart between write and WAL commit) merges
+    # the same batch against the same pre-state: state unchanged
+    store.upsert_batch(
+        _mk_batch(spark, [(2, 5, 20.0), (4, 1, 4.0), (4, 6, 40.0)]), 1
+    )
+    got2 = {r.event_id: r.value for r in store.current(spark).collect()}
+    assert got2 == got
+
+
+def test_merge_sink_paths_share_kv_semantics(spark, tmp_path):
+    """Log-store and merge-store sinks converge to the same KV state —
+    the two implementations of one upsert contract (swap freely)."""
+    from eventstream_notify_spark.streaming.sinks import ParquetKeyedStore
+
+    batches = [
+        [(1, 0, 1.0), (2, 0, 2.0)],
+        [(2, 5, 20.0), (3, 2, 3.0)],
+    ]
+    log_store = ParquetKeyedStore(str(tmp_path / "log"))
+    merge_store = MergeKeyedStore(str(tmp_path / "merge"))
+    for epoch, rows in enumerate(batches):
+        log_store.upsert_batch(_mk_batch(spark, rows), epoch)
+        merge_store.upsert_batch(_mk_batch(spark, rows), epoch)
+    kv_log = {
+        r.event_id: r.value for r in log_store.compacted(spark).collect()
+    }
+    kv_merge = {
+        r.event_id: r.value for r in merge_store.current(spark).collect()
+    }
+    assert kv_log == kv_merge == {1: 1.0, 2: 20.0, 3: 3.0}

@@ -137,8 +137,33 @@ def test_hypertable_rollup_leaves_no_cache(spark, sf_dir):
     materializes its cascade grains via localCheckpoint, which the
     ContextCleaner reclaims, instead of persist, which nobody can
     unpersist on a returned-lazy-frame contract."""
+    spark.catalog.clearCache()  # other tests may cache legitimately
     cm = spark._jsparkSession.sharedState().cacheManager()
-    assert cm.isEmpty(), "cache not empty before test"
     out = queries()["zx_rollup_hypertable"](spark, sf_dir)
     assert out.count() > 0
     assert cm.isEmpty(), "rollup_hypertable leaked cached plans"
+
+
+def test_lsh_embedding_nn_recall(spark, sf_dir):
+    """The (label, band-bucket) blocked near-dup must stay close to the
+    exact label-blocked sibling: every vector keeps a neighbor, and
+    banding's recall loss is bounded (4 bands x 2 bits on this corpus:
+    ~3/4 exact-NN recall, ~7/8 within 0.05 cosine of the true NN).
+    This is the deal banding buys at 100 TB — bounded recall loss for
+    block sizes independent of label cardinality."""
+    exact = {
+        r.vec_id: (r.nn_vec_id, r.score)
+        for r in queries()["zx_dedup_near_embedding"](spark, sf_dir).collect()
+    }
+    lsh = {
+        r.vec_id: (r.nn_vec_id, r.score)
+        for r in queries()["zx_dedup_near_embedding_lsh"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(lsh) == set(exact)  # full coverage: nobody loses all candidates
+    both = set(exact)
+    same_nn = sum(1 for v in both if exact[v][0] == lsh[v][0])
+    close = sum(1 for v in both if lsh[v][1] >= exact[v][1] - 0.05)
+    assert same_nn / len(both) >= 0.65, same_nn
+    assert close / len(both) >= 0.80, close
