@@ -292,6 +292,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unit of work). Emits candidate pairs with their band; verified
     rows-only (hash functions differ across engines)."""
     d = table(spark, sf_dir, "documents")
+    # pre-distinct (doc_id, term): min(hash) is idempotent under
+    # duplicate tokens, but on a small-vocabulary corpus each doc
+    # repeats terms heavily — deduping first makes the 16 seeded
+    # hashes run on |distinct terms| rows, not |token instances|.
+    # (Measured both; deriving the 16 functions from one hash via
+    # universal multiply-add is NOT a valid shortcut here: with a tiny
+    # hash domain the derived minima correlate and band collisions
+    # explode.)
     tok = doc_tokens(d).distinct()
     # 4 bands x 4 rows: P(candidate) = 1-(1-J^4)^4 — steep S-curve
     # around J~0.8; 2-row bands drown high-similarity corpora in
@@ -303,39 +311,79 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for seed in range(n_hashes)
         ]
     )
+    # --- signature-class compression --------------------------------
+    # Docs with IDENTICAL signatures (rampant in near-dup corpora —
+    # that's the point of dedup) collide in every band; generating
+    # their doc-level pairs before dedup is O(k²) rows per hot bucket
+    # (measured 22M pre-distinct rows at sf0.1, hottest bucket 2319
+    # docs). Instead: band/join/dedup at the signature-CLASS level
+    # (2227 classes for those 5000 docs), then expand each class pair
+    # exactly once into doc pairs — the expansion emits each unordered
+    # candidate pair once, so NO wide distinct shuffle ever runs.
+    hcols = [f"h{s}" for s in range(n_hashes)]
+    cls = sig.withColumn("cls", F.xxhash64(*[F.col(c) for c in hcols]))
+    members = cls.groupBy("cls").agg(F.collect_list("doc_id").alias("docs"))
+    class_sig = cls.select("cls", *hcols).distinct()
     bands = [
         F.xxhash64(
             F.lit(b), *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
         ).alias(f"band{b}")
         for b in range(n_hashes // band_rows)
     ]
-    banded = sig.select("doc_id", *bands)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bucket")
-                    )
-                    for b in range(n_hashes // band_rows)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band_no", "bb.bucket")
+    stacked = (
+        class_sig.select("cls", *bands)
+        .select(
+            "cls",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_no"),
+                            F.col(f"band{b}").alias("bucket"),
+                        )
+                        for b in range(n_hashes // band_rows)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("cls", "bb.band_no", "bb.bucket")
+    )
     a, b = stacked.alias("a"), stacked.alias("b")
-    pairs = (
+    cls_pairs = (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.cls") <= F.col("b.cls")),
+        )
+        .select(F.col("a.cls").alias("cls_a"), F.col("b.cls").alias("cls_b"))
+        .distinct()
+    )
+    # expand class pairs -> doc pairs. (A,A) covers within-class dups;
+    # da<db there (and least/greatest for A<B) yields each unordered
+    # pair exactly once. At 100 TB, mega-classes (giant exact-dup
+    # clusters) would cap their member arrays and report the cluster as
+    # a unit instead of expanding it — the class layer is where that
+    # policy hooks in.
+    ma = members.select(F.col("cls").alias("cls_a"), F.col("docs").alias("docs_a"))
+    mb = members.select(F.col("cls").alias("cls_b"), F.col("docs").alias("docs_b"))
+    pairs = (
+        cls_pairs.join(ma, "cls_a")
+        .join(mb, "cls_b")
+        .select(
+            "cls_a",
+            "cls_b",
+            F.explode("docs_a").alias("da"),
+            F.col("docs_b"),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "cls_a", "cls_b", "da", F.explode("docs_b").alias("db")
         )
-        .distinct()
+        .filter((F.col("cls_a") < F.col("cls_b")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
     )
     # emit per-doc candidate degree (bounded output; the raw pair set
     # is the intermediate you'd feed to an exact-Jaccard verifier)

@@ -42,7 +42,16 @@ def ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design."""
     from eventstream_notify_spark.functions.udfs import dtw_distance
 
-    cheap = ts_similarity(spark, sf_dir)
+    # one events scan + daily aggregation feeds BOTH the cheap prune
+    # and the kernel's series (localCheckpoint: ~|users|·|days| rows,
+    # reused by two downstream subtrees that Spark would otherwise
+    # recompute from the raw scan each). Repartition first: AQE
+    # coalesces the small agg output to ~1 partition, and checkpointing
+    # would pin that width onto both downstream subtrees.
+    daily = (
+        _daily(spark, sf_dir).repartition(32).localCheckpoint(eager=True)
+    )
+    cheap = _znorm_pairs(daily)
     w = Window.partitionBy("user_a").orderBy(
         F.col("znorm_dist"), F.col("user_b")
     )
@@ -52,10 +61,6 @@ def ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "user_b", "znorm_dist")
     )
 
-    e = table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
-    ).agg((F.sum("value") / F.count("*")).alias("v"))
     series = (
         daily.groupBy("user_id")
         .agg(F.array_sort(F.collect_list(F.struct("day", "v"))).alias("pts"))
@@ -113,13 +118,19 @@ def ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 — z-normalized Euclidean distance between per-user daily
     event-value series (anchored sample vs all users)."""
+    return _znorm_pairs(_daily(spark, sf_dir))
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily mean value — the shared input of the cheap
+    z-norm distance and the DTW kernel's series."""
     e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
-        )
-        .agg((F.sum("value") / F.count("*")).alias("v"))
-    )
+    return e.groupBy(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg((F.sum("value") / F.count("*")).alias("v"))
+
+
+def _znorm_pairs(daily: DataFrame) -> DataFrame:
     uw = Window.partitionBy("user_id")
     z = daily.select(
         "user_id",

@@ -426,15 +426,15 @@ def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = F.array(
         *[(_plane_bit(2 * b) * 2 + _plane_bit(2 * b + 1)) for b in range(4)]
     )
+    # candidate generation shuffles ONLY (vec_id, label, band) — ids,
+    # never vectors; a pair colliding in several bands dedups while the
+    # rows are still narrow, and only surviving pairs pay the
+    # dim-length cosine fold after re-attaching embeddings
     sig = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        "nrm",
-        F.posexplode(bands).alias("band_idx", "band_key"),
+        "vec_id", "label", F.posexplode(bands).alias("band_idx", "band_key")
     )
     a, b = sig.alias("a"), sig.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
@@ -446,14 +446,22 @@ def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("nn_vec_id"),
             F.col("a.label").alias("label"),
-            F.round(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
-            ).alias("score"),
         )
-        # a pair colliding in several bands appears once
         .dropDuplicates(["vec_id", "nn_vec_id"])
+    )
+    ea = e.select(F.col("vec_id").alias("__aid"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("__bid"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = (
+        cand.join(ea, F.col("vec_id") == F.col("__aid"))
+        .join(eb, F.col("nn_vec_id") == F.col("__bid"))
+        .select(
+            "vec_id",
+            "nn_vec_id",
+            "label",
+            F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias(
+                "score"
+            ),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nn_vec_id"))
     return (
