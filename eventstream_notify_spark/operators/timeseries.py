@@ -42,15 +42,13 @@ def ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design."""
     from eventstream_notify_spark.functions.udfs import dtw_distance
 
-    # one events scan + daily aggregation feeds BOTH the cheap prune
-    # and the kernel's series (localCheckpoint: ~|users|·|days| rows,
-    # reused by two downstream subtrees that Spark would otherwise
-    # recompute from the raw scan each). Repartition first: AQE
-    # coalesces the small agg output to ~1 partition, and checkpointing
-    # would pin that width onto both downstream subtrees.
-    daily = (
-        _daily(spark, sf_dir).repartition(32).localCheckpoint(eager=True)
-    )
+    # The daily aggregation appears in BOTH the cheap prune and the
+    # kernel's series. Measured: letting Catalyst recompute it (two
+    # fused codegen scans) beats materializing it once via
+    # localCheckpoint by ~20% here — the eager job + RDD-scan boundary
+    # costs more than the duplicated in-memory agg. At 100 TB the
+    # trade flips (scan dominance), and this is the line to persist.
+    daily = _daily(spark, sf_dir)
     cheap = _znorm_pairs(daily)
     w = Window.partitionBy("user_a").orderBy(
         F.col("znorm_dist"), F.col("user_b")

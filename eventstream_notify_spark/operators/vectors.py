@@ -272,7 +272,7 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding", "cid")
         )
 
-    for _ in range(n_iters):
+    for it in range(n_iters):
         assigned = assign(e, cent)
         # new centroid = positional mean of member vectors
         cent = (
@@ -288,10 +288,13 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["m"].cast("float"),
                 ).alias("ce")
             )
-            # truncate lineage: K centroid rows, eager, no re-planning
-            # of the whole iteration chain on every downstream use
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage every OTHER iteration (and before the final
+        # probe): plan depth stays bounded at two Lloyd rounds while
+        # paying half the eager materialization jobs — per-iteration
+        # checkpointing made the job count, not the data, the cost
+        if it % 2 == 1 or it == n_iters - 1:
+            cent = cent.localCheckpoint(eager=True)
 
     final = assign(e, cent)
     q = F.broadcast(
