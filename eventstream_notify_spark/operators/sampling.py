@@ -1,0 +1,142 @@
+"""Deterministic sampling operators — the training-data-pipeline
+primitives (corpus subsampling, per-stratum balancing, train/test
+splits) built so the SAME rows come out on every engine and every run.
+
+Randomness here is a pure function of the row key (multiplicative
+hashing with explicit integer arithmetic, no engine RNG, no
+``F.rand()``), which buys three things at 100 TB:
+- reproducible pipelines (re-runs and backfills select identical rows);
+- pushdown-friendly plans (the sample predicate is a scan filter —
+  no shuffle, no sort, no global state);
+- cross-engine oracles (DuckDB computes the identical arithmetic).
+
+All three queries are narrow map-side filters/windows over one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.registry import register
+
+# Knuth's multiplicative constant mod 2^31 keeps doc_id*K inside long
+# range for any plausible id while scrambling low bits well enough for
+# percent-bucket assignment. (This is sampling determinism, not
+# cryptography: the point is an identical, engine-neutral bucket.)
+_MULT = 2654435761
+_BUCKETS = 100
+
+
+def _bucket(col: str) -> F.Column:
+    return F.pmod(F.col(col) * _MULT + 12345, F.lit(_BUCKETS))
+
+
+_BUCKET_SQL = "((({col} * 2654435761 + 12345) % 100) + 100) % 100"
+
+
+# Per-language keep-rates (percent) — the stratified-balancing shape:
+# downweight the dominant stratum, keep the tail.
+_LANG_RATES = {"en": 20, "de": 60, "fr": 60, "es": 60}
+_DEFAULT_RATE = 100
+
+
+@register(
+    "sample_stratified",
+    extra=True,
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_BUCKET_SQL.format(col='doc_id')} <
+          CASE lang
+               WHEN 'en' THEN 20 WHEN 'de' THEN 60
+               WHEN 'fr' THEN 60 WHEN 'es' THEN 60
+               ELSE 100 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: per-language keep-rates applied via
+    a deterministic hash bucket of the key — a pure scan filter (no
+    shuffle), reproducible across runs/engines, and trivially
+    push-down-able. The CASE mirrors per-stratum quotas (downsample
+    the dominant language, keep the tail)."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in _LANG_RATES.items()
+        ],
+        F.lit(_DEFAULT_RATE),
+    )
+    return d.filter(_bucket("doc_id") < rate).select("doc_id", "lang")
+
+
+@register(
+    "sample_reservoir_group",
+    extra=True,
+    oracle=f"""
+    SELECT lang, doc_id, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY {_BUCKET_SQL.format(col='doc_id')}, doc_id
+    ) <= 50
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-group sampling (the distributed 'reservoir'): rank
+    rows inside each group by their hash bucket and keep the first k.
+    Unlike a rate filter this guarantees EXACTLY min(k, |group|) rows
+    per group; the hash order makes the choice deterministic. One
+    shuffle on the group key — the same shape at any scale."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_bucket("doc_id"), F.col("doc_id"))
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 50)
+        .drop("__rn")
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "train_test_split",
+    extra=True,
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT CASE WHEN {_BUCKET_SQL.format(col='doc_id')} < 80
+                    THEN 'train'
+                    WHEN {_BUCKET_SQL.format(col='doc_id')} < 90
+                    THEN 'valid'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test assignment by key hash — membership is
+    a property of the ROW, not of the run: late-arriving data lands in
+    a stable split, and no engine RNG can leak rows across splits
+    between backfills. Emits per-split counts (the assignment itself
+    is the `split` expression, usable as a partition column)."""
+    d = table(spark, sf_dir, "documents")
+    b = _bucket("doc_id")
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

@@ -390,6 +390,99 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("doc_a").agg(F.count("*").alias("n_candidates"))
 
 
+_PAIRS_CTE = f"""
+    tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {JACCARD_T}
+    )
+"""
+
+
+@register(
+    "dedup_cluster",
+    extra=True,
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id AS node, doc_id AS lab FROM documents
+        UNION
+        SELECT e.d AS node, r.lab
+        FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id,
+           CAST(MIN(lab) = node AS INT) AS is_canonical
+    FROM reach
+    GROUP BY node
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS — the step a training pipeline actually
+    needs after pair generation: connected components over the exact
+    Jaccard pair graph, each doc labeled with its component's min
+    doc_id, canonical = the keeper row.
+
+    Spark side: iterative min-label propagation (the standard
+    large-graph CC shape — Hash-to-Min style) as pure DataFrame ops:
+    each round joins labels across edges and takes the min; the sum of
+    labels decreases monotonically, so `sum unchanged` IS convergence
+    — one cheap scalar action per round, labels localCheckpoint-ed so
+    plan depth stays constant. Near-dup components are near-cliques,
+    so rounds-to-converge is small regardless of corpus size.
+
+    Oracle: DuckDB's recursive CTE computes the true min-label closure
+    — an exact cross-engine check of an ITERATIVE graph algorithm."""
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the pair graph once; the loop re-reads it every round
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("s", "d")
+        .localCheckpoint(eager=True)
+    )
+    d = table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    prev_sum = None
+    for _ in range(20):  # safety bound; cliques converge in ~2 rounds
+        prop = edges.join(
+            labels, edges.s == labels.doc_id
+        ).select(F.col("d").alias("doc_id"), "cluster_id")
+        labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).cast("int").alias(
+            "is_canonical"
+        ),
+    )
+
+
 @register("dedup_simhash", extra=True)  # rows-only: bit-mix differs across engines
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (variant) — 16-bit SimHash per document, computed entirely

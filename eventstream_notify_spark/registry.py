@@ -76,6 +76,7 @@ def _load_all() -> None:
         events,
         multimodal,
         relational,
+        sampling,
         temporal,
         text,
         tpch,

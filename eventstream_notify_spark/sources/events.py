@@ -100,6 +100,47 @@ def kafka_events_stream(
     return parse_wire_events(raw)
 
 
+def to_wire(events: DataFrame) -> DataFrame:
+    """Canonical events -> the reference's wire JSON (key, value)
+    columns — the exact inverse of ``parse_wire_events``'s
+    normalization (auto_kafka_redis.py:200-207 payload shape)."""
+    return events.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.format_string("event-%d", F.col("event_id")).alias("value"),
+                F.format_string("user%d", F.col("user_id")).alias("user_id"),
+                (F.unix_micros("ts") / F.lit(1e6)).alias("timestamp"),
+            )
+        ).alias("value"),
+    )
+
+
+def kafka_events_sink(
+    events: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+):
+    """Kafka egress twin of ``kafka_events_stream`` — the reference's
+    producer side (auto_kafka_redis.py:221-229 send + flush) as a
+    Structured Streaming writer: canonical events serialize back to
+    the wire JSON shape, keyed by event_id (per-key ordering within a
+    partition, like the reference's implicit single-partition order).
+    Not exercised in CI (no broker); the serialization (``to_wire``)
+    is the testable part — tests round-trip it through
+    ``parse_wire_events``."""
+    wire = to_wire(events)
+    return (
+        wire.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def file_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded replay of the events table as a stream (test double for
     Kafka — SURVEY §7 'no live Kafka in CI'). Nanos are read as long
@@ -157,7 +198,9 @@ __all__ = [
     "EVENT_SCHEMA",
     "WIRE_EVENT_SCHEMA",
     "parse_wire_events",
+    "to_wire",
     "kafka_events_stream",
+    "kafka_events_sink",
     "file_events_stream",
     "rate_events_stream",
 ]

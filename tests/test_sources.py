@@ -59,3 +59,29 @@ def test_csv_events_with_explicit_schema(spark, tmp_path):
     ok = [r for r in rows if r.event_id is not None]
     assert len(ok) == 1 and ok[0].user_id == 7 and ok[0].value == 1.5
     assert len(rows) == 2  # malformed row kept as all-null (observable)
+
+
+def test_wire_roundtrip_inverse(spark):
+    """to_wire (Kafka egress serialization) is the exact inverse of
+    parse_wire_events' normalization: canonical -> wire JSON ->
+    canonical survives with identical values."""
+    import datetime as dt
+
+    from eventstream_notify_spark.sources.events import (
+        parse_wire_events,
+        to_wire,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (7, dt.datetime(2024, 1, 1, 0, 0, 0, 500000,
+                            tzinfo=dt.timezone.utc), 3),
+            (1_000_001, dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc), 12),
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    back = parse_wire_events(to_wire(events)).collect()
+    got = {(r.event_id, r.user_id, r.ts) for r in back}
+    want = {(r.event_id, r.user_id, r.ts) for r in events.collect()}
+    assert got == want
+    assert all(r._corrupt_record is None for r in back)
