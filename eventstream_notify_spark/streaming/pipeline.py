@@ -245,6 +245,67 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(out)
 
 
+@register(
+    "stream_join_interval",
+    extra=True,
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT)
+               AS min_lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <  c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-series extension — STREAM-STREAM interval join (the hardest
+    Structured Streaming shape): clicks joined to purchases of the
+    same user within the following 30 minutes, both sides watermarked
+    so the join state is bounded (click state can be dropped once the
+    watermark passes click_ts + 30 min — exactly the condition Spark
+    derives from the time-range predicate). Bounded replay ⇒ equals
+    the batch interval join, so it oracle-checks exactly.
+
+    Stream-stream joins emit ONLY in append mode (inner-join rows are
+    final the moment they match, so append is complete here); the
+    per-user rollup runs as a batch aggregation over the materialized
+    join output."""
+    src = file_events_stream(spark, sf_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    pairs = run_bounded(
+        joined.select(
+            "c_user", F.unix_micros("p_ts") - F.unix_micros("c_ts")
+        ).toDF("user_id", "lag_us")
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("lag_us").alias("min_lag_us"),
+    )
+
+
 @register("stream_foreach_sink")  # rows-only: stateful window anchoring
 def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 — the COMPLETE streaming pipeline: file-replayed stream →
