@@ -787,6 +787,106 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_grouping_sets",
+    extra=True,
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind D9's
+    rollup/cube: three grouping shapes in ONE pass over the scan
+    (Catalyst expands to a single Expand + hash aggregate, not three
+    scans). Decimal accumulation keeps every grouping's sum exact."""
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS day,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+        """
+    )
+
+
+@register(
+    "window_distribution",
+    extra=True,
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist()    OVER w AS DOUBLE) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) — the quantile-bucketing shape feeding stratified
+    curriculum sampling. Full tiebreak (price, key) makes every
+    engine's assignment identical."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "unpivot_melt",
+    extra=True,
+    oracle="""
+    WITH w AS (
+        SELECT lang,
+               CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) AS sum_chars,
+               CAST(MAX(n_chars) AS DOUBLE) AS max_chars
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+    UNION ALL
+    SELECT lang, 'sum_chars' AS metric, sum_chars AS value FROM w
+    UNION ALL
+    SELECT lang, 'max_chars' AS metric, max_chars AS value FROM w
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshaping (``DataFrame.unpivot`` — pivot's inverse,
+    pandas 'melt'): per-language metrics fan out to (lang, metric,
+    value) rows. Narrow, shuffle-free after the agg: unpivot is a
+    per-row generator, exactly what feeding a metrics/long-format
+    training table needs."""
+    d = table(spark, sf_dir, "documents")
+    wide = d.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("sum_chars"),
+        F.max("n_chars").cast("double").alias("max_chars"),
+    )
+    return wide.unpivot(
+        ids=["lang"],
+        values=["n_docs", "sum_chars", "max_chars"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 @register("agg_sketches", extra=True)  # rows-only: sketch internals are engine-specific
 def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation posture: sketches instead of exact

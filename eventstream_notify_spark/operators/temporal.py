@@ -203,3 +203,75 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             tag(day, "day")
         )
     )
+
+@register(
+    "gap_fill_locf",
+    extra=True,
+    oracle="""
+    WITH perm AS (
+        SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                     / COUNT(*), 6) AS v
+        FROM events
+        WHERE user_id % 50 = 0
+        GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id, MIN(minute) AS mn, MAX(minute) AS mx
+        FROM perm GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx)) AS minute FROM b
+    ),
+    j AS (
+        SELECT g.user_id, g.minute, p.v
+        FROM grid g LEFT JOIN perm p USING (user_id, minute)
+    )
+    SELECT user_id, minute AS minute_idx,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_locf,
+           CAST(v IS NULL AS INT) AS was_gap
+    FROM j
+    """,
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling with last-observation-carried-
+    forward (the TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape):
+    densify each sampled user's minute series over its own [min, max]
+    span via ``sequence``+``explode`` (no driver loop, no UDF — the
+    grid is generated executor-side), left-join the observed buckets,
+    and carry the last non-null value forward with an
+    ``ignorenulls`` running window. Decimal per-bucket means keep the
+    carried values bit-stable for the oracle."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    perm = e.groupBy(
+        "user_id", F.expr("unix_micros(ts) div 60000000").alias("minute")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+    grid = (
+        perm.groupBy("user_id")
+        .agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("minute"),
+        )
+    )
+    j = grid.join(perm, ["user_id", "minute"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("minute").alias("minute_idx"),
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        F.col("v").isNull().cast("int").alias("was_gap"),
+    )
