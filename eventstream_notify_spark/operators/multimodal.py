@@ -99,3 +99,113 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         fake_decode_batches, DECODED_SCHEMA
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_key", T.LongType()),
+    ]
+)
+
+
+def frame_sample_batches(batches: Iterator) -> Iterator:
+    """mapInPandas kernel with a VARIABLE number of output rows per
+    input row — the frame-sampling shape (one video blob in, k sampled
+    frames out). Stride-2 sampling over the stub's frame count; the
+    frame key is a deterministic function of (bytes, idx) standing in
+    for the decoded frame handle."""
+    import pandas as pd
+
+    for pdf in batches:
+        n = pdf["payload"].str.len().astype("int64")
+        frames = (1 + n % 3).astype("int64")
+        rows = {"doc_id": [], "frame_idx": [], "frame_key": []}
+        for doc_id, nb, nf in zip(pdf["doc_id"], n, frames):
+            for idx in range(0, int(nf), 2):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["frame_key"].append((nb * 31 + idx) % 2_147_483_647)
+        out = pd.DataFrame(rows)
+        out["frame_idx"] = out["frame_idx"].astype("int32")
+        yield out
+
+
+@register(
+    "mm_frame_sample",
+    extra=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, 1 + octet_length(encode(text)) % 3, 2))
+                AS INTEGER) AS frame_idx,
+           (octet_length(encode(text)) * 31
+            + unnest(range(0, 1 + octet_length(encode(text)) % 3, 2)))
+               % 2147483647 AS frame_key
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media blobs: mapInPandas emitting 0..k rows
+    per input blob (the row-expanding generator shape a real
+    video-frame sampler needs — NOT expressible as a scalar UDF).
+    Deterministic stub frames keep it oracle-checkable."""
+    d = table(spark, sf_dir, "documents")
+    media = with_media_column(d)
+    return media.select("doc_id", "payload").mapInPandas(
+        frame_sample_batches, FRAME_SCHEMA
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_std", T.DoubleType()),
+        T.StructField("distinct_bytes", T.IntegerType()),
+    ]
+)
+
+
+def feature_extract_batches(batches: Iterator) -> Iterator:
+    """mapInPandas kernel doing REAL byte-level numeric work on the
+    binary column (numpy over the raw buffer — exactly what a
+    lightweight media featurizer does before the expensive decode):
+    mean/std/cardinality of the byte distribution per blob."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        recs = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            recs.append(
+                (
+                    doc_id,
+                    int(b.size),
+                    round(float(b.mean()), 6) if b.size else None,
+                    round(float(b.std()), 6) if b.size else None,
+                    int(np.unique(b).size),
+                )
+            )
+        yield pd.DataFrame(
+            recs,
+            columns=[
+                "doc_id", "n_bytes", "byte_mean", "byte_std",
+                "distinct_bytes",
+            ],
+        )
+
+
+@register("mm_feature_extract", extra=True)  # rows-only: byte-level numpy kernel
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the binary column — numpy statistics on
+    the raw bytes via Arrow batches. Rows-only (no SQL engine computes
+    byte-buffer statistics); exactness vs a pure-Python reference is
+    pinned in tests."""
+    d = table(spark, sf_dir, "documents")
+    media = with_media_column(d)
+    return media.select("doc_id", "payload").mapInPandas(
+        feature_extract_batches, FEATURE_SCHEMA
+    )

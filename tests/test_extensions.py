@@ -108,3 +108,45 @@ def test_media_metadata_struct(spark):
     assert bytes(row.payload) == b"hello"
     assert row.media_meta.fmt == "fake/raw"
     assert row.media_meta.n_bytes == 5
+
+
+def test_mm_feature_extract_matches_python_reference(spark, sf_dir):
+    """The Arrow byte-featurizer must agree exactly with a pure-Python
+    reference over the same blobs (rows-only op: this test IS its
+    correctness gate)."""
+    import numpy as np
+
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.multimodal import (
+        mm_feature_extract,
+    )
+
+    got = {
+        r.doc_id: (r.n_bytes, r.byte_mean, r.byte_std, r.distinct_bytes)
+        for r in mm_feature_extract(spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs[:100]:
+        b = np.frombuffer(r.text.encode("utf-8"), dtype=np.uint8)
+        want = (
+            int(b.size),
+            round(float(b.mean()), 6),
+            round(float(b.std()), 6),
+            int(np.unique(b).size),
+        )
+        assert got[r.doc_id] == want, (r.doc_id, got[r.doc_id], want)
+
+
+def test_mm_frame_sample_row_expansion(spark, sf_dir):
+    """mapInPandas emits a VARIABLE number of rows per blob: every doc
+    has >=1 sampled frame (frame 0), and 3-frame blobs contribute two
+    (stride 2)."""
+    from eventstream_notify_spark.operators.multimodal import mm_frame_sample
+
+    rows = mm_frame_sample(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(0 in v for v in per_doc.values())
+    assert all(set(v) <= {0, 2} for v in per_doc.values())

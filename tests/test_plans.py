@@ -100,3 +100,69 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     # partition values are type-inferred on read (here: date)
     days = {str(r.day) for r in df.select("day").distinct().collect()}
     assert days == {"2024-01-15"}
+
+
+def test_sampling_is_scan_local(spark, q):
+    """The stratified sample predicate must run as a plain filter over
+    the scan — no shuffle, no window, no RNG stage. (At 100 TB the
+    sample IS the scan; anything else re-reads the corpus.)"""
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    df = q["zx_sample_stratified"](spark, SF)
+    plan = plan_str(df, "simple")
+    assert "Exchange" not in plan, plan
+    assert_whole_stage_codegen(df)
+
+
+def test_gap_fill_has_no_cartesian(spark, q):
+    """Grid densification must come from sequence+explode (generator),
+    never a range cross join."""
+    df = q["zx_gap_fill_locf"](spark, SF)
+    assert_no_cartesian(df)
+    assert_contains(df, "Generate")
+
+
+def test_unpivot_is_expand_only(spark, q):
+    """unpivot lowers to Expand (per-row generation) after the agg —
+    no extra shuffle beyond the grouping itself."""
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    df = q["zx_unpivot_melt"](spark, SF)
+    plan = plan_str(df, "simple")
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # grouping (+AQE read) only
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Scale feature: with runtime row-level filtering on, a selective
+    dim-side predicate injects a Bloom filter into the fact scan —
+    the 100 TB join shape where most fact rows die before the shuffle.
+    (Local data is below the size thresholds, so force them down.)"""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, SF, "lineitem")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = plan_str(joined, "simple")
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
