@@ -52,17 +52,35 @@ def make_rate_limiter(limit: int, window_s: int):
             return
         win_start, admitted = state.get if state.exists else (None, 0)
         for pdf in pdfs:
+            import numpy as np
+
             pdf = pdf.sort_values(["ts", "event_id"])
-            ts_us = pdf["ts"].astype("int64") // 1000
-            keep = []
-            for i, t in enumerate(ts_us):
-                if win_start is None or t >= win_start + window_us:
-                    win_start, admitted = int(t), 0  # window anchors HERE
-                if admitted < limit:
-                    admitted += 1
-                    keep.append(i)
-            if keep:
-                yield pdf.iloc[keep]
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            n = len(ts_us)
+            keep = np.zeros(n, dtype=bool)
+            # windows anchor at their first event and admit the first
+            # `limit` rows before the next anchor — so the scan jumps
+            # window-by-window via searchsorted (iterations = number of
+            # WINDOWS in the batch, not number of rows; the per-row
+            # Python loop this replaces was the pipeline's hot spot)
+            i = 0
+            if win_start is not None:
+                # continue the window left open by the previous batch
+                j = int(np.searchsorted(ts_us, win_start + window_us, "left"))
+                room = limit - admitted
+                if room > 0:
+                    k = min(room, j - i)
+                    keep[i : i + k] = True
+                    admitted += k
+                i = j
+            while i < n:
+                win_start = int(ts_us[i])
+                j = int(np.searchsorted(ts_us, win_start + window_us, "left"))
+                admitted = min(limit, j - i)
+                keep[i : i + admitted] = True
+                i = j
+            if keep.any():
+                yield pdf[keep]
         state.update((win_start, admitted))
         if win_start is not None:
             # evict once the watermark passes the window end
