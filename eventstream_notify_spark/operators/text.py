@@ -201,7 +201,14 @@ def jaccard_pairs_prefix(docsets: DataFrame, t: float = JACCARD_T) -> DataFrame:
         .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
     )
     k = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    prefix = ranked.filter(F.col("pos") <= k).select("doc_id", "term")
+    # materialize the (small) prefix index: the candidate self-join
+    # would otherwise recompute the dfreq-join + two windows once per
+    # side — the index is |docs|·(1-t)·|set| rows, tiny next to that
+    prefix = (
+        ranked.filter(F.col("pos") <= k)
+        .select("doc_id", "term")
+        .localCheckpoint(eager=True)
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -481,6 +488,84 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical"
         ),
     )
+
+
+NGRAM_T = 0.9  # shingle-Jaccard threshold (order-sensitive near-dup)
+
+
+@register(
+    "dedup_ngram",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
+                   AS term
+        FROM toks
+        WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE common * 1.0 / (sa.sz + sb.sz - common) >= {NGRAM_T}
+    """,
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (order-sensitive variant) — near-dup pairs by 3-gram SHINGLE
+    Jaccard. Token-set Jaccard (dedup_near) is order-blind: two docs
+    with the same vocabulary in different order score 1.0; shingling
+    restores word order into the set universe (the n-gram-Jaccard
+    modality of the dedup suite). Shingle sets feed the SAME exact
+    prefix-filtered join machinery as tokens — candidate generation
+    stays an inverted-index equi-join on the rarest shingles, never
+    all-pairs. Oracle = naive all-pairs spec over the same shingles."""
+    d = table(spark, sf_dir, "documents")
+    # Tokenize ONCE per doc before shingling. Writing element_at(
+    # tokens_col(), i) inline looks harmless, but Catalyst substitutes
+    # the regexp_extract_all into EVERY element_at — ~150 regexp
+    # evaluations per document (measured: 10 s of the query's 12 s).
+    # A checkpointed (doc_id, ts) projection pins one evaluation.
+    toked = (
+        d.select("doc_id", tokens_col().alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .localCheckpoint(eager=True)
+    )
+    shingles = toked.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ts", i + 1),
+                    F.element_at("ts", i + 2),
+                    F.element_at("ts", i + 3),
+                ),
+            )
+        ).alias("toks"),
+    )
+    docsets = shingles.select(
+        "doc_id", F.array_sort("toks").alias("toks"), F.size("toks").alias("sz")
+    )
+    # materialize the shingle sets ONCE more: the prefix join reads
+    # them in four subtrees (doc-frequency, ranked index, both verify
+    # sides)
+    docsets = docsets.localCheckpoint(eager=True)
+    return jaccard_pairs_prefix(docsets, NGRAM_T)
 
 
 @register("dedup_simhash", extra=True)  # rows-only: bit-mix differs across engines
