@@ -872,3 +872,120 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return witht.select(
         "doc_id", F.array_min(shingle_hash).alias("fingerprint")
     )
+
+
+@register(
+    "corpus_curation",
+    extra=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, n_chars, toks
+        FROM t
+        WHERE len(toks) >= 20
+          AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3
+          AND n_punct * 1.0 / n_chars < 0.1
+    ),
+    fp AS (
+        SELECT doc_id, lang, n_chars,
+               list_min(list_transform(range(1, len(toks) - 1),
+                   i -> md5(toks[i] || ' ' || toks[i + 1] || ' '
+                            || toks[i + 2]))) AS fingerprint
+        FROM quality
+        WHERE len(toks) >= 3
+    ),
+    canon AS (
+        SELECT * FROM fp
+        QUALIFY row_number() OVER (
+            PARTITION BY fingerprint ORDER BY doc_id
+        ) = 1
+    ),
+    sampled AS (
+        SELECT * FROM canon
+        WHERE (((doc_id * 2654435761 + 12345) % 100) + 100) % 100 <
+              CASE lang
+                   WHEN 'en' THEN 20 WHEN 'de' THEN 60
+                   WHEN 'fr' THEN 60 WHEN 'es' THEN 60
+                   ELSE 100 END
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM sampled
+    GROUP BY lang
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data curation pipeline — the X-series
+    composed the way a real corpus build runs it, in ONE declarative
+    plan (one scan; every stage is a projection/filter/window over the
+    previous one, so Catalyst fuses the gates into the scan):
+
+      1. quality gate  (length / lexical diversity / punctuation
+         density — text_quality's battery as predicates)
+      2. near-dup canonicalization (keep the min doc per min-shingle
+         fingerprint — text_fingerprint as a blocking dedup)
+      3. stratified downsampling (sample_stratified's deterministic
+         per-language hash-bucket rates)
+      4. per-language audit counts (what survived).
+
+    Deterministic end to end, so the whole composition oracle-checks.
+    """
+    from eventstream_notify_spark.operators.sampling import (
+        _DEFAULT_RATE,
+        _LANG_RATES,
+        _bucket,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", "lang", "n_chars", tokens_col().alias("toks"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0)
+        ).alias("n_punct"),
+    )
+    quality = toked.filter(
+        (F.size("toks") >= 20)
+        & (F.size(F.array_distinct("toks")) * 1.0 / F.size("toks") >= 0.3)
+        & (F.col("n_punct") * 1.0 / F.col("n_chars") < 0.1)
+    )
+    fp = quality.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                    )
+                ),
+            )
+        ).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    canon = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in _LANG_RATES.items()
+        ],
+        F.lit(_DEFAULT_RATE),
+    )
+    sampled = canon.filter(_bucket("doc_id") < rate)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
