@@ -122,6 +122,46 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # warm the STREAMING machinery too (micro-batch engine, state
+    # store provider, python state workers) with a one-batch run over
+    # 200 synthetic rows — again touching no benchmark data
+    try:
+        import tempfile
+
+        from pyspark.sql import functions as SF
+
+        from eventstream_notify_spark.streaming.pipeline import run_bounded
+        from eventstream_notify_spark.streaming.state import (
+            rate_limit_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="bench_stream_warmup_")
+        (
+            spark.range(200)
+            .select(
+                SF.col("id").alias("event_id"),
+                SF.timestamp_micros(
+                    SF.lit(1_704_067_200_000_000) + SF.col("id") * 50_000
+                ).alias("ts"),
+                (SF.col("id") % 5).alias("user_id"),
+                SF.lit("warmup").alias("event_type"),
+                SF.col("id").cast("double").alias("value"),
+                SF.lit('{"k": 1}').alias("props"),
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        warm_src = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ).parquet(tmp)
+        ).withWatermark("ts", "60 seconds")
+        run_bounded(
+            rate_limit_stream(warm_src, limit=5, watermark=None)
+        ).count()
+    except Exception:  # noqa: BLE001 — warmup must never fail the bench
+        pass
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
