@@ -1,0 +1,52 @@
+"""Registry/driver-contract invariants — guards for the round-1
+finding that extras displaced SURVEY §2 contract rows out of the
+driver's 50-entry correctness window."""
+
+from __future__ import annotations
+
+from eventstream_notify_spark.registry import EXTRA_PREFIX, lookup, queries
+
+# The 49 SURVEY §2 contract query names, verbatim (§2.A-§2.F).
+CONTRACT = {
+    "scan_events", "sink_keyed_upsert", "sink_pubsub", "scan_kv_all",
+    "replay_last_n", "multi_topic_fanout",
+    "dedup_ttl", "rate_limit_user", "filter_valid", "pipeline_e2e",
+    "event_generator",
+    "agg_total_count", "agg_user_counts", "agg_distinct_users",
+    "agg_rate_per_min",
+    "project_filter", "join_broadcast", "join_shuffle", "join_semi_anti",
+    "join_outer", "join_range", "agg_hash", "agg_distinct",
+    "agg_rollup_cube", "window_rank", "window_analytic", "sort_limit_topk",
+    "set_ops", "scalar_string", "scalar_datetime", "scalar_math",
+    "scalar_json", "scalar_array_map", "subquery_scalar_in", "udf_surface",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_late_data", "stream_foreach_sink",
+    "dedup_exact", "dedup_near", "sim_search_cosine", "text_tokenize_tf",
+    "text_lang_stats", "text_sentiment_lex", "multimodal_cols",
+    "ts_similarity", "alert_rules",
+}
+
+
+def test_every_contract_name_registered_bare():
+    names = set(queries())
+    missing = CONTRACT - names
+    assert not missing, f"contract queries missing/renamed: {missing}"
+
+
+def test_contract_fills_the_driver_window():
+    """The driver verifies the first 50 names in sorted order; every
+    non-contract query must sort AFTER all 49 contract names."""
+    names = sorted(queries())
+    window = names[:50]
+    displaced = CONTRACT - set(window)
+    assert not displaced, f"contract rows outside the window: {displaced}"
+    stray = [n for n in window[: len(CONTRACT)] if n not in CONTRACT]
+    assert not stray, f"non-contract names inside contract slots: {stray}"
+    extras = [n for n in names if n not in CONTRACT]
+    bad = [n for n in extras if not n.startswith(EXTRA_PREFIX)]
+    assert not bad, f"extras lacking the sort-late prefix: {bad}"
+
+
+def test_lookup_is_prefix_agnostic():
+    assert lookup("agg_pivot").name == "zx_agg_pivot"
+    assert lookup("pipeline_e2e").name == "pipeline_e2e"
