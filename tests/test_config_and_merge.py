@@ -108,3 +108,32 @@ def test_merge_sink_paths_share_kv_semantics(spark, tmp_path):
         r.event_id: r.value for r in merge_store.current(spark).collect()
     }
     assert kv_log == kv_merge == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_merge_store_as_streaming_sink(spark, sf_dir, tmp_path):
+    """MergeKeyedStore drops into start_pipeline unchanged — the
+    foreachBatch seam really is sink-implementation-agnostic, and the
+    merged state equals the log-store pipeline's compacted state."""
+    from eventstream_notify_spark.sources.events import file_events_stream
+    from eventstream_notify_spark.streaming.pipeline import start_pipeline
+    from eventstream_notify_spark.streaming.sinks import ParquetKeyedStore
+
+    merge_store = MergeKeyedStore(str(tmp_path / "merge"))
+    log_store = ParquetKeyedStore(str(tmp_path / "log"))
+    for store, ckpt in ((merge_store, "c1"), (log_store, "c2")):
+        q = start_pipeline(
+            file_events_stream(spark, sf_dir),
+            str(tmp_path / ckpt),
+            store.upsert_batch,
+            rate_window_s=86400,
+            available_now=True,
+        )
+        q.awaitTermination()
+    merged = {
+        r.event_id: r.value for r in merge_store.current(spark).collect()
+    }
+    compacted = {
+        r.event_id: r.value for r in log_store.compacted(spark).collect()
+    }
+    assert len(merged) > 0
+    assert merged == compacted
