@@ -105,6 +105,11 @@ def main() -> None:
     if "--latency" in sys.argv:
         latency_mode()
         return
+    # --n K: median-of-K per query. Default 1 (driver budget); medians
+    # tame the ±60% single-shot jitter on sub-second queries.
+    reps = 1
+    if "--n" in sys.argv:
+        reps = max(1, int(sys.argv[sys.argv.index("--n") + 1]))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
@@ -170,25 +175,36 @@ def main() -> None:
     for name in names:
         fn = qs[name]
         # warm the plan (analysis) outside the timer? No — cold, honest.
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception:  # noqa: BLE001
-            timings[name] = -1.0
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            except Exception:  # noqa: BLE001
+                runs.append(-1.0)
+                break
+        good = sorted(r for r in runs if r >= 0)
+        timings[name] = (
+            round(good[len(good) // 2], 2) if good else -1.0
         )
-    )
+    total = round(sum(v for v in timings.values() if v >= 0), 2)
+    # Key order is deliberate and load-bearing: the driver captures a
+    # bounded TAIL of stdout, so the big per-query map goes FIRST and
+    # the small summary keys (headline subset, sf, unit, value, metric)
+    # go LAST — a tail capture that clips the head still retains every
+    # summary number. Compact separators + 2 d.p. keep the whole line
+    # small enough to survive intact anyway.
+    out = {
+        "queries": timings,
+        "headline": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": sf,
+        "unit": "sec",
+        "value": total,
+        "metric": "suite_wall_clock",
+    }
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -45,3 +45,34 @@ def test_dtw_kernel_properties():
     # symmetry
     a, b = np.array([1.0, 3, 5]), np.array([2.0, 4])
     assert _dtw(a, b) == _dtw(b, a)
+    # total on empty input (ADVICE r2): defined, not IndexError
+    assert _dtw(np.array([]), np.array([1.0])) == float("inf")
+    assert _dtw(np.array([1.0]), np.array([])) == float("inf")
+
+
+def test_dtw_batch_matches_scalar():
+    """The slab kernel the pandas UDF runs must be bit-identical to
+    the scalar reference across ragged lengths, chunk boundaries,
+    and degenerate (empty / single-point) series."""
+    import numpy as np
+
+    from eventstream_notify_spark.functions.udfs import (
+        _DTW_CHUNK,
+        _dtw,
+        _dtw_batch,
+    )
+
+    rng = np.random.default_rng(42)
+    pairs = [
+        (rng.normal(size=rng.integers(1, 30)),
+         rng.normal(size=rng.integers(1, 30)))
+        for _ in range(_DTW_CHUNK + 17)  # spans a chunk boundary
+    ]
+    pairs += [
+        (np.array([]), rng.normal(size=4)),
+        (rng.normal(size=4), np.array([])),
+        (np.array([2.0]), np.array([7.0])),
+    ]
+    got = _dtw_batch(pairs)
+    ref = np.array([_dtw(x, y) for x, y in pairs])
+    assert np.array_equal(got, ref)
