@@ -265,7 +265,12 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_prefix_filter.py. Approximate further-scale path:
     ``dedup_minhash``."""
     d = table(spark, sf_dir, "documents")
-    docsets = _token_sets(d)
+    # lazy checkpoint: the profiling action below is the FIRST action
+    # over the token sets, so it materializes them as a side effect —
+    # the strategy join then reuses the materialized sets instead of
+    # re-running the explode/distinct/collect pipeline (which is the
+    # expensive half of this operator)
+    docsets = _token_sets(d).localCheckpoint(eager=False)
     # one scalar profiling action (cheap at any scale: partial
     # aggregation reduces it map-side) — max set size and vocabulary
     # size in a single job over the exploded token sets
@@ -448,35 +453,46 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, canonical = the keeper row.
 
     Spark side: iterative min-label propagation (the standard
-    large-graph CC shape — Hash-to-Min style) as pure DataFrame ops:
-    each round joins labels across edges and takes the min; the sum of
-    labels decreases monotonically, so `sum unchanged` IS convergence
-    — one cheap scalar action per round, labels localCheckpoint-ed so
-    plan depth stays constant. Near-dup components are near-cliques,
-    so rounds-to-converge is small regardless of corpus size.
+    large-graph CC shape — Hash-to-Min style) as pure DataFrame ops.
+    Self-loops are folded into the edge set so one hop is a single
+    join + min-agg with ONE reference to the label frame — plan size
+    stays LINEAR in hops per job (the union formulation references
+    labels twice per hop, i.e. 2^hops subplans, which caps batching).
+    That lets many hops ride in each materialized plan: the wall
+    clock at small per-round data is eager-JOB count, not work, and
+    threshold-chained near-dup graphs have real diameter (~10 here,
+    not the near-clique ~2). Schedule: 10 hops in the first job, then
+    2-hop probe jobs until the label sum is unchanged. The sum is
+    monotone non-increasing per hop, so `sum unchanged across a
+    batch` ⟹ unchanged at every hop in it ⟹ fixpoint — batching
+    keeps the convergence test exact. Each probe is the SAME action
+    that materializes the lazy localCheckpoint (one job, not two);
+    lineage stays bounded.
 
     Oracle: DuckDB's recursive CTE computes the true min-label closure
     — an exact cross-engine check of an ITERATIVE graph algorithm."""
     pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    # materialize the pair graph once; the loop re-reads it every round
+    d = table(spark, sf_dir, "documents")
+    ident = d.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d"))
+    # lazy checkpoint: the first probe action materializes the pair
+    # graph and the first 10 hops in one job instead of two
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("s", "d")
-        .localCheckpoint(eager=True)
+        .union(ident)
+        .localCheckpoint(eager=False)
     )
-    d = table(spark, sf_dir, "documents")
     labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
     prev_sum = None
-    for _ in range(20):  # safety bound; cliques converge in ~2 rounds
-        prop = edges.join(
-            labels, edges.s == labels.doc_id
-        ).select(F.col("d").alias("doc_id"), "cluster_id")
-        labels = (
-            labels.union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
+    for hops in [10] + [2] * 15:  # supports graph diameter <= 40
+        for _hop in range(hops):
+            labels = (
+                edges.join(labels, edges.d == labels.doc_id)
+                .groupBy(F.col("s").alias("node"))
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .withColumnRenamed("node", "doc_id")
+            )
+        labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:
             break

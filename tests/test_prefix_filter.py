@@ -68,13 +68,16 @@ def test_both_strategies_exact(spark, sf_dir):
 
 
 def test_profiling_is_one_action(spark, sf_dir):
-    """The adaptive strategy choice costs exactly ONE driver-side
-    action (SQL execution): max set size and vocabulary size come from
-    a single fused aggregate (at 100 TB, an extra pass over the token
-    index is real money). AQE may split one action into several Spark
-    jobs, so we count SQL executions, not jobs."""
+    """The adaptive strategy choice builds the token sets and profiles
+    them in ONE pass each (at 100 TB, an extra pass over the token
+    index is real money). Exactly two SQL executions are recorded:
+    the localCheckpoint of the token sets (under AQE this runs the
+    build's shuffle stages — the single build pass) and the fused
+    profiling aggregate (max set size + vocabulary in one job) that
+    consumes it. A third execution would mean the token-set pipeline
+    or the profile runs twice."""
     store = spark._jsparkSession.sharedState().statusStore()
     before = store.executionsCount()
     dedup_near(spark, sf_dir)  # builds the plan => runs profiling only
     ran = store.executionsCount() - before
-    assert ran == 1, f"profiling ran {ran} SQL executions, want 1"
+    assert ran == 2, f"strategy choice ran {ran} SQL executions, want 2"
