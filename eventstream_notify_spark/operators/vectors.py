@@ -254,22 +254,35 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth scale with lineage).
     Rows-only: centroid means are iterative float refinement."""
     n_iters = 5
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # point norms are Lloyd-invariant: compute ONCE here and carry the
+    # column through every assignment (they only matter for the final
+    # cosine scores — argmax-per-point is norm-invariant, so assign
+    # divides by the centroid norm alone)
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nrm", l2_norm("embedding"))
+    )
     cent = (
         e.filter(F.col("vec_id") % CENTROID_MOD == 0)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .withColumn("cn", l2_norm("ce"))
     )
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
         aw = Window.partitionBy("vec_id").orderBy(
             F.col("cscore").desc(), F.col("cid")
         )
+        # centroid norm comes precomputed on the K-row broadcast side
+        # (K evaluations per iteration), never per (point, centroid)
+        # pair — the HOF norm loop over a NxK pair frame was the
+        # dominant assign cost
         return (
             points.crossJoin(F.broadcast(centroids))
-            .withColumn("cscore", dot("embedding", "ce") / l2_norm("ce"))
+            .withColumn("cscore", dot("embedding", "ce") / F.col("cn"))
             .withColumn("__rn", F.row_number().over(aw))
             .filter(F.col("__rn") == 1)
-            .select("vec_id", "embedding", "cid")
+            .select("vec_id", "embedding", "nrm", "cid")
         )
 
     for it in range(n_iters):
@@ -288,6 +301,7 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["m"].cast("float"),
                 ).alias("ce")
             )
+            .withColumn("cn", l2_norm("ce"))
         )
         # truncate lineage every OTHER iteration (and before the final
         # probe): plan depth stays bounded at two Lloyd rounds while
@@ -301,6 +315,7 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.filter(F.col("vec_id") % QUERY_MOD == 0).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
             F.col("cid").alias("qcid"),
         )
     )
@@ -314,8 +329,7 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             F.round(
-                dot("qe", "embedding")
-                / (l2_norm("qe") * l2_norm("embedding")),
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("score"),
         )
