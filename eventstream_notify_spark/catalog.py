@@ -73,10 +73,13 @@ def tune_session(spark: SparkSession) -> None:
     # date/time rendering must be tz-stable regardless of who built the
     # session (the DuckDB oracle compares against naive timestamps)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_CPUS", "32").replace("*", "32"),
-    )
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        # non-numeric (e.g. "*", "local[8]") -> the local[32] default;
+        # an invalid conf string would otherwise fail at query time
+        cpus = 32
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -92,13 +92,20 @@ def load_config(path: str | None = "config.yaml") -> EngineConfig:
     file behavior as the reference (FileNotFoundError -> defaults)."""
     overlay: dict[str, Any] = {}
     if path is not None:
+        # open BEFORE importing yaml: when no config file exists, pure
+        # defaults must work even without PyYAML (the reference
+        # degrades to defaults). A present file with no yaml module
+        # still raises ImportError — silently ignoring a real config
+        # would be worse.
         try:
-            import yaml
-
-            with open(path) as f:
-                overlay = yaml.safe_load(f) or {}
+            f = open(path)
         except FileNotFoundError:
             overlay = {}
+        else:
+            with f:
+                import yaml
+
+                overlay = yaml.safe_load(f) or {}
     cfg = _merge(DEFAULT_CONFIG, overlay)
     interval = float(cfg["producer"].get("produce_interval_s", 0.05)) or 0.05
     return EngineConfig(

@@ -102,14 +102,31 @@ def kafka_events_stream(
 
 def to_wire(events: DataFrame) -> DataFrame:
     """Canonical events -> the reference's wire JSON (key, value)
-    columns — the exact inverse of ``parse_wire_events``'s
-    normalization (auto_kafka_redis.py:200-207 payload shape)."""
+    columns (auto_kafka_redis.py:200-207 payload shape).
+
+    The payload name is rebuilt from the REAL canonical columns —
+    ``{event_type}-{value}`` — not from event_id, so what goes over
+    the wire carries the event's actual value. The round trip through
+    ``parse_wire_events`` is lossless exactly for reference-shaped
+    events (alpha ``event_type``, integral ``value`` — the only shape
+    the reference's digit-suffix wire format can carry); non-integral
+    values serialize faithfully (``"event-1.5"``) but re-parse
+    through the reference's trailing-digits rule. Pinned by the
+    round-trip test in tests/test_sources.py."""
+    num = F.when(
+        F.col("value") == F.floor("value"),
+        F.col("value").cast("long").cast("string"),
+    ).otherwise(F.col("value").cast("string"))
     return events.select(
         F.col("event_id").cast("string").alias("key"),
         F.to_json(
             F.struct(
                 F.col("event_id").alias("id"),
-                F.format_string("event-%d", F.col("event_id")).alias("value"),
+                F.concat_ws(
+                    "-",
+                    F.coalesce(F.col("event_type"), F.lit("event")),
+                    num,
+                ).alias("value"),
                 F.format_string("user%d", F.col("user_id")).alias("user_id"),
                 (F.unix_micros("ts") / F.lit(1e6)).alias("timestamp"),
             )

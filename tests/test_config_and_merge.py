@@ -110,6 +110,53 @@ def test_merge_sink_paths_share_kv_semantics(spark, tmp_path):
     assert kv_log == kv_merge == {1: 1.0, 2: 20.0, 3: 3.0}
 
 
+def test_merge_untouched_buckets_not_rewritten(spark, tmp_path):
+    """Bucket pruning: an epoch rewrites ONLY the _bucket partitions
+    its batch touches — every file in an untouched bucket is
+    byte-identical afterwards (the file-pruned copy-on-write contract
+    this store approximates; at 100 TB this is the difference between
+    O(batch) and O(state) per epoch)."""
+    import hashlib
+    from pathlib import Path
+
+    store = MergeKeyedStore(str(tmp_path / "merge_store"))
+    store.upsert_batch(
+        _mk_batch(spark, [(k, 0, float(k)) for k in range(1, 30)]), 0
+    )
+
+    def snapshot():
+        return {
+            str(p): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in Path(store.path).rglob("*")
+            if p.is_file() and not p.name.startswith(("_", "."))
+        }
+
+    before = snapshot()
+    # single-key batch: touches exactly one bucket
+    store.upsert_batch(_mk_batch(spark, [(2, 5, 20.0)]), 1)
+    after = snapshot()
+    bucket_of_2 = spark.sql(
+        f"SELECT pmod(xxhash64(CAST(2 AS BIGINT)), {store.n_buckets})"
+    ).first()[0]
+    touched_dir = f"_bucket={bucket_of_2}"
+    untouched_before = {
+        p: h for p, h in before.items() if touched_dir not in p
+    }
+    assert untouched_before, "fixture must span several buckets"
+    # every untouched-bucket file survives with identical bytes
+    for p, h in untouched_before.items():
+        assert after.get(p) == h, f"untouched bucket file rewritten: {p}"
+    # and the touched bucket really changed
+    assert any(
+        before.get(p) != h for p, h in after.items() if touched_dir in p
+    )
+    # state is still correct
+    got = {r.event_id: r.value for r in store.current(spark).collect()}
+    want = {k: float(k) for k in range(1, 30)}
+    want[2] = 20.0
+    assert got == want
+
+
 def test_merge_store_as_streaming_sink(spark, sf_dir, tmp_path):
     """MergeKeyedStore drops into start_pipeline unchanged — the
     foreachBatch seam really is sink-implementation-agnostic, and the

@@ -62,9 +62,12 @@ def test_csv_events_with_explicit_schema(spark, tmp_path):
 
 
 def test_wire_roundtrip_inverse(spark):
-    """to_wire (Kafka egress serialization) is the exact inverse of
-    parse_wire_events' normalization: canonical -> wire JSON ->
-    canonical survives with identical values."""
+    """to_wire (Kafka egress serialization) inverts parse_wire_events'
+    normalization losslessly for reference-shaped events (alpha
+    event_type, integral value — the only shape the reference's
+    digit-suffix wire format can carry): canonical -> wire JSON ->
+    canonical survives with identical values INCLUDING event_type and
+    value, which really ride the wire (not event_id-derived)."""
     import datetime as dt
 
     from eventstream_notify_spark.sources.events import (
@@ -75,13 +78,18 @@ def test_wire_roundtrip_inverse(spark):
     events = spark.createDataFrame(
         [
             (7, dt.datetime(2024, 1, 1, 0, 0, 0, 500000,
-                            tzinfo=dt.timezone.utc), 3),
-            (1_000_001, dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc), 12),
+                            tzinfo=dt.timezone.utc), 3, "event", 123.0),
+            (1_000_001, dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc),
+             12, "click", 9.0),
         ],
-        "event_id long, ts timestamp, user_id long",
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
     )
     back = parse_wire_events(to_wire(events)).collect()
-    got = {(r.event_id, r.user_id, r.ts) for r in back}
-    want = {(r.event_id, r.user_id, r.ts) for r in events.collect()}
-    assert got == want
+    cols = lambda r: (r.event_id, r.user_id, r.ts, r.event_type, r.value)  # noqa: E731
+    assert {cols(r) for r in back} == {cols(r) for r in events.collect()}
     assert all(r._corrupt_record is None for r in back)
+    # the wire payload carries the REAL value, not an event_id echo
+    wire = to_wire(events).collect()
+    assert any('"value":"event-123"' in r.value for r in wire)
+    assert any('"value":"click-9"' in r.value for r in wire)
