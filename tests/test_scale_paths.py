@@ -145,12 +145,14 @@ def test_hypertable_rollup_leaves_no_cache(spark, sf_dir):
 
 
 def test_lsh_embedding_nn_recall(spark, sf_dir):
-    """The (label, band-bucket) blocked near-dup must stay close to the
-    exact label-blocked sibling: every vector keeps a neighbor, and
-    banding's recall loss is bounded (4 bands x 2 bits on this corpus:
-    ~3/4 exact-NN recall, ~7/8 within 0.05 cosine of the true NN).
-    This is the deal banding buys at 100 TB — bounded recall loss for
-    block sizes independent of label cardinality."""
+    """The (label, band-bucket) blocked near-dup must track the exact
+    label-blocked sibling. With Hamming-1 multiprobe (own bucket ∪
+    both neighbor buckets per 2-bit band), a true NN is missed only
+    when ALL 8 hyperplane sign bits differ — measured residual on this
+    data: 0/500 at sf0.001, 3/500 at sf0.01 — so the recall floor here
+    is far above plain banding's ~3/4. Full coverage (every vector
+    keeps a neighbor) must hold exactly: multiprobe only ADDS
+    candidate pairs."""
     exact = {
         r.vec_id: (r.nn_vec_id, r.score)
         for r in queries()["zx_dedup_near_embedding"](spark, sf_dir).collect()
@@ -165,5 +167,5 @@ def test_lsh_embedding_nn_recall(spark, sf_dir):
     both = set(exact)
     same_nn = sum(1 for v in both if exact[v][0] == lsh[v][0])
     close = sum(1 for v in both if lsh[v][1] >= exact[v][1] - 0.05)
-    assert same_nn / len(both) >= 0.65, same_nn
-    assert close / len(both) >= 0.80, close
+    assert same_nn / len(both) >= 0.99, same_nn
+    assert close / len(both) >= 0.99, close
