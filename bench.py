@@ -127,6 +127,49 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # warm whole-stage-codegen/JIT for the expression shapes the suite
+    # leans on (regexp tokenizer, array HOFs, hashes, windows) — the
+    # first compile of each shape costs ~1-2 s of janino+JIT that
+    # would otherwise land on whichever query uses it first. Tiny
+    # synthetic rows; touches no benchmark data.
+    from pyspark.sql.window import Window as _W
+
+    warm = spark.range(64).select(
+        F.col("id"),
+        F.concat(F.lit("alpha beta gamma "), F.col("id").cast("string")).alias("s"),
+        F.sequence(F.lit(1), F.lit(8)).alias("arr"),
+    )
+    toks = F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("s")), F.lit("[a-z0-9]+"), 0)
+        )
+    )
+    (
+        warm.select(
+            "id",
+            toks.alias("toks"),
+            F.md5(F.col("s")).alias("h1"),
+            F.xxhash64(F.col("s")).alias("h2"),
+            F.aggregate(
+                F.transform(F.col("arr"), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("fold"),
+            F.zip_with(
+                F.col("arr"), F.col("arr"), lambda a, b: a * b
+            ).alias("zw"),
+            F.size(F.array_intersect(F.col("arr"), F.col("arr"))).alias("ai"),
+        )
+        .select("id", "h1", "h2", "fold", "ai", F.explode("toks").alias("t"))
+        .withColumn(
+            "rn", F.row_number().over(_W.partitionBy("t").orderBy("id"))
+        )
+        .groupBy("t")
+        .agg(F.countDistinct("h1").alias("c"), F.max("rn").alias("m"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     # warm the STREAMING machinery too (micro-batch engine, state
     # store provider, python state workers) with a one-batch run over
     # 200 synthetic rows — again touching no benchmark data

@@ -93,12 +93,15 @@ JACCARD_T = 0.95
 
 
 def _token_sets(d: DataFrame) -> DataFrame:
-    """(doc_id, sorted distinct token array, set size)."""
-    tok = doc_tokens(d).distinct()
-    return tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("term")).alias("toks"),
-        F.count("*").alias("sz"),
-    )
+    """(doc_id, sorted distinct token array, set size) — built entirely
+    SCAN-LOCAL (array_distinct + array_sort on the tokenizer's array),
+    zero shuffles. The equivalent explode → distinct → groupBy/
+    collect_list formulation costs two shuffles of every token row and
+    was the expensive half of dedup_near."""
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tokens_col())).alias("toks"),
+    ).withColumn("sz", F.size("toks").cast("long"))
 
 
 def _verify_pairs(cand: DataFrame, docsets: DataFrame, t: float) -> DataFrame:
@@ -130,30 +133,32 @@ def jaccard_pairs_deletion(
       del=del    ⟹ sym-diff = 2 ⟹ |∩| = |A|-1
     so J comes from sizes alone (take the max |∩| when a pair collides
     multiple ways). The whole operator is: explode keys → equi-join on
-    16-byte keys → size arithmetic. Nothing wide ever shuffles."""
+    8-byte keys → size arithmetic. Nothing wide ever shuffles.
+
+    Key construction is algebraic, O(|set|) per doc: the set key is
+    the XOR of per-token xxhash64 values, and each single-deletion key
+    is ``full ⊕ h(token)`` — no re-serialization of the set per
+    deletion (the concat-the-slices formulation is O(|set|²) per doc
+    and its codegen footprint dominated cold runs). Set equality via
+    64-bit XOR equality is a hash proxy exactly like a digest of the
+    serialized set; ~1e5 distinct keys give a ~4e-10 accidental
+    collision probability on deterministic (non-adversarial) data."""
+    tok_hashes = F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+    full_key = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: acc.bitwiseXOR(h),
+    )
     keys = docsets.select(
         "doc_id",
         "sz",
         F.explode(
             F.concat(
-                F.array(
-                    F.struct(
-                        F.md5(F.concat_ws(" ", F.col("toks"))).alias("key"),
-                        F.lit(1).alias("is_full"),
-                    )
-                ),
+                F.array(F.struct(full_key.alias("key"), F.lit(1).alias("is_full"))),
                 F.transform(
-                    F.sequence(F.lit(1), F.col("sz")),
-                    lambda i: F.struct(
-                        F.md5(
-                            F.concat_ws(
-                                " ",
-                                F.concat(
-                                    F.slice(F.col("toks"), F.lit(1), i - 1),
-                                    F.slice(F.col("toks"), i + 1, F.col("sz") - i),
-                                ),
-                            )
-                        ).alias("key"),
+                    tok_hashes,
+                    lambda h: F.struct(
+                        full_key.bitwiseXOR(h).alias("key"),
                         F.lit(0).alias("is_full"),
                     ),
                 ),
