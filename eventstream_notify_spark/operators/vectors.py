@@ -270,18 +270,26 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-        aw = Window.partitionBy("vec_id").orderBy(
-            F.col("cscore").desc(), F.col("cid")
-        )
         # centroid norm comes precomputed on the K-row broadcast side
         # (K evaluations per iteration), never per (point, centroid)
         # pair — the HOF norm loop over a NxK pair frame was the
-        # dominant assign cost
+        # dominant assign cost. The argmax itself is a HASH-AGG
+        # (max_by over (score, -cid) for the score-desc/cid-asc
+        # tie-break), not a sort window: partial aggregation shrinks
+        # the pair frame map-side before the exchange, so only one
+        # candidate row per (partition, vec_id) shuffles.
         return (
             points.crossJoin(F.broadcast(centroids))
             .withColumn("cscore", dot("embedding", "ce") / F.col("cn"))
-            .withColumn("__rn", F.row_number().over(aw))
-            .filter(F.col("__rn") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.first("embedding").alias("embedding"),
+                F.first("nrm").alias("nrm"),
+                F.max_by(
+                    F.col("cid"),
+                    F.struct(F.col("cscore"), (-F.col("cid")).alias("nc")),
+                ).alias("cid"),
+            )
             .select("vec_id", "embedding", "nrm", "cid")
         )
 
@@ -303,11 +311,12 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("cn", l2_norm("ce"))
         )
-        # truncate lineage every OTHER iteration (and before the final
-        # probe): plan depth stays bounded at two Lloyd rounds while
-        # paying half the eager materialization jobs — per-iteration
-        # checkpointing made the job count, not the data, the cost
-        if it % 2 == 1 or it == n_iters - 1:
+        # truncate lineage every THIRD iteration (and before the final
+        # probe): plan depth stays bounded at three Lloyd rounds while
+        # paying two eager materialization jobs for 5 iterations —
+        # per-iteration checkpointing made the job count, not the
+        # data, the cost (measured: {2,4} beats {1,3,4} beats every-1)
+        if it % 3 == 2 or it == n_iters - 1:
             cent = cent.localCheckpoint(eager=True)
 
     final = assign(e, cent)
