@@ -261,3 +261,418 @@ def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split("p_type", " ")).alias("pos", "word"),
     ).select("p_partkey", "word", F.col("pos").cast("bigint").alias("pos"))
+
+# ------------------------------------------------------------------
+# Round-3 widening: the remaining classic TPC-H shapes expressible on
+# this schema (no partsupp, no commit/receipt dates, no comments —
+# adaptations stated per query). Each exercises a distinct Catalyst
+# capability: EXISTS→semi-join (Q4), full scan-local pushdown (Q6),
+# conditional aggregation over a join (Q12), outer-join distribution
+# (Q13), two-sum ratio (Q14), NOT-IN anti-join (Q16), correlated
+# scalar subquery (Q17), disjunctive predicate pushdown (Q19),
+# scalar-subquery threshold + NOT-EXISTS (Q22).
+
+
+@register(
+    "tpch_q4_priority_check",
+    extra=True,
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking (adapted: 'late' = shipped >60 days
+    after order date, as the schema has no commit/receipt dates):
+    orders in 1997Q3 with at least one late line, counted per
+    priority. The EXISTS is a LEFT SEMI join — each order contributes
+    once no matter how many lines are late, and only (orderkey,
+    dates) shuffle."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01")
+        & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    extra=True,
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast-revenue change: a pure scan-side aggregate — every
+    predicate reaches the parquet reader (shipdate range, discount
+    band, quantity cap all show in PushedFilters), no join, no wide
+    shuffle; the sum accumulates in DECIMAL for partition-order
+    independence. The canonical pushdown benchmark."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q12_delay_classes",
+    extra=True,
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                THEN 'LATE'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30
+                THEN 'SLOW' ELSE 'FAST' END AS delay_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-delay classes (adapted: no shipmode column, so the
+    group key is the order→ship delay bucket): join + conditional
+    aggregation — the CASE sums fold into one pass over the joined
+    rows, counting urgent vs non-urgent lines per delay class."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "delay_class",
+            F.when(delay > 90, "LATE").when(delay > 30, "SLOW").otherwise("FAST"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    extra=True,
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution (adapted: the excluded
+    class is urgent orders, as orders carry no comment column): LEFT
+    OUTER join so order-less customers survive with count 0, then a
+    second aggregation over the first — the classic two-level
+    distribution-of-counts shape."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    extra=True,
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           AS promo_revenue,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL}
+                                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo revenue: broadcast part into the month's lineitems,
+    two decimal-exact sums in one pass, ratio taken as a raw IEEE
+    division of the exact sums (bit-identical across engines — never
+    round a quotient)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(12,2)")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(_rev()).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    extra=True,
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier count by part attributes (adapted: lineitem is the
+    part↔supplier link, as the schema has no partsupp; the excluded
+    suppliers are those with negative balances, standing in for the
+    complaints filter): negated predicates + IN-list on the broadcast
+    dimension, NOT IN as a LEFT ANTI join on the (non-null) excluded
+    key set, distinct-count per group."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    extra=True,
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue (adapted: brand filter only —
+    no container column): the correlated scalar subquery (per-part
+    average quantity) decorrelates into an aggregate over the brand's
+    lineitems joined back on partkey. The per-part average runs over
+    lineitems SEMI-JOINED to the brand's parts first — at scale you
+    never aggregate the whole fact table to serve a 1/50 brand slice.
+    Quantities are integer-valued doubles, so their plain sums are
+    exact in both engines and the 0.2·avg threshold is bit-identical;
+    the revenue sum accumulates in DECIMAL."""
+    p = F.broadcast(
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    brand_li = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(per_part),
+            brand_li.l_partkey == per_part.avg_partkey,
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    extra=True,
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue under an OR-of-ANDs predicate: the
+    disjunction mixes columns from both sides, but Catalyst still
+    derives the single-side implications (brand IN the three values,
+    size ≤ 15, quantity ≤ 30) and pushes them below the join — the
+    join input shrinks even though the full predicate can only apply
+    post-join. Part broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+
+    def branch(brand: str, smax: int, qlo: int, qhi: int) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & q.between(qlo, qhi)
+        )
+
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            branch("Brand#12", 5, 1, 11)
+            | branch("Brand#23", 10, 10, 20)
+            | branch("Brand#34", 15, 20, 30)
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_sales_opportunity",
+    extra=True,
+    oracle="""
+    WITH thresh AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS cutoff
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT cutoff FROM thresh)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity (adapted: the group key is the
+    nation name — customer names carry no country code — and the
+    anti-join excludes customers with RECENT orders, since every
+    customer has some order at these scale factors): rich lapsed
+    customers per nation. The scalar threshold (average positive
+    balance) accumulates in DECIMAL so the cutoff is bit-identical
+    across engines before the double comparison; the NOT EXISTS is a
+    LEFT ANTI join; nation broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    cutoff_row = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            ).alias("cutoff")
+        )
+    )
+    # scalar subquery: a 1-row frame cross-joined (broadcast) into the
+    # filter — the Spark twin of `> (SELECT cutoff FROM thresh)`
+    return (
+        c.crossJoin(F.broadcast(cutoff_row))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

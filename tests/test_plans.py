@@ -166,3 +166,37 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q6_all_predicates_reach_scan(spark, q):
+    """Q6 is the canonical pushdown shape: every filter lands in
+    PushedFilters and the scan reads only the four columns used."""
+    df = q["zx_tpch_q6_forecast_revenue"](spark, SF)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+    assert_pushed_filter(df, "l_quantity")
+    assert_read_schema_only(
+        df,
+        "lineitem",
+        {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+    )
+
+
+def test_tpch_q4_exists_is_semi_join(spark, q):
+    assert_contains(q["zx_tpch_q4_priority_check"](spark, SF), "LeftSemi")
+
+
+def test_tpch_anti_join_shapes(spark, q):
+    assert_contains(q["zx_tpch_q16_supplier_cnt"](spark, SF), "LeftAnti")
+    assert_contains(q["zx_tpch_q22_sales_opportunity"](spark, SF), "LeftAnti")
+
+
+def test_tpch_q19_disjunction_derives_pushdown(spark, q):
+    """The OR-of-ANDs mixes both sides' columns, but Catalyst must
+    still derive the single-side implications and push the brand
+    disjunction below the join (In(p_brand,...) in PushedFilters),
+    and the lineitem quantity bound to the fact scan."""
+    df = q["zx_tpch_q19_disjunctive_revenue"](spark, SF)
+    assert_pushed_filter(df, "p_brand")
+    assert_pushed_filter(df, "l_quantity")
+    assert_broadcast_join(df)
