@@ -1010,3 +1010,237 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# ------------------------------------------------- LLM pipeline (r3)
+
+
+def _shingle_rows(d: DataFrame, n: int) -> DataFrame:
+    """(doc_id, term) rows of distinct word n-gram shingles. Tokenize
+    once behind a checkpoint barrier (Catalyst inlines the regexp into
+    every element_at otherwise — see dedup_ngram), then slide an
+    n-window as a transform over positions."""
+    toked = (
+        d.select("doc_id", tokens_col().alias("ts"))
+        .filter(F.size("ts") >= n)
+        .localCheckpoint(eager=True)
+    )
+    return toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - n),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at("ts", i + k + 1) for k in range(n)],
+                    ),
+                )
+            )
+        ).alias("term"),
+    )
+
+
+_SHINGLE5_SQL = """
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ts) - 3),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                        || ts[i+3] || ' ' || ts[i+4])) AS term
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents)
+        WHERE len(ts) >= 5
+    )
+"""
+
+
+@register(
+    "llm_decontaminate",
+    extra=True,
+    oracle=f"""
+    WITH {_SHINGLE5_SQL}
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.term) AS BIGINT) AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+    FROM sh t JOIN sh e ON t.term = e.term
+    WHERE t.doc_id % 10 <> 7 AND e.doc_id % 10 = 7
+    GROUP BY t.doc_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline step that
+    finds train documents sharing verbatim word 5-grams with the held
+    -out eval split (here: doc_id % 10 == 7). Output per contaminated
+    train doc: how many distinct shingles leak and how many eval docs
+    they touch. The overlap is an inverted-index equi-join on the
+    shingle — never a doc×doc comparison; at 100 TB the join key
+    becomes the shingle's 8-byte hash and the eval side (benchmarks
+    are small) broadcasts."""
+    sh = _shingle_rows(table(spark, sf_dir, "documents"), 5)
+    train = sh.filter(F.col("doc_id") % 10 != 7)
+    ev = (
+        sh.filter(F.col("doc_id") % 10 == 7)
+        .select(F.col("doc_id").alias("eval_doc"), "term")
+    )
+    return (
+        train.join(F.broadcast(ev), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    extra=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS start_off
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(FLOOR(start_off / 512.0) AS BIGINT) AS seq_id,
+           start_off % 512 AS seq_offset
+    FROM packed
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign every document a starting slot in a
+    stream of fixed 512-token training sequences (concat-then-chunk
+    packing, the deterministic variant of greedy packing): per lang,
+    docs concatenate in doc_id order; a doc's sequence is where its
+    first token lands. One window cumsum per lang — at scale the
+    partition key is (lang, shard) and sequence ids offset by shard
+    base, keeping the window bounded. 512 is a power of two, so the
+    floor-division is exact in both engines' doubles."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select(
+        "doc_id", "lang", F.size(tokens_col()).cast("bigint").alias("n_tok")
+    )
+    packed = toks.withColumn(
+        "start_off", F.sum("n_tok").over(w).cast("bigint") - F.col("n_tok")
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor(F.col("start_off") / F.lit(512.0)).cast("bigint").alias("seq_id"),
+        (F.col("start_off") % 512).alias("seq_offset"),
+    )
+
+
+@register(
+    "llm_boilerplate_ngrams",
+    extra=True,
+    oracle=f"""
+    WITH {_SHINGLE5_SQL},
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        FROM sh GROUP BY term
+    ),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, doc_freq,
+           doc_freq / (SELECT n_docs FROM total) AS doc_share
+    FROM df
+    ORDER BY doc_freq DESC, term
+    LIMIT 20
+    """,
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining — the most document-frequent word 5-grams
+    (C4-style repeated-span detection feeds on exactly this table).
+    Shingles are distinct per doc, so COUNT(*) per term IS document
+    frequency; top-20 is TakeOrdered with the term as tie-break, and
+    the share is one exactly-rounded IEEE division of exact integers."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar: one count of the dim-sized table
+    df = _shingle_rows(d, 5).groupBy("term").agg(
+        F.count("*").alias("doc_freq")
+    )
+    return (
+        df.select(
+            "term",
+            "doc_freq",
+            (F.col("doc_freq") / F.lit(float(n_docs))).alias("doc_share"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_domain_mix",
+    extra=True,
+    oracle="""
+    WITH toks AS (
+        SELECT lang, source,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    grp AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM grp
+    )
+    SELECT g.lang, g.source, g.n_docs, g.n_tokens,
+           g.n_tokens / (SELECT total_tokens FROM tot) AS actual_share,
+           (SELECT total_tokens FROM tot)
+               / ((SELECT n_groups FROM tot) * 1.0 * g.n_tokens) AS mix_weight
+    FROM grp g
+    """,
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weighting — per (lang, source) token counts,
+    corpus share, and the resampling weight that would equalize the
+    mixture across domains (weight = uniform_share / actual_share).
+    Two narrow aggregations and a broadcast scalar join; the shares
+    are single exactly-rounded divisions of exact integer sums, so
+    they hash-match across engines."""
+    d = table(spark, sf_dir, "documents")
+    grp = (
+        d.select("lang", "source", F.size(tokens_col()).cast("bigint").alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_groups"),
+    )
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total_tokens")).alias("actual_share"),
+        (
+            F.col("total_tokens")
+            / (F.col("n_groups") * F.lit(1.0) * F.col("n_tokens"))
+        ).alias("mix_weight"),
+    )

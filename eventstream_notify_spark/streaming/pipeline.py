@@ -329,3 +329,56 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return store.compacted(spark)
+
+
+@register(
+    "stream_static_enrich",
+    extra=True,
+    oracle="""
+    SELECT (epoch_us(e.ts) // 3600000000) * 3600000000 AS window_start_us,
+           n.n_name,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment — the canonical streaming dimension
+    join: the event stream joins the static customer→nation dimension
+    (broadcast; re-resolvable per micro-batch, which is how slowly
+    changing dims refresh in Structured Streaming) and aggregates
+    value per (hour window, nation). Bounded replay equals the batch
+    join exactly, so it oracle-checks; the value sum accumulates in
+    DECIMAL for partition-order independence."""
+    from eventstream_notify_spark.catalog import table
+
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    src = file_events_stream(spark, sf_dir)
+    agg = (
+        src.join(dim, src.user_id == dim.c_custkey)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("n_name"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_name",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return run_bounded(agg, output_mode="complete")
