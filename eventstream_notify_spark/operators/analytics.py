@@ -1,0 +1,213 @@
+"""Event-analytics operators — sessionization, funnels, retention.
+
+The reference's domain is a user-event stream (auto_kafka_redis.py
+events carry user_id / event_type / ts); these are the standard
+product-analytics questions asked of exactly that shape, each as one
+declarative plan over the ``events`` table.
+
+Scale design: everything partitions by ``user_id`` — per-user windows
+(sessionize), per-user conditional aggregates (funnel), and per-user
+firsts (retention) all shuffle each event AT MOST once on the user
+key, then aggregate; no self-joins of the fact table against itself
+except the funnel's step joins, which join the FULL fact only against
+per-user 1-row step frames. All timestamps are emitted as epoch-µs
+bigints (oracle parity rule)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.registry import register
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+@register(
+    "sessionize_events",
+    extra=True,
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US}
+                         OR LAG(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch formulation: a session breaks
+    after 30 idle minutes. One pass: lag → new-session flag → running
+    sum (the session index) → per-session aggregate. Both windows and
+    the aggregate share the ``user_id`` partitioning, so the whole
+    plan is ONE shuffle of the fact (plan-asserted in tests); ties
+    break on event_id so the flags are deterministic. The streaming
+    twin is ``stream_session`` (session_window)."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = _ev(spark, sf_dir).withColumn(
+        "is_new",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    extra=True,
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    v AS (
+        SELECT user_id, MIN(ts_us) AS view_us
+        FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts_us) AS click_us
+        FROM ev e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts_us > v.view_us
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts_us) AS purchase_us
+        FROM ev e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_us > c.click_us
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+           1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each step's timestamp
+    is the user's first qualifying event STRICTLY AFTER the previous
+    step (the order constraint is what distinguishes a funnel from
+    three independent mins). Each step joins the fact against the
+    previous step's per-user 1-row frame (broadcastable: one row per
+    funnel-entered user), filters, and re-aggregates — the fact is
+    never self-joined. ``stage`` is how far the user got."""
+    ev = _ev(spark, sf_dir)
+
+    def first_after(
+        etype: str, prev: DataFrame, prev_ts: str, out: str
+    ) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts_us")
+        return (
+            e.join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts_us") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("view_us"))
+    )
+    c = first_after("click", v, "view_us", "click_us")
+    p = first_after("purchase", c, "click_us", "purchase_us")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_us",
+            "click_us",
+            "purchase_us",
+            (
+                F.lit(1)
+                + F.col("click_us").isNotNull().cast("int")
+                + F.col("purchase_us").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    extra=True,
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, week FROM ev)
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active a JOIN cohort c ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by first-activity week,
+    counted in every later week they return. Two aggregations over
+    the same user-keyed shuffle plus a broadcast of the per-user
+    cohort frame (one row per user — at 100 TB this is the frame you
+    bucket, not broadcast; the join stays key-local either way)."""
+    # integer DIV, not double division + cast: a double quotient can
+    # round UP across a week boundary (µs offsets are far below ulp at
+    # this magnitude), silently disagreeing with DuckDB's `//`
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {WEEK_US}").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -73,6 +73,7 @@ def _load_all() -> None:
     """Import every operator module so decorators run."""
     from eventstream_notify_spark.operators import (  # noqa: F401
         alerts,
+        analytics,
         events,
         multimodal,
         relational,

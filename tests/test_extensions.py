@@ -150,3 +150,22 @@ def test_mm_frame_sample_row_expansion(spark, sf_dir):
         per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     assert all(0 in v for v in per_doc.values())
     assert all(set(v) <= {0, 2} for v in per_doc.values())
+
+
+def test_batch_and_stream_sessionization_agree(spark, sf_dir):
+    """The batch gap-sessionizer and the streaming session_window
+    (30 min gap both) must carve identical sessions: same count, and
+    identical (user, start, n_events) triples."""
+    from eventstream_notify_spark.registry import queries
+
+    batch = queries()["zx_sessionize_events"](spark, sf_dir)
+    stream = queries()["stream_session"](spark, sf_dir)
+    b = {
+        (r.user_id, r.start_us, r.n_events)
+        for r in batch.collect()
+    }
+    s = {
+        (r.user_id, r.session_start_us, r.n_events)
+        for r in stream.collect()
+    }
+    assert b == s

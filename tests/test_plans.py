@@ -200,3 +200,13 @@ def test_tpch_q19_disjunction_derives_pushdown(spark, q):
     assert_pushed_filter(df, "p_brand")
     assert_pushed_filter(df, "l_quantity")
     assert_broadcast_join(df)
+
+
+def test_sessionize_single_fact_shuffle(spark, q):
+    """Sessionize claims lag-window, cumsum-window, and the session
+    aggregate all reuse ONE user_id shuffle of the fact — the plan
+    must contain exactly one Exchange."""
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    plan = plan_str(q["zx_sessionize_events"](spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1, plan
