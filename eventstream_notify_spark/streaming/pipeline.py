@@ -382,3 +382,89 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(agg, output_mode="complete")
+
+
+@register(
+    "stream_join_interval_outer",
+    extra=True,
+    oracle="""
+    WITH cutoff AS (
+        SELECT LEAST(
+            (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+        ) - 5460000000 AS max_ok
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'
+          AND epoch_us(ts) < (SELECT max_ok FROM cutoff)),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN p.ts IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_matched,
+           CAST(SUM(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched
+    FROM c
+    LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-series extension — stream-stream LEFT OUTER interval join:
+    like ``stream_join_interval`` but clicks with NO purchase inside
+    the 30-minute window also emit (null-padded) once the watermark
+    proves no match can still arrive — THE feature that needs join
+    state with timeout semantics, not just buffering.
+
+    Bounded-replay caveat handled explicitly: an unmatched click is
+    emitted only once the global watermark — the MIN over both
+    branches' (max event time − 1 h) — passes click_ts + 30 min, so
+    the replay tail has UNDEFINED outer results. Both the streaming
+    query and the oracle therefore restrict to clicks older than
+    min(max click, max purchase) − 91 min (1 min of slack over the
+    theoretical 90 covers the engine's ms-truncated watermark). The
+    cutoff filter runs AFTER the join, batch-side: filtering the
+    click stream itself would LOWER its watermark (watermarks track
+    the filtered stream) and stall eviction 90 minutes short of the
+    cutoff — the first draft of this operator had exactly that bug.
+    The cutoff derives from the same table on both sides, so parity
+    is exact; every click before it is provably resolved."""
+    from eventstream_notify_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    max_us = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("m"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+    cutoff_us = max_us - 5_460_000_000  # 91 min
+    src = file_events_stream(spark, sf_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    pairs = run_bounded(
+        joined.select("c_user", "c_ts", "p_ts")
+    ).filter(F.unix_micros("c_ts") < F.lit(cutoff_us))
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.col("p_ts").isNotNull().cast("bigint")).alias("n_matched"),
+        F.sum(F.col("p_ts").isNull().cast("bigint")).alias("n_unmatched"),
+    )
