@@ -676,3 +676,185 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    extra=True,
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: the revenue 'view' aggregates one quarter of
+    lineitem per supplier; the scalar MAX over that view joins back as
+    an equality filter (ties all surface — no LIMIT). The view is
+    computed ONCE behind a lazy localCheckpoint and reused by both the
+    max and the equality side; decimal accumulation makes the
+    equality comparison safe (exact sums — comparing float sums for
+    equality would be the classic cross-engine trap)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q21_waiting_orders",
+    extra=True,
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting (adapted: 'late' =
+    shipped >60 days after order date; finished orders only): the
+    supplier was late on a multi-supplier order where NO OTHER
+    supplier was late — the classic EXISTS + NOT-EXISTS double
+    correlated self-reference. Spark shape: the late set materializes
+    once (lazy checkpoint, three consumers), EXISTS becomes a LEFT
+    SEMI against other-supplier lineitems, NOT EXISTS a LEFT ANTI
+    against other-supplier late rows — both on the orderkey with the
+    supplier inequality in the join condition, so each is one
+    shuffle, no aggregation-based workarounds."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=False)
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    survived = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        survived.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q2_cheapest_supplier",
+    extra=True,
+    oracle="""
+    WITH offer AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(ROUND(l_extendedprice / l_quantity, 6)) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, o.l_suppkey AS s_suppkey,
+           s.s_name, o.unit_cost
+    FROM offer o
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    WHERE p.p_size = 15
+      AND o.unit_cost = (
+          SELECT MIN(o2.unit_cost) FROM offer o2
+          WHERE o2.l_partkey = o.l_partkey
+      )
+    """,
+)
+def tpch_q2_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (adapted: the part↔supplier 'catalog'
+    is derived from observed lineitem unit prices, as the schema has
+    no partsupp): for size-15 parts, the supplier(s) offering the
+    part's minimum unit cost. The correlated MIN decorrelates into a
+    per-part aggregate joined back on the partkey — ties surface as
+    multiple rows, exactly like the reference query. Unit costs are
+    rounded at 6 d.p. BEFORE the min/equality so the compared values
+    are identical across engines (raw IEEE division is bit-identical;
+    the round guards the min-vs-row equality)."""
+    li = table(spark, sf_dir, "lineitem")
+    offer = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+            ).alias("unit_cost")
+        )
+        .localCheckpoint(eager=False)
+    )
+    best = offer.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = table(spark, sf_dir, "supplier")
+    return (
+        offer.join(
+            best,
+            (F.col("l_partkey") == F.col("bp"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "unit_cost",
+        )
+    )

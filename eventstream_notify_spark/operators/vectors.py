@@ -535,3 +535,97 @@ def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling (``_embedding_nn``). Rows-only: recall vs the exact
     sibling is pinned by tests instead of an oracle."""
     return _embedding_nn(spark, sf_dir, banded=True)
+
+
+@register(
+    "embedding_outliers",
+    extra=True,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                   AS eq
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT label, u.i AS pos, u.x
+        FROM q, LATERAL (
+            SELECT UNNEST(eq) AS x,
+                   UNNEST(range(1, len(eq) + 1)) AS i
+        ) u
+    ),
+    cent AS (
+        SELECT label,
+               list(mean ORDER BY pos) AS c
+        FROM (
+            SELECT label, pos,
+                   CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean
+            FROM pos GROUP BY label, pos
+        )
+        GROUP BY label
+    )
+    SELECT vec_id, label, dist
+    FROM (
+        SELECT q.vec_id, q.label,
+               list_sum(list_transform(range(1, len(q.eq) + 1),
+                   i -> (CAST(q.eq[i] AS DOUBLE) / 1000000.0 - cent.c[i])
+                        * (CAST(q.eq[i] AS DOUBLE) / 1000000.0 - cent.c[i])))
+                   AS dist
+        FROM q JOIN cent ON cent.label = q.label
+    )
+    QUALIFY row_number() OVER (
+        PARTITION BY label ORDER BY dist DESC, vec_id
+    ) <= 5
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based data cleaning — per-label centroid distance as
+    an outlier score, top-5 farthest vectors per label (the 'drop the
+    weird embeddings before training' pass). Cross-engine EXACT by
+    construction: embeddings are floor-quantized to 1e-6 (floor is
+    tie-free, unlike round), centroid means are exactly-rounded
+    divisions of exact integer sums, and the squared-distance
+    reduction is an ORDERED sequential fold (zip_with + aggregate ↔
+    list_transform + list_sum) — never a groupBy sum of doubles,
+    whose partition order would break the hash. Scale shape: one
+    posexplode aggregation for centroids (map-side combinable), then
+    a broadcast of the K×dim centroid table back onto the corpus —
+    the corpus shuffles zero times."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
+        ).alias("eq"),
+    )
+    cent = (
+        q.select("label", F.posexplode("eq").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((F.sum("x").cast("double") / F.count("*") / 1e6).alias("mean"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                lambda s: s["mean"],
+            ).alias("c")
+        )
+    )
+    diff = F.zip_with(
+        F.col("eq"),
+        F.col("c"),
+        lambda x, c: (x.cast("double") / 1e6 - c) * (x.cast("double") / 1e6 - c),
+    )
+    scored = q.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.aggregate(diff, F.lit(0.0), lambda a, v: a + v).alias("dist"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
