@@ -211,3 +211,59 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "scd2_user_state",
+    extra=True,
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, state, ts_us, event_id FROM (
+            SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+                   event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ) WHERE state <> prev OR prev IS NULL
+    )
+    SELECT user_id, state,
+           ts_us AS valid_from_us,
+           COALESCE(LEAD(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ), 253402300800000000) AS valid_to_us,
+           CAST(LEAD(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) IS NULL AS INT) AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build — each user's
+    event_type treated as a state machine: collapse consecutive
+    repeats, then close each state's validity interval with the next
+    change's timestamp (LEAD), open-ended rows marked current with
+    the conventional year-9999 sentinel. The canonical
+    change-data-capture → warehouse-dimension derivation, as two
+    windows over ONE user_id shuffle. At 100 TB this runs
+    incrementally per partition-day with the previous day's open rows
+    carried forward; the full-history formulation here is its exact
+    batch spec."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = _ev(spark, sf_dir)
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(
+            (F.col("event_type") != F.col("prev")) | F.col("prev").isNull()
+        )
+        .select("user_id", F.col("event_type").alias("state"), "ts_us", "event_id")
+    )
+    v = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(v)
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(253402300800000000)).alias("valid_to_us"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )

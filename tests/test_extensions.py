@@ -169,3 +169,97 @@ def test_batch_and_stream_sessionization_agree(spark, sf_dir):
         for r in stream.collect()
     }
     assert b == s
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing is concat-then-chunk: per lang, offsets are contiguous
+    (each doc starts where the previous ended), every seq_offset is
+    inside the 512-token budget, and sequence ids never decrease."""
+    from eventstream_notify_spark.registry import queries
+
+    rows = queries()["zx_llm_pack_sequences"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        prev_seq = 0
+        for r in rs:
+            start = r.seq_id * 512 + r.seq_offset
+            assert start == expect_off, (lang, r.doc_id)
+            assert 0 <= r.seq_offset < 512
+            assert r.seq_id >= prev_seq
+            prev_seq = r.seq_id
+            expect_off += r.n_tok
+
+
+def test_funnel_ordering_invariants(spark, sf_dir):
+    """Funnel steps are strictly ordered where present, and `stage`
+    equals 1 + the number of completed downstream steps; a purchase
+    without a click is impossible by construction."""
+    from eventstream_notify_spark.registry import queries
+
+    rows = queries()["zx_funnel_conversion"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.click_us is not None:
+            assert r.click_us > r.view_us
+        if r.purchase_us is not None:
+            assert r.click_us is not None
+            assert r.purchase_us > r.click_us
+        want = 1 + (r.click_us is not None) + (r.purchase_us is not None)
+        assert r.stage == want
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """SCD2 output must be a PARTITION of each user's history:
+    intervals non-overlapping and contiguous (valid_to == next
+    valid_from), exactly one open (is_current) row per user, and
+    adjacent states always differ (consecutive repeats collapsed)."""
+    from eventstream_notify_spark.registry import queries
+
+    rows = queries()["zx_scd2_user_state"](spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.valid_from_us)
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].is_current == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us, uid
+            assert a.state != b.state, uid
+        assert all(r.valid_from_us < r.valid_to_us for r in rs)
+
+
+def test_retention_cohort_zero_offset_is_cohort_size(spark, sf_dir):
+    """Every cohort is 100% 'retained' at offset 0 (the cohort week
+    itself), and offsets are never negative."""
+    from eventstream_notify_spark.registry import queries
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import table
+
+    rows = queries()["zx_retention_cohorts"](spark, sf_dir).collect()
+    assert rows and all(r.week_offset >= 0 for r in rows)
+    week_us = 7 * 86_400 * 1_000_000
+    cohort_sizes = {
+        r.cohort_week: r.n
+        for r in (
+            table(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.expr(f"unix_micros(ts) div {week_us}").alias("week"),
+            )
+            .groupBy("user_id")
+            .agg(F.min("week").alias("cohort_week"))
+            .groupBy("cohort_week")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    zero = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    assert zero == cohort_sizes
