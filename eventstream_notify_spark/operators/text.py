@@ -1244,3 +1244,125 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_groups") * F.lit(1.0) * F.col("n_tokens"))
         ).alias("mix_weight"),
     )
+
+
+# ------------------------------------------------ graph analytics (r3)
+
+_PR_ITERS = 6
+_PR_SCALE = 1_000_000_000_000  # fixed-point 1e12
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank SQL (``_PR_ITERS`` steps): each r{t} CTE is
+    one exact integer step, so the chain is trivially correct and
+    engine-independent (recursive CTEs with per-step aggregation are
+    not portable; unrolling is)."""
+    steps = []
+    for t in range(_PR_ITERS):
+        steps.append(f"""
+    r{t + 1} AS (
+        SELECT v.node,
+               CAST({15 * _PR_SCALE} // 100
+                    + 85 * COALESCE(s.acc, 0) // 100 AS BIGINT) AS r
+        FROM verts v
+        LEFT JOIN (
+            SELECT e.d AS node, CAST(SUM(r{t}.r // deg.deg) AS BIGINT) AS acc
+            FROM edges e
+            JOIN r{t} ON r{t}.node = e.s
+            JOIN deg ON deg.node = e.s
+            GROUP BY e.d
+        ) s ON s.node = v.node
+    )""")
+    return f"""
+    WITH {_PAIRS_CTE},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS node FROM edges),
+    deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY s),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM verts),
+    {",".join(steps)}
+    SELECT node AS doc_id, r AS rank_fp
+    FROM r{_PR_ITERS}
+    """
+
+
+@register("pagerank_dedup_graph", extra=True, oracle=None)
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate pair graph — ranks each doc by
+    how centrally it sits in its duplication cluster (the keeper-
+    selection signal a dedup pipeline uses beyond min-id). Iterative
+    matrix-vector products as join + integer aggregation, 6 fixed
+    iterations, lineage checkpointed every 3rd.
+
+    DETERMINISTIC BY CONSTRUCTION: ranks are fixed-point integers
+    (1e12 scale); each step is contrib = r DIV deg, summed exactly
+    (integer sums commute), then r' = 15%·SCALE + 85%·sum with
+    integer DIV — so the result is bit-identical in any engine,
+    partitioning, or summation order, and the ORACLE (the same 6
+    steps as unrolled SQL CTEs) hash-matches exactly. The vertex set
+    is the pair graph's nodes (every node has deg ≥ 1 — no dangling
+    mass). The floating-point formulation would be impossible to
+    oracle-check: double sums over in-neighbors are partition-order
+    dependent."""
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE checkpointed base frame: degree rides ON the edge rows
+    # (joining a separate degree frame inside every iteration would
+    # add _PR_ITERS joins), and everything else — the rank seed, the
+    # vertex frame — derives from this single materialization. Two
+    # independent checkpoints here would each re-run the dedup_near
+    # pair generation (measured: +6 s).
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
+        "s", "d"
+    )
+    wdeg = Window.partitionBy("s")
+    edges_deg = (
+        edges.withColumn("deg", F.count("*").over(wdeg))
+        .localCheckpoint(eager=False)
+    )
+    verts = edges_deg.select(F.col("s").alias("node")).distinct()
+    r = verts.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for t in range(_PR_ITERS):
+        # the rank frame is node-count-sized (KBs here) — broadcast it
+        # onto the edge rows so an iteration is ONE map-side join plus
+        # one aggregation shuffle of (d, contrib) pairs. At node
+        # counts past broadcast range you flip this to a shuffle join
+        # co-partitioned with edges; the recurrence is unchanged.
+        contrib = (
+            edges_deg.join(F.broadcast(r), edges_deg.s == r.node)
+            .select(F.col("d"), F.expr("r div deg").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("acc"))
+        )
+        r = verts.join(F.broadcast(contrib), verts.node == contrib.d, "left").select(
+            "node",
+            (
+                F.lit(15 * _PR_SCALE).cast("bigint") / F.lit(100)
+            ).cast("bigint").alias("_tele"),
+            F.coalesce(F.col("acc"), F.lit(0)).alias("_acc"),
+        ).select(
+            "node",
+            (
+                F.expr(f"{15 * _PR_SCALE} div 100")
+                + F.expr("85 * _acc div 100")
+            ).alias("r"),
+        )
+        # the rank frame is tiny; an EAGER checkpoint per iteration
+        # keeps each broadcast side a materialized RDD scan instead of
+        # a t-deep nest of broadcast-within-broadcast subplans (the
+        # nesting, not the data, dominated cold wall time)
+        r = r.localCheckpoint(eager=True)
+    return r.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_fp"))
+
+
+# register the generated oracle after definition (it needs _PAIRS_CTE
+# rendered once; @register's oracle= slot takes the string)
+from eventstream_notify_spark import registry as _registry  # noqa: E402
+
+_registry._REGISTRY["zx_pagerank_dedup_graph"] = _registry.Registered(
+    name="zx_pagerank_dedup_graph",
+    fn=pagerank_dedup_graph,
+    oracle=_pagerank_oracle(),
+)
