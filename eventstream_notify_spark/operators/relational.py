@@ -936,3 +936,167 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens("text").alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
     )
+
+
+# ------------------------------------------------ data profiling (r3)
+
+
+@register(
+    "profile_table",
+    extra=True,
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling — per-column row/null/distinct/min/max summary
+    (the first query any pipeline runs against a new table). ONE pass
+    over the fact: all three columns' stats compute in a single
+    aggregate projection and unpivot into the per-column row shape —
+    not one scan per column (min/max/count are exact selections, so
+    cross-engine parity is free; no sums of doubles)."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(f"{c}__rows").alias("n_rows"),
+                    F.col(f"{c}__nonnull").alias("n_nonnull"),
+                    F.col(f"{c}__distinct").alias("n_distinct"),
+                    F.col(f"{c}__min").alias("min_val"),
+                    F.col(f"{c}__max").alias("max_val"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return wide.select(stack.alias("s")).select("s.*")
+
+
+@register(
+    "profile_histogram",
+    extra=True,
+    oracle="""
+    WITH ext AS (
+        SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem
+    )
+    SELECT LEAST(9, CAST(FLOOR((l_extendedprice - (SELECT lo FROM ext))
+               / ((SELECT hi FROM ext) - (SELECT lo FROM ext)) * 10)
+               AS INT)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 buckets) over l_extendedprice — the
+    profiling primitive behind optimizer statistics and data-quality
+    dashboards. Two passes: a scalar min/max, then a scan-local
+    bucket expression + count. Bucket math is pure double arithmetic
+    from exact min/max selections — identical across engines (the
+    only division is by the range, applied identically); the top edge
+    folds into bucket 9 via LEAST."""
+    li = table(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    return (
+        li.crossJoin(F.broadcast(ext))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("int"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "anomaly_mad",
+    extra=True,
+    oracle="""
+    WITH med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.event_id, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON m.user_id = e.user_id
+    ),
+    mad AS (
+        SELECT user_id, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.value,
+           d.med AS median_value, m.mad
+    FROM dev d JOIN mad m ON m.user_id = d.user_id
+    WHERE d.adev > 3 * m.mad AND m.mad > 0
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly detection — median absolute deviation:
+    flag events whose |value − median| exceeds 3×MAD (the outlier
+    rule that, unlike z-scores, survives the outliers it hunts).
+    Two median passes over the same user_id shuffle. Medians are
+    order-insensitive (interpolation over the SORTED values), so
+    exact cross-engine parity holds where double sums would break;
+    Spark's percentile() and DuckDB's quantile_cont share the
+    (n−1)·p linear-interpolation definition."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("user_id").alias("mu")).agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), dev.user_id == F.col("mu"))
+        .filter((F.col("adev") > 3 * F.col("mad")) & (F.col("mad") > 0))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("med").alias("median_value"),
+            "mad",
+        )
+    )
