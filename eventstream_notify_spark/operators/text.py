@@ -1170,15 +1170,18 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency; top-20 is TakeOrdered with the term as tie-break, and
     the share is one exactly-rounded IEEE division of exact integers."""
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()  # driver scalar: one count of the dim-sized table
+    total = d.agg(F.count("*").cast("double").alias("n_docs"))
     df = _shingle_rows(d, 5).groupBy("term").agg(
         F.count("*").alias("doc_freq")
     )
+    # the corpus size rides in as a broadcast 1-row frame — no driver
+    # action anywhere in the operator path
     return (
-        df.select(
+        df.crossJoin(F.broadcast(total))
+        .select(
             "term",
             "doc_freq",
-            (F.col("doc_freq") / F.lit(float(n_docs))).alias("doc_share"),
+            (F.col("doc_freq") / F.col("n_docs")).alias("doc_share"),
         )
         .orderBy(F.col("doc_freq").desc(), "term")
         .limit(20)

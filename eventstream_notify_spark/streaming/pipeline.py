@@ -434,14 +434,14 @@ def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstream_notify_spark.catalog import table
 
     ev = table(spark, sf_dir, "events")
-    max_us = (
+    # the cutoff rides in as a broadcast 1-row frame on the BATCH side
+    # of the result — no driver action in the operator path
+    cutoff = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")
         .agg(F.max(F.unix_micros("ts")).alias("m"))
-        .agg(F.min("m"))
-        .first()[0]
+        .agg((F.min("m") - F.lit(5_460_000_000)).alias("cutoff_us"))  # 91 min
     )
-    cutoff_us = max_us - 5_460_000_000  # 91 min
     src = file_events_stream(spark, sf_dir)
     clicks = (
         src.filter(F.col("event_type") == "click")
@@ -460,9 +460,11 @@ def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left_outer",
     )
-    pairs = run_bounded(
-        joined.select("c_user", "c_ts", "p_ts")
-    ).filter(F.unix_micros("c_ts") < F.lit(cutoff_us))
+    pairs = (
+        run_bounded(joined.select("c_user", "c_ts", "p_ts"))
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.unix_micros("c_ts") < F.col("cutoff_us"))
+    )
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count("*").alias("n_clicks"),
         F.sum(F.col("p_ts").isNotNull().cast("bigint")).alias("n_matched"),
