@@ -1369,3 +1369,108 @@ _registry._REGISTRY["zx_pagerank_dedup_graph"] = _registry.Registered(
     fn=pagerank_dedup_graph,
     oracle=_pagerank_oracle(),
 )
+
+
+@register(
+    "dedup_incremental",
+    extra=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS toks
+        FROM documents
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS sz FROM tok),
+    newb AS (SELECT * FROM sized WHERE doc_id % 5 = 4),
+    corpus AS (SELECT * FROM sized WHERE doc_id % 5 <> 4),
+    pairs AS (
+        SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+               len(list_intersect(n.toks, c.toks)) AS common,
+               n.sz AS nsz, c.sz AS csz
+        FROM newb n JOIN corpus c
+          ON len(list_intersect(n.toks, c.toks)) * 1.0
+             / (n.sz + c.sz - len(list_intersect(n.toks, c.toks)))
+             >= {JACCARD_T}
+    )
+    SELECT new_doc,
+           MIN(corpus_doc) AS dup_of,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM pairs
+    GROUP BY new_doc
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup — the PRODUCTION dedup shape: a new
+    batch (doc_id % 5 == 4 stands in for today's crawl) is checked
+    against the existing corpus index, never corpus×corpus. Each new
+    doc reports its lowest-id corpus duplicate and match count.
+
+    The deletion-neighborhood index is ASYMMETRIC: corpus keys are
+    built once (at 100 TB they LIVE as a bucketed table keyed by the
+    8-byte set-hash; here rebuilt per run), the new batch explodes
+    its keys and equi-joins in. Candidate volume is O(|new| ·
+    collisions), independent of corpus size — re-running the full
+    corpus self-join for every increment is exactly what this shape
+    avoids. The oracle is the naive new×corpus spec."""
+    d = table(spark, sf_dir, "documents")
+    docsets = _token_sets(d).localCheckpoint(eager=False)
+    newb = docsets.filter(F.col("doc_id") % 5 == 4)
+    corpus = docsets.filter(F.col("doc_id") % 5 != 4)
+    pairs = _deletion_join_asym(newb, corpus, JACCARD_T)
+    return pairs.groupBy(F.col("doc_a").alias("new_doc")).agg(
+        F.min("doc_b").alias("dup_of"),
+        F.count("*").alias("n_matches"),
+    )
+
+
+def _deletion_join_asym(
+    left: DataFrame, right: DataFrame, t: float
+) -> DataFrame:
+    """Deletion-neighborhood join between two DISTINCT frames (the
+    incremental variant of ``jaccard_pairs_deletion``): same XOR key
+    algebra, but sides are a (small) probe frame and a (large) index
+    frame, and every (left, right) pair emits regardless of id order.
+    Exact under the same sym-diff ≤ 1 bound."""
+
+    def keyed(df: DataFrame) -> DataFrame:
+        tok_hashes = F.transform(F.col("toks"), lambda tk: F.xxhash64(tk))
+        full_key = F.aggregate(
+            tok_hashes, F.lit(0).cast("long"), lambda a, h: a.bitwiseXOR(h)
+        )
+        return df.select(
+            "doc_id",
+            "sz",
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(full_key.alias("key"), F.lit(1).alias("is_full"))
+                    ),
+                    F.transform(
+                        tok_hashes,
+                        lambda h: F.struct(
+                            full_key.bitwiseXOR(h).alias("key"),
+                            F.lit(0).alias("is_full"),
+                        ),
+                    ),
+                )
+            ).alias("k"),
+        ).select("doc_id", "sz", "k.key", "k.is_full")
+
+    a, b = keyed(left).alias("a"), keyed(right).alias("b")
+    common = F.when(
+        (F.col("a.is_full") == 1) | (F.col("b.is_full") == 1),
+        F.least("a.sz", "b.sz"),
+    ).otherwise(F.col("a.sz") - 1)
+    pairs = (
+        a.join(b, F.col("a.key") == F.col("b.key"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(F.max(common).alias("common"))
+    )
+    jac = F.col("common") * 1.0 / (F.col("sza") + F.col("szb") - F.col("common"))
+    return pairs.filter(jac >= t).select("doc_a", "doc_b")
