@@ -470,3 +470,70 @@ def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p_ts").isNotNull().cast("bigint")).alias("n_matched"),
         F.sum(F.col("p_ts").isNull().cast("bigint")).alias("n_unmatched"),
     )
+
+
+@register(
+    "stream_session_dynamic",
+    extra=True,
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'purchase' THEN 3600000000
+                    ELSE 1800000000 END AS gap_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts_us, gap_us,
+               CASE WHEN MAX(ts_us + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) > ts_us THEN 0 ELSE 1 END AS is_new
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-series extension — session windows with a DYNAMIC per-event
+    gap: a purchase keeps the session alive for 1 h, anything else
+    30 min (the 'checkout grace period' shape). Spark's
+    session_window accepts a gap EXPRESSION — each event extends its
+    session to [ts, ts+gap(event)) and overlapping windows merge.
+    The oracle reconstructs that semantics relationally: an event
+    starts a new session iff the running max of (prior ts + prior
+    gap) does not reach it — gaps-and-islands with a running-max
+    frontier instead of a fixed lag threshold. Bounded replay ⇒
+    exact. Events at these timestamps are unique per user (pinned by
+    the data), so the µs ordering is total and the windows are
+    deterministic."""
+    src = file_events_stream(spark, sf_dir)
+    # session_window's gap expression must be CalendarIntervalType —
+    # INTERVAL literals parse as DayTimeIntervalType, so build the
+    # branches with make_interval
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.expr("make_interval(0, 0, 0, 0, 0, 60, 0)"),
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            "n_events",
+        )
+    )
+    return run_bounded(agg, output_mode="complete")
