@@ -210,6 +210,25 @@ def main() -> None:
         ).count()
     except Exception:  # noqa: BLE001 — warmup must never fail the bench
         pass
+    def cleanup() -> None:
+        """Drop the previous query's session residue so query N+1 is
+        measured on a clean session, not on N predecessors' garbage:
+        localCheckpoint blocks pin executor memory until the context
+        cleaner catches up, and every bounded streaming run leaves a
+        memory-sink temp view holding its rows. Measured: without
+        this, the heavies run 30-60% slower at the END of a
+        120-query session than in a short one."""
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist(False)
+            spark.catalog.clearCache()
+            for t in spark.catalog.listTables():
+                if t.name.startswith("q_") and t.isTemporary:
+                    spark.catalog.dropTempView(t.name)
+        except Exception:  # noqa: BLE001 — hygiene must never fail the bench
+            pass
+
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
@@ -220,6 +239,7 @@ def main() -> None:
         # warm the plan (analysis) outside the timer? No — cold, honest.
         runs: list[float] = []
         for _ in range(reps):
+            cleanup()
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
