@@ -75,6 +75,7 @@ def _load_all() -> None:
         alerts,
         analytics,
         events,
+        modern,
         multimodal,
         relational,
         sampling,
