@@ -210,3 +210,21 @@ def test_sessionize_single_fact_shuffle(spark, q):
 
     plan = plan_str(q["zx_sessionize_events"](spark, SF), mode="simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_pipe_syntax_gets_same_optimizations(spark, q):
+    """The |> pipeline must parse to a plan with the same free
+    optimizations as classic SELECT: the shipdate filter reaches the
+    scan and partial aggregation fires."""
+    df = q["zx_sql_pipe_syntax"](spark, SF)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_contains(df, "HashAggregate")
+
+
+def test_python_datasource_partitions(spark, q):
+    """The custom Python DataSource must expose its 4 declared input
+    partitions to the scheduler — a partition-aware scan, not a
+    single-task bottleneck."""
+    df = q["zx_pyds_eventgen"](spark, SF)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 400
