@@ -1474,3 +1474,124 @@ def _deletion_join_asym(
     )
     jac = F.col("common") * 1.0 / (F.col("sza") + F.col("szb") - F.col("common"))
     return pairs.filter(jac >= t).select("doc_a", "doc_b")
+
+
+@register(
+    "dedup_containment",
+    extra=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS toks
+        FROM documents
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS sz FROM tok),
+    pairs AS (
+        SELECT a.doc_id AS sub_doc, b.doc_id AS super_doc,
+               len(list_intersect(a.toks, b.toks)) AS common,
+               a.sz AS asz
+        FROM sized a JOIN sized b ON a.doc_id <> b.doc_id
+    )
+    SELECT sub_doc, super_doc,
+           ROUND(common * 1.0 / asz, 6) AS containment
+    FROM pairs
+    WHERE common * 1.0 / asz >= 0.9 AND asz >= 5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join — ASYMMETRIC near-dup: doc A is subsumed by B
+    when ≥90% of A's token set appears in B (|A∩B|/|A| ≥ 0.9),
+    regardless of how much bigger B is. Jaccard misses exactly these
+    pairs (a quote inside a long article scores near 0); curation
+    pipelines drop the subsumed side. Candidate generation is the
+    inverted-index equi-join on shared tokens with a COUNT reaching
+    the per-A threshold — the count IS the intersection size, so
+    verification needs no set re-materialization; tiny sets (<5
+    tokens) are excluded as trivially contained. At 100 TB the token
+    posting lists are the index you already built for dedup_near."""
+    d = table(spark, sf_dir, "documents")
+    docsets = _token_sets(d).localCheckpoint(eager=False)
+    # Strategy pick, like dedup_near: one profiling scalar decides.
+    # On a BOUNDED vocabulary (≤62 tokens), token posting lists are
+    # ~the whole corpus and the inverted-index formulation
+    # degenerates to the cross join (measured: 165 s at sf0.1) — but
+    # a token set IS a ≤62-bit bitmask, so containment becomes
+    # bit_count(a&b)/bit_count(a) and the quadratic work collapses
+    # onto DISTINCT MASKS (set equivalence classes — thousands, not
+    # millions) as pure 64-bit ALU ops on a broadcast nested loop
+    # (measured: 4 s). Docs re-attach per class only for qualifying
+    # class pairs. Past 62 tokens the inverted-index path takes over
+    # (posting lists are small exactly when the vocab is large).
+    n_vocab = (
+        docsets.select(F.explode("toks").alias("term"))
+        .agg(F.countDistinct("term"))
+        .first()[0]
+    ) or 0
+    if n_vocab > 62:
+        return _containment_inverted(docsets)
+    vocab = (
+        docsets.select(F.explode("toks").alias("term"))
+        .distinct()
+        .withColumn(
+            "bit",
+            F.row_number().over(Window.orderBy("term")).cast("long") - 1,
+        )
+    )
+    masks = (
+        docsets.select("doc_id", "sz", F.explode("toks").alias("term"))
+        .join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "sz")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")
+            ).alias("mask")
+        )
+        .localCheckpoint(eager=False)
+    )
+    classes = masks.groupBy("mask").agg(F.count("*").alias("n")).select("mask")
+    ca = classes.select(F.col("mask").alias("ma")).filter(
+        F.bit_count("ma") >= 5
+    )
+    cb = classes.select(F.col("mask").alias("mb"))
+    cont = (
+        F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+        * 1.0
+        / F.bit_count("ma")
+    )
+    qual = ca.crossJoin(F.broadcast(cb)).filter(cont >= 0.9).select(
+        "ma", "mb", F.round(cont, 6).alias("containment")
+    )
+    da = masks.select(F.col("doc_id").alias("sub_doc"), F.col("mask").alias("ma"))
+    db = masks.select(F.col("doc_id").alias("super_doc"), F.col("mask").alias("mb"))
+    return (
+        qual.join(da, "ma")
+        .join(db, "mb")
+        .filter(F.col("sub_doc") != F.col("super_doc"))
+        .select("sub_doc", "super_doc", "containment")
+    )
+
+
+def _containment_inverted(docsets: DataFrame) -> DataFrame:
+    """General-vocab containment: inverted-index equi-join on shared
+    tokens; the per-pair match count IS the intersection size. Sane
+    when posting lists are small (large vocab); the bitmask path
+    covers the bounded-vocab corpus where this degenerates."""
+    sized = docsets.filter(F.col("sz") >= 5)
+    tok = sized.select("doc_id", "sz", F.explode("toks").alias("term"))
+    a = tok.select(
+        F.col("doc_id").alias("sub_doc"), F.col("sz").alias("asz"), "term"
+    )
+    b = docsets.select("doc_id", F.explode("toks").alias("term")).select(
+        F.col("doc_id").alias("super_doc"), "term"
+    )
+    pairs = (
+        a.join(b, ["term"])
+        .filter(F.col("sub_doc") != F.col("super_doc"))
+        .groupBy("sub_doc", "super_doc", "asz")
+        .agg(F.count("*").alias("common"))
+    )
+    cont = F.col("common") * 1.0 / F.col("asz")
+    return pairs.filter(cont >= 0.9).select(
+        "sub_doc", "super_doc", F.round(cont, 6).alias("containment")
+    )

@@ -81,3 +81,31 @@ def test_profiling_is_one_action(spark, sf_dir):
     dedup_near(spark, sf_dir)  # builds the plan => runs profiling only
     ran = store.executionsCount() - before
     assert ran == 2, f"strategy choice ran {ran} SQL executions, want 2"
+
+
+def test_containment_strategies_agree(spark, sf_dir):
+    """The bitmask-class containment path and the general inverted-
+    index path are the same operator: identical (sub, super,
+    containment) triples on the bounded-vocab corpus."""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.text import (
+        _containment_inverted,
+        _token_sets,
+    )
+    from eventstream_notify_spark.registry import queries
+
+    fast = {
+        (r.sub_doc, r.super_doc, r.containment)
+        for r in queries()["zx_dedup_containment"](spark, sf_dir).collect()
+    }
+    docsets = _token_sets(table(spark, sf_dir, "documents")).cache()
+    try:
+        slow = {
+            (r.sub_doc, r.super_doc, r.containment)
+            for r in _containment_inverted(docsets).collect()
+        }
+    finally:
+        docsets.unpersist()
+    assert fast == slow and len(fast) > 0
