@@ -537,3 +537,52 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(agg, output_mode="complete")
+
+
+@register(
+    "stream_topk_windowed",
+    extra=True,
+    oracle="""
+    WITH counts AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, cnt
+    FROM counts
+    QUALIFY row_number() OVER (
+        PARTITION BY window_start_us ORDER BY cnt DESC, event_type
+    ) <= 2
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection — top-2 event types per hour window. Rank
+    is not a streaming-supported operation (it would retract), so the
+    pattern is: STREAMING windowed count (incremental, watermarked)
+    → batch windowed rank over the materialized counts. This split
+    is the production shape too: the expensive incremental state is
+    the count; the rank is a cheap view over it."""
+    src = file_events_stream(spark, sf_dir)
+    counts = run_bounded(
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "cnt",
+        ),
+        output_mode="complete",
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("window_start_us").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
