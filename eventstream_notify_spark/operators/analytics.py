@@ -267,3 +267,104 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit(253402300800000000)).alias("valid_to_us"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "event_transitions",
+    extra=True,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    cnt AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL
+        GROUP BY src, dst
+    ),
+    tot AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM cnt GROUP BY src
+    )
+    SELECT c.src, c.dst, c.n,
+           c.n / CAST(t.total AS DOUBLE) AS p
+    FROM cnt c JOIN tot t ON t.src = c.src
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (event_type → next event_type) edge per user timeline, the
+    count and conditional probability. One LEAD window over the
+    user_id shuffle, then two narrow aggregations; probabilities are
+    single exactly-rounded divisions of exact integer counts. The
+    matrix is the 'what usually happens after an error?' view the
+    reference's dashboard gestures at."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = (
+        _ev(spark, sf_dir)
+        .withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+    )
+    cnt = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy(F.col("src").alias("ts_src")).agg(
+        F.sum("n").alias("total")
+    )
+    return (
+        cnt.join(F.broadcast(tot), cnt.src == F.col("ts_src"))
+        .select(
+            "src",
+            "dst",
+            "n",
+            (F.col("n") / F.col("total").cast("double")).alias("p"),
+        )
+    )
+
+
+@register(
+    "journey_trigrams",
+    extra=True,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS journey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, journey
+    LIMIT 15
+    """,
+)
+def journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 15 most common 3-step event-type
+    paths across all user timelines (the n-gram view of behavior —
+    'view>click>purchase' vs 'error>error>error'). Two LEAD offsets
+    over the same window spec share one user_id shuffle; top-k is
+    TakeOrdered with the journey string as tie-break."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = (
+        _ev(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+    )
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("journey")
+        )
+        .groupBy("journey")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "journey")
+        .limit(15)
+    )
