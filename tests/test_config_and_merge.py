@@ -184,3 +184,52 @@ def test_merge_store_as_streaming_sink(spark, sf_dir, tmp_path):
     }
     assert len(merged) > 0
     assert merged == compacted
+
+
+def test_merge_replay_after_partial_bucket_write(spark, tmp_path):
+    """Exactly-once under a crash MID-overwrite: epoch 1 touches two
+    buckets; simulate a crash that persisted only ONE of them, then
+    replay epoch 1. Already-written and not-yet-written buckets must
+    both converge on the same final state (batch rows win via
+    coalesce, so re-merging onto post-state is idempotent)."""
+    import shutil
+    from pathlib import Path
+
+    store = MergeKeyedStore(str(tmp_path / "merge_store"))
+    store.upsert_batch(
+        _mk_batch(spark, [(k, 0, float(k)) for k in range(1, 40)]), 0
+    )
+    # pick two keys in different buckets
+    b = {
+        k: spark.sql(
+            f"SELECT pmod(xxhash64(CAST({k} AS BIGINT)), {store.n_buckets})"
+        ).first()[0]
+        for k in (2, 3, 5, 7)
+    }
+    k1, k2 = 2, next(k for k, v in b.items() if v != b[2])
+    # record the victim bucket's pre-epoch files (relative paths)
+    victim = Path(store.path) / f"_bucket={b[k2]}"
+    pre_victim = {
+        p.name: p.read_bytes() for p in victim.rglob("*.parquet")
+    }
+    store.upsert_batch(
+        _mk_batch(spark, [(k1, 5, 111.0), (k2, 5, 222.0)]), 1
+    )
+    # crash simulation: roll ONE touched bucket back to its pre-epoch
+    # files (the other touched bucket keeps the epoch's output)
+    shutil.rmtree(victim)
+    victim.mkdir()
+    for name, data in pre_victim.items():
+        (victim / name).write_bytes(data)
+    got_mid = {
+        r.event_id: r.value for r in store.current(spark).collect()
+    }
+    assert got_mid[k1] == 111.0  # survivor bucket kept the epoch
+    # replay the SAME epoch (foreachBatch redelivery after restart)
+    store.upsert_batch(
+        _mk_batch(spark, [(k1, 5, 111.0), (k2, 5, 222.0)]), 1
+    )
+    got = {r.event_id: r.value for r in store.current(spark).collect()}
+    want = {k: float(k) for k in range(1, 40)}
+    want[k1], want[k2] = 111.0, 222.0
+    assert got == want
