@@ -140,3 +140,88 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "weighted_domain_sample",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    grp AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM grp
+    ),
+    weighted AS (
+        SELECT g.lang, g.source, g.n_docs,
+               LEAST(1.0, (SELECT total_tokens FROM tot)
+                   / ((SELECT n_groups FROM tot) * 1.0 * g.n_tokens))
+                   AS keep_rate
+        FROM grp g
+    )
+    SELECT w.lang, w.source, w.n_docs, w.keep_rate,
+           CAST(SUM(CASE WHEN {_BUCKET_SQL.format(col='t.doc_id')}
+                          < w.keep_rate * 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
+    FROM toks t
+    JOIN weighted w ON w.lang = t.lang AND w.source = t.source
+    GROUP BY w.lang, w.source, w.n_docs, w.keep_rate
+    """,
+)
+def weighted_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus sampling — the 'rebalance the training
+    mix' op: each (lang, source) domain gets keep-rate
+    min(1, uniform_share / token_share) (domain_mix's equalizing
+    weight, capped), applied as the engine-neutral multiplicative-
+    hash bucket predicate — so the SAMPLE ITSELF is deterministic,
+    reproducible, and pushdown-friendly, like every sampler in this
+    module. Output: per-domain docs, keep-rate, and realized sample
+    size. Two narrow aggregations + a broadcast of the domain-weight
+    frame; the bucket comparison is double arithmetic from exact
+    integer sums, identical across engines."""
+    from eventstream_notify_spark.operators.text import tokens_col
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens_col()).cast("bigint").alias("n_tok"),
+    )
+    grp = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    tot = grp.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_groups"),
+    )
+    weighted = grp.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.col("total_tokens")
+            / (F.col("n_groups") * F.lit(1.0) * F.col("n_tokens")),
+        ).alias("keep_rate"),
+    )
+    return (
+        d.join(F.broadcast(weighted), ["lang", "source"])
+        .groupBy("lang", "source", "n_docs", "keep_rate")
+        .agg(
+            F.sum(
+                (_bucket("doc_id") < F.col("keep_rate") * _BUCKETS)
+                .cast("bigint")
+            ).alias("n_sampled")
+        )
+    )
