@@ -1100,3 +1100,105 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad",
         )
     )
+
+
+@register(
+    "data_quality_audit",
+    extra=True,
+    oracle="""
+    WITH base AS (
+        SELECT o.*, c.c_custkey AS ck
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS uniq_viol,
+               CAST(COUNT(CASE WHEN ck IS NULL THEN 1 END) AS BIGINT)
+                   AS fk_viol,
+               CAST(COUNT(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('O', 'F', 'P')
+                          THEN 1 END) AS BIGINT) AS dom_viol,
+               CAST(COUNT(CASE WHEN o_totalprice IS NULL
+                          OR o_totalprice <= 0
+                          THEN 1 END) AS BIGINT) AS price_viol,
+               CAST(COUNT(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+                          THEN 1 END) AS BIGINT) AS fresh_viol
+        FROM base
+    )
+    SELECT 'orderkey_unique' AS rule, n AS n_checked,
+           uniq_viol AS n_violations,
+           CAST(uniq_viol = 0 AS BIGINT) AS passed FROM agg
+    UNION ALL SELECT 'custkey_fk_customer', n, fk_viol,
+           CAST(fk_viol = 0 AS BIGINT) FROM agg
+    UNION ALL SELECT 'status_in_domain', n, dom_viol,
+           CAST(dom_viol = 0 AS BIGINT) FROM agg
+    UNION ALL SELECT 'totalprice_positive', n, price_viol,
+           CAST(price_viol = 0 AS BIGINT) FROM agg
+    UNION ALL SELECT 'orderdate_fresh_lt_2000', n, fresh_viol,
+           CAST(fresh_viol = 0 AS BIGINT) FROM agg
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint validation — the CI gate a production
+    table runs before anything downstream reads it: uniqueness,
+    referential integrity, domain membership, sign, and freshness
+    rules, each reported as (rule, n_checked, n_violations, passed).
+    The freshness rule is deliberately strict (orders must predate
+    2000-01-01) so the report shows a live failing rule.
+
+    ONE pass computes every rule: orders left-joins the broadcast
+    distinct customer-key side (the FK probe), and all violation
+    counters ride a single aggregate projection — at 100 TB this is
+    one scan + one broadcast hash join + a 1-row agg, then a driver
+    -free unpivot into rule rows. No per-rule scans (Deequ's own
+    'computed in one pass' design point)."""
+    o = table(spark, sf_dir, "orders")
+    ck = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("ck"))
+        .distinct()
+    )
+    j = o.join(F.broadcast(ck), o.o_custkey == ck.ck, "left")
+    agg = j.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("uniq_viol"),
+        F.count(F.when(F.col("ck").isNull(), 1)).alias("fk_viol"),
+        F.count(
+            F.when(
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("O", "F", "P"),
+                1,
+            )
+        ).alias("dom_viol"),
+        F.count(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+                1,
+            )
+        ).alias("price_viol"),
+        F.count(F.when(F.col("o_orderdate") >= "2000-01-01", 1)).alias(
+            "fresh_viol"
+        ),
+    )
+    rules = [
+        ("orderkey_unique", "uniq_viol"),
+        ("custkey_fk_customer", "fk_viol"),
+        ("status_in_domain", "dom_viol"),
+        ("totalprice_positive", "price_viol"),
+        ("orderdate_fresh_lt_2000", "fresh_viol"),
+    ]
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rule).alias("rule"),
+                    F.col("n").cast("bigint").alias("n_checked"),
+                    F.col(col).cast("bigint").alias("n_violations"),
+                    (F.col(col) == 0).cast("bigint").alias("passed"),
+                )
+                for rule, col in rules
+            ]
+        )
+    )
+    return agg.select(stack.alias("s")).select("s.*")

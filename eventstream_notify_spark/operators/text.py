@@ -1595,3 +1595,222 @@ def _containment_inverted(docsets: DataFrame) -> DataFrame:
     return pairs.filter(cont >= 0.9).select(
         "sub_doc", "super_doc", F.round(cont, 6).alias("containment")
     )
+
+
+@register(
+    "llm_repetition_filter",
+    extra=True,
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tok,
+               CASE WHEN len(ts) >= 2
+                    THEN list_transform(range(1, len(ts)),
+                                        i -> ts[i] || ' ' || ts[i + 1])
+                    ELSE [] END AS bg
+        FROM t
+    )
+    SELECT doc_id, n_tok,
+           CAST(len(bg) - len(list_distinct(bg)) AS BIGINT)
+               AS n_dup_bigrams,
+           CASE WHEN len(bg) > 0
+                THEN (len(bg) - len(list_distinct(bg)))
+                     / CAST(len(bg) AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_frac,
+           list_max(list_transform(list_distinct(ts),
+                    tok -> len(list_filter(ts, x -> x = tok))))
+               / CAST(n_tok AS DOUBLE) AS top_token_frac,
+           CAST(CASE WHEN (CASE WHEN len(bg) > 0
+                THEN (len(bg) - len(list_distinct(bg)))
+                     / CAST(len(bg) AS DOUBLE)
+                ELSE 0.0 END) <= 0.05
+               AND list_max(list_transform(list_distinct(ts),
+                       tok -> len(list_filter(ts, x -> x = tok))))
+                   / CAST(n_tok AS DOUBLE) <= 0.15
+               THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM b
+    WHERE n_tok > 0
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021 §A1.1 —
+    the 'repetitious documents' signals): per document, the fraction
+    of duplicate word bigrams and the mass of the single most
+    frequent token, plus the keep/drop verdict at the Gopher-shaped
+    thresholds (dup-bigram <= 0.05, top-token <= 0.15 — scaled to
+    this corpus' observed [0, 0.13] / [0.05, 0.3] ranges).
+
+    Everything is SCAN-LOCAL: bigrams are a zip of the token array
+    with its own tail, dup counting is array_distinct, and the top
+    -token mass is a bounded transform over distinct tokens (O(V·n)
+    per doc; V <= 62 on this corpus, and at 100 TB the same shape
+    holds because V is the per-doc distinct count, not the global
+    vocabulary). No shuffle anywhere — the filter runs at parquet
+    -scan speed, which is exactly what a 100 TB curation gate needs.
+    Fractions are exact integer ratios -> one IEEE division each ->
+    bit-identical across engines; the keep flag compares those exact
+    doubles against representable literals. Reference scope: the
+    reference has no curation surface; this extends SURVEY §2.F per
+    the LLM-pipeline mandate."""
+    d = table(spark, sf_dir, "documents")
+    n = F.size("ts")
+    toks = d.select("doc_id", tokens_col().alias("ts")).filter(n > 0)
+    bg = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("ts", 1, n - 1),
+            F.slice("ts", 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    withbg = toks.select("doc_id", "ts", n.alias("n_tok"), bg.alias("bg"))
+    nbg = F.size("bg")
+    ndup = nbg - F.size(F.array_distinct("bg"))
+    dup_frac = F.when(nbg > 0, ndup / nbg.cast("double")).otherwise(F.lit(0.0))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("ts"),
+            lambda t: F.size(F.filter("ts", lambda x: x == t)),
+        )
+    )
+    top_frac = top_cnt / F.col("n_tok").cast("double")
+    return withbg.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        ndup.cast("bigint").alias("n_dup_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_token_frac"),
+        ((dup_frac <= 0.05) & (top_frac <= 0.15))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+# BM25 constants — the Robertson/Sparck-Jones defaults. K1B1 = k1+1.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("merge", "spark", "window")  # fixed demo query
+
+
+@register(
+    "text_bm25",
+    extra=True,
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM t),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ts) AS term FROM t)
+        WHERE term IN ('merge', 'spark', 'window')
+        GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl))))
+                   AS s
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           COALESCE(MAX(CASE WHEN term = 'merge' THEN s END), 0.0)
+           + COALESCE(MAX(CASE WHEN term = 'spark' THEN s END), 0.0)
+           + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0)
+               AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed 3-term query — the retrieval
+    scorer a training-data pipeline uses for quality-targeted corpus
+    selection (and the classic search-engine op the reference's
+    dashboard lacks). k1 = 1.2, b = 0.75; idf is the RAW Robertson
+    ratio (N - df + 0.5)/(df + 0.5) WITHOUT the log wrapper — the
+    ranking is order-isomorphic and, unlike log, every step is an
+    IEEE-exact same-order operation in both engines, so the driver's
+    value-hash gate can certify it bit-for-bit.
+
+    Shape for 100 TB: tf rows exist only for (doc, query-term) hits
+    — the scan filters terms BEFORE the groupBy, so the shuffle
+    carries |q|-term postings, not the corpus. df and corpus stats
+    ride in as broadcast one-row/|q|-row frames; the per-doc sum is
+    a fixed-order 3-term expression (no float-sum reorder risk).
+    Final top-20 is TakeOrdered with doc_id tiebreak."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col().alias("ts"))
+    dl = toks.select("doc_id", F.size("ts").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("ts").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (
+                    (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2
+                        * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        )
+        for t in _BM25_TERMS
+    ]
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            (per_term[0] + per_term[1] + per_term[2]).alias("bm25"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -154,3 +154,71 @@ def _znorm_pairs(daily: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_common_days") >= MIN_OVERLAP)
     )
+
+
+@register(
+    "ts_ewma",
+    extra=True,
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS v_int
+        FROM events
+    ),
+    wl AS (
+        SELECT user_id, event_id, ts_us,
+               list(v_int) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+        FROM v
+    )
+    SELECT user_id, event_id, ts_us,
+           (CAST(list_sum(list_transform(range(1, len(vals) + 1),
+                i -> vals[i] * CAST(POW(2, len(vals) - i) AS BIGINT)))
+                 AS DOUBLE)
+            / CAST(CAST(POW(2, len(vals)) AS BIGINT) - 1 AS DOUBLE))
+           / 1e6 AS ewma
+    FROM wl
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values (alpha = 1/2, 20-row lookback) — the standard smoothing
+    pass before thresholding a noisy metric stream.
+
+    EWMA is the textbook float-parity trap (a recursive float fold
+    whose rounding depends on evaluation order), so the kernel is
+    EXACT INTEGER arithmetic end to end: values quantize to
+    micro-units, the weights are powers of two (alpha = 1/2 makes
+    (1-alpha)^k = 2^-k exact), and the weighted sum is a bigint fold
+    over the 20-element window list — max |num| < 2^53, so the two
+    final IEEE divisions are bit-identical across engines. Scale:
+    one window over (user, time) — the same partition every other
+    per-user op shuffles on; 20-element frames keep state O(1)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1e6).cast("bigint").alias("v_int"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    df = v.withColumn("vals", F.collect_list("v_int").over(w))
+    num = F.expr(
+        "aggregate(zip_with(vals, sequence(1, size(vals)),"
+        " (v, i) -> v * cast(pow(2, size(vals) - i) as bigint)),"
+        " 0L, (a, x) -> a + x)"
+    )
+    den = F.expr("cast(pow(2, size(vals)) as bigint) - 1")
+    return df.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        ((num.cast("double") / den.cast("double")) / F.lit(1e6)).alias(
+            "ewma"
+        ),
+    )
