@@ -263,3 +263,109 @@ def test_retention_cohort_zero_offset_is_cohort_size(spark, sf_dir):
     }
     zero = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
     assert zero == cohort_sizes
+
+
+# ------------------------------------------------ round-3 curation ops
+
+
+def test_repetition_filter_flags_repeats(spark, sf_dir):
+    from eventstream_notify_spark.registry import lookup
+
+    out = {
+        r.doc_id: r
+        for r in lookup("llm_repetition_filter").fn(spark, sf_dir).collect()
+    }
+    assert out  # non-empty
+    for r in out.values():
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        assert 0.0 < r.top_token_frac <= 1.0
+        expect = int(r.dup_bigram_frac <= 0.05 and r.top_token_frac <= 0.15)
+        assert r.keep == expect
+
+
+def test_repetition_filter_degenerate_doc(spark):
+    """A doc that is one token repeated must be dropped with frac 1.0."""
+    from eventstream_notify_spark.operators.text import llm_repetition_filter
+    from unittest import mock
+
+    d = spark.createDataFrame(
+        [(1, "spam spam spam spam"),
+         (2, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j10")],
+        "doc_id long, text string",
+    )
+    with mock.patch(
+        "eventstream_notify_spark.operators.text.table", return_value=d
+    ):
+        rows = {
+            r.doc_id: r for r in llm_repetition_filter(None, "").collect()
+        }
+    # 3 bigrams, 1 distinct -> dup fraction 2/3
+    assert rows[1].dup_bigram_frac == pytest.approx(2 / 3) and rows[1].keep == 0
+    assert rows[1].top_token_frac == 1.0
+    # 10 distinct tokens: top-token mass 0.1 <= 0.15, no dup bigrams
+    assert rows[2].n_dup_bigrams == 0 and rows[2].keep == 1
+
+
+def test_bm25_ranks_term_dense_docs_first(spark, sf_dir):
+    from eventstream_notify_spark.registry import lookup
+
+    rows = lookup("text_bm25").fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms_hit <= 3 for r in rows)
+    assert all(r.bm25 > 0 for r in rows)
+
+
+def test_data_quality_audit_rules(spark, sf_dir):
+    from eventstream_notify_spark.registry import lookup
+
+    rows = {
+        r.rule: r for r in lookup("data_quality_audit").fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "orderkey_unique",
+        "custkey_fk_customer",
+        "status_in_domain",
+        "totalprice_positive",
+        "orderdate_fresh_lt_2000",
+    }
+    # clean synthetic data: integrity rules hold; freshness rule fails live
+    assert rows["orderkey_unique"].passed == 1
+    assert rows["custkey_fk_customer"].passed == 1
+    assert rows["orderdate_fresh_lt_2000"].n_violations > 0
+    assert rows["orderdate_fresh_lt_2000"].passed == 0
+    n = rows["orderkey_unique"].n_checked
+    assert all(r.n_checked == n for r in rows.values())
+
+
+def test_ewma_matches_python_reference(spark, sf_dir):
+    """Exact-integer EWMA == the closed-form weighted mean in python."""
+    from eventstream_notify_spark.registry import lookup
+
+    got = (
+        lookup("ts_ewma")
+        .fn(spark, sf_dir)
+        .filter(F.col("user_id") == 1)
+        .orderBy("ts_us", "event_id")
+        .collect()
+    )
+    assert got
+    from eventstream_notify_spark.catalog import table
+
+    src = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 1)
+        .select(F.unix_micros("ts").alias("ts_us"), "event_id", "value")
+        .orderBy("ts_us", "event_id")
+        .collect()
+    )
+    vals = [int(r.value * 1e6 // 1) for r in src]
+    import math
+
+    for i, row in enumerate(got):
+        window = vals[max(0, i - 19) : i + 1]
+        n = len(window)
+        num = sum(v * 2 ** (n - 1 - k) for k, v in enumerate(window))
+        den = 2**n - 1
+        assert math.isclose(row.ewma, (num / den) / 1e6, rel_tol=1e-12)
