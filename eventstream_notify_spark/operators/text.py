@@ -1814,3 +1814,74 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "graph_triangles",
+    extra=True,
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
+        FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT a, b FROM pairs p
+        JOIN sizes sa ON p.a = sa.doc_id
+        JOIN sizes sb ON p.b = sb.doc_id
+        WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.95
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS doc_id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY doc_id
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the exact near-dup graph — the
+    clustering-coefficient signal that separates tight duplicate
+    cliques from chains of borderline matches (a triangle-dense node
+    sits inside a real duplicate cluster; a triangle-free node with
+    edges is a bridge the clusterer should be suspicious of).
+
+    Shape: the classic ORIENTED edge-iterator — every edge stored
+    once as (a < b), wedges enumerated by the e1.b = e2.a equi-join,
+    then closed against the edge set with a second equi-join. Both
+    joins are hash joins on edge endpoints — never a cross join — and
+    each triangle materializes exactly once (x < y < z by
+    construction). At 100 TB the only refinement is orienting edges
+    by DEGREE instead of id (low-degree endpoint first bounds the
+    wedge fan-out per node, the standard skew fix); the plan shape is
+    unchanged. The edge list is localCheckpoint'd once so the
+    token-join that builds it runs once, not three times (cookbook:
+    Catalyst re-executes shared subplans under self-join)."""
+    e = (
+        dedup_near(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    wedges = e.join(
+        e.select(F.col("a").alias("b2"), F.col("b").alias("c")),
+        F.col("b") == F.col("b2"),
+    ).select("a", "b", "c")
+    tri = wedges.join(
+        e.select(F.col("a").alias("ea"), F.col("b").alias("eb")),
+        (F.col("a") == F.col("ea")) & (F.col("c") == F.col("eb")),
+    ).select("a", "b", "c")
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    return corners.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

@@ -586,3 +586,70 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .drop("rn")
     )
+
+
+@register(
+    "stream_agg_chain",
+    extra=True,
+    oracle="""
+    WITH m AS (
+        SELECT (epoch_us(ts) // 60000000) * 60000000 AS w_us,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    cutoff AS (
+        SELECT MAX(epoch_us(ts)) - 120000000 AS max_ok FROM events
+    )
+    SELECT (w_us // 3600000000) * 3600000000 AS hour_us, event_type,
+           CAST(MAX(n) AS BIGINT) AS max_minute_n,
+           CAST(SUM(n) AS BIGINT) AS total_n
+    FROM m
+    GROUP BY 1, 2
+    HAVING (w_us // 3600000000) * 3600000000 + 3600000000
+           <= (SELECT max_ok FROM cutoff)
+    """,
+)
+def stream_agg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in ONE streaming query — the
+    multi-stateful-operator pipeline Spark 3.4+ unlocked: per-minute
+    counts per event type (first stateful agg) roll up into per-hour
+    max/total (second stateful agg over the window column), both
+    running inside the same micro-batch engine with one watermark
+    cascading through. Pre-3.4 engines force a materialization
+    between the two; this is the native replacement, and at 100 TB
+    it saves a full intermediate sink + re-read.
+
+    Append mode only emits FINALIZED hour windows (watermark past
+    window end), so the batch-side finalization filter keeps hours
+    whose end precedes max(ts) by at least watermark delay + one
+    minute of slack — applied identically on the oracle side
+    (cookbook: filter AFTER the stateful ops, never the stream)."""
+    src = file_events_stream(spark, sf_dir).withWatermark("ts", "60 seconds")
+    per_min = src.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    per_hour = (
+        per_min.groupBy(F.window(F.col("w"), "1 hour").alias("h"), "event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("max_minute_n"),
+            F.sum("n").cast("bigint").alias("total_n"),
+        )
+        .select(
+            F.unix_micros("h.start").alias("hour_us"),
+            "event_type",
+            "max_minute_n",
+            "total_n",
+        )
+    )
+    res = run_bounded(per_hour, output_mode="append")
+    from eventstream_notify_spark.catalog import table
+
+    cutoff = (
+        table(spark, sf_dir, "events")
+        .agg((F.max(F.unix_micros("ts")) - F.lit(120_000_000)).alias("max_ok"))
+    )
+    return (
+        res.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("hour_us") + 3_600_000_000 <= F.col("max_ok"))
+        .drop("max_ok")
+    )

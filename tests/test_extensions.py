@@ -369,3 +369,62 @@ def test_ewma_matches_python_reference(spark, sf_dir):
         num = sum(v * 2 ** (n - 1 - k) for k, v in enumerate(window))
         den = 2**n - 1
         assert math.isclose(row.ewma, (num / den) / 1e6, rel_tol=1e-12)
+
+
+def test_graph_triangles_matches_python_reference(spark, sf_dir):
+    """Edge-iterator triangle counts == brute-force python closure
+    over the same dedup_near edge list."""
+    from itertools import combinations
+
+    from eventstream_notify_spark.operators.text import (
+        dedup_near,
+        graph_triangles,
+    )
+
+    edges = {
+        (r.doc_a, r.doc_b) for r in dedup_near(spark, sf_dir).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    # each triangle counted 3x above (once per edge)
+    want = {n: c // 3 for n, c in want.items() if c}
+    got = {
+        r.doc_id: r.n_triangles
+        for r in graph_triangles(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_agg_chain_consistency(spark, sf_dir):
+    """Chained streaming aggs: hourly totals must equal the batch
+    per-hour counts for every finalized hour."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.streaming.pipeline import stream_agg_chain
+
+    got = {
+        (r.hour_us, r.event_type): (r.max_minute_n, r.total_n)
+        for r in stream_agg_chain(spark, sf_dir).collect()
+    }
+    assert got
+    ev = table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.expr("unix_micros(ts) div 3600000000 * 3600000000").alias(
+                "hour_us"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    batch_n = {(r.hour_us, r.event_type): r.n for r in batch}
+    for k, (mx, tot) in got.items():
+        assert batch_n[k] == tot, k
+        assert 1 <= mx <= tot
