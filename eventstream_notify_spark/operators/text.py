@@ -1885,3 +1885,150 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+
+
+@register(
+    "sql_recursive_paths",
+    extra=True,
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT doc_a, doc_b FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.95
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM near
+        UNION ALL
+        SELECT doc_b, doc_a FROM near
+    ),
+    reach(seed, doc, hops) AS (
+        SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id % 100 = 0
+        UNION ALL
+        SELECT r.seed, e.b, r.hops + 1
+        FROM reach r JOIN edges e ON e.a = r.doc
+        WHERE r.hops < 2
+    )
+    SELECT seed, doc, CAST(MIN(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY seed, doc
+    """,
+)
+def sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's RECURSIVE CTE surface doing real distributed graph
+    traversal: bounded-hop reachability (<= 2 hops) from sampled seed
+    documents across the near-dup graph, shortest hop count per
+    reached doc. The recursion is UNION ALL with an explicit hop
+    bound (cycle-safe on an undirected graph without engine-specific
+    cycle detection), and the MIN(hops) dedup runs OUTSIDE the
+    recursive term — the standard shape both engines agree on, so
+    the whole query hash-matches DuckDB's recursive CTE. Each
+    recursion step is one equi-join on the frontier — the same plan
+    dedup_cluster builds by hand; here Catalyst's recursion operator
+    drives the loop."""
+    near = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    near.createOrReplaceTempView("q_rcte_pairs")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    docs.createOrReplaceTempView("q_rcte_docs")
+    return spark.sql("""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM q_rcte_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM q_rcte_pairs
+        ),
+        reach(seed, doc, hops) AS (
+            SELECT doc_id, doc_id, 0 FROM q_rcte_docs WHERE doc_id % 100 = 0
+            UNION ALL
+            SELECT r.seed, e.b, r.hops + 1
+            FROM reach r JOIN edges e ON e.a = r.doc
+            WHERE r.hops < 2
+        )
+        SELECT seed, doc, CAST(MIN(hops) AS BIGINT) AS min_hops
+        FROM reach GROUP BY seed, doc
+    """)
+
+
+@register(
+    "text_keywords",
+    extra=True,
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df
+                   AS score
+        FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction — top-3 TF-IDF terms (the
+    tagging pass a corpus browser or topic sampler runs). The idf is
+    the RAW ratio N/df without the log wrapper: per-term ranking
+    within a doc is what matters, the score stays a single exact
+    integer product and one IEEE division, and the hash gate can
+    certify it bit-for-bit (log differs in last-ulp across libm
+    implementations — same trade as text_bm25).
+
+    Scale: tf and df are two hash aggregations over the token
+    explosion (map-side partials apply); df rides back in as a
+    broadcast join (vocabulary << corpus); top-3 is one window over
+    doc_id — the partition key the rest of the text family already
+    shuffles on — with (score, term) tiebreak for determinism."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = (
+        tok.distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )

@@ -428,3 +428,33 @@ def test_stream_agg_chain_consistency(spark, sf_dir):
     for k, (mx, tot) in got.items():
         assert batch_n[k] == tot, k
         assert 1 <= mx <= tot
+
+
+def test_recursive_paths_invariants(spark, sf_dir):
+    from eventstream_notify_spark.operators.text import sql_recursive_paths
+
+    rows = sql_recursive_paths(spark, sf_dir).collect()
+    assert rows
+    by_seed = {}
+    for r in rows:
+        assert r.min_hops in (0, 1, 2)
+        by_seed.setdefault(r.seed, {})[r.doc] = r.min_hops
+    for seed, reach in by_seed.items():
+        assert seed % 100 == 0
+        assert reach[seed] == 0  # every seed reaches itself at hop 0
+
+
+def test_keywords_topk_shape(spark, sf_dir):
+    from eventstream_notify_spark.operators.text import text_keywords
+
+    rows = text_keywords(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.rnk, r.score, r.term))
+    assert per_doc
+    for doc, ks in per_doc.items():
+        ks.sort()
+        assert [k[0] for k in ks] == list(range(1, len(ks) + 1))
+        assert len(ks) <= 3
+        scores = [k[1] for k in ks]
+        assert scores == sorted(scores, reverse=True)
