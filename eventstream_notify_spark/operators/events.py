@@ -467,3 +467,79 @@ def agg_rate_per_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").groupBy(minute).agg(
         F.count("*").alias("cnt")
     )
+
+
+# Count-min sketch geometry: 4 independent hash rows x 1024 buckets.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_HEAVY_HITTER_MIN = 70  # events per user
+
+
+@register(
+    "heavy_hitters_cms",
+    extra=True,
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 70
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection with a Count-Min sketch PROPOSE phase
+    and an exact VERIFY phase — the two-pass shape that makes sketch
+    output certifiable: CMS estimates only ever overcount, so users
+    whose estimate clears the threshold are a SUPERSET of the true
+    heavy hitters; the second pass counts exactly, but only over
+    that small candidate set. Output is therefore EXACT (and the
+    oracle is plain GROUP BY/HAVING) while the scan-side state is a
+    fixed 4x1024 grid of counters regardless of key cardinality —
+    at 100 TB the first pass shuffles 4096 cells, not 10^9 users,
+    and the verify pass's semi-join prunes the re-scan to candidate
+    rows. The sketch rides back as a broadcast (it IS tiny — that's
+    the point); per-user estimate = min over the 4 row counters.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id")
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("h"),
+                            F.pmod(
+                                F.xxhash64(F.lit(i), F.col("user_id")),
+                                F.lit(_CMS_WIDTH),
+                            ).alias("bucket"),
+                        )
+                        for i in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .groupBy("h", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    users = ev.distinct()
+    est = users
+    for i in range(_CMS_DEPTH):
+        est = est.join(
+            F.broadcast(
+                cells.filter(F.col("h") == i).select(
+                    F.col("bucket").alias(f"b{i}"), F.col("cnt").alias(f"c{i}")
+                )
+            ),
+            F.pmod(F.xxhash64(F.lit(i), F.col("user_id")), F.lit(_CMS_WIDTH))
+            == F.col(f"b{i}"),
+        )
+    candidates = est.select(
+        "user_id",
+        F.least(*[F.col(f"c{i}") for i in range(_CMS_DEPTH)]).alias("est"),
+    ).filter(F.col("est") >= _HEAVY_HITTER_MIN)
+    return (
+        ev.join(F.broadcast(candidates.select("user_id")), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .filter(F.col("n_events") >= _HEAVY_HITTER_MIN)
+    )

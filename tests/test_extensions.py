@@ -458,3 +458,27 @@ def test_keywords_topk_shape(spark, sf_dir):
         assert len(ks) <= 3
         scores = [k[1] for k in ks]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_cms_heavy_hitters_exact(spark, sf_dir):
+    """CMS propose + exact verify must equal the plain exact answer
+    (the sketch can only widen the candidate set, never narrow it)."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.events import (
+        _HEAVY_HITTER_MIN,
+        heavy_hitters_cms,
+    )
+
+    got = {
+        (r.user_id, r.n_events)
+        for r in heavy_hitters_cms(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _HEAVY_HITTER_MIN)
+        .collect()
+    }
+    assert got == want
