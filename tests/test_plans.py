@@ -228,3 +228,60 @@ def test_python_datasource_partitions(spark, q):
     df = q["zx_pyds_eventgen"](spark, SF)
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == 400
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Bucketing is THE co-located-join tool at 100 TB: two tables
+    bucketed by the join key into the same bucket count join with
+    ZERO Exchange in the plan — each task zips bucket i with bucket
+    i. Pin that the engine actually gets this plan (sortWithinPartitions
+    + bucketBy write, then a join whose physical plan has no shuffle)."""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # tiny sf0.001 tables would broadcast; force the SMJ path the
+    # bucketing exists for (at real scale both sides exceed any
+    # broadcast threshold anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+        li = table(spark, SF, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("bucketdemo.orders_b")
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("bucketdemo.lineitem_b")
+        )
+        j = (
+            spark.table("bucketdemo.orders_b")
+            .join(
+                spark.table("bucketdemo.lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the join itself must be exchange-free: SortMergeJoin directly
+        # over the bucketed scans (the only allowed Exchange is the
+        # final groupBy's, which bucketing also removes here since the
+        # agg key == bucket key)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo")
