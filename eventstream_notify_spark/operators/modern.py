@@ -178,3 +178,87 @@ def pyds_eventgen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idempotent per session: re-registering the same source is fine
     spark.dataSource.register(EventGenSource)
     return spark.read.format("esn_gen").option("n", "400").load()
+
+
+@register(
+    "pyds_event_stream",
+    extra=True,
+    oracle="""
+    SELECT i AS event_id,
+           i % 7 AS user_id,
+           CAST(i % 50 AS DOUBLE) / 2 AS value
+    FROM range(400) t(i)
+    """,
+)
+def pyds_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API, STREAMING side: a
+    ``SimpleDataSourceStreamReader`` that serves deterministic
+    100-row micro-batches with real offset bookkeeping
+    (initialOffset → read → readBetweenOffsets replay), consumed
+    through the live micro-batch engine until the 400-row generator
+    drains. This is the extension seam for wrapping an external feed
+    (the reference's Kafka topic, a REST poll) as a first-class
+    STREAMING source when no built-in connector exists; offsets make
+    it exactly-once replayable from the checkpoint. The engine sees
+    4 incremental batches — not one bounded scan — so the test
+    covers the offset-advance path availableNow short-circuits.
+    Output is the full drained stream (stateless projection ⇒ batch
+    boundaries can't affect row content), so the oracle is exact."""
+    import tempfile
+    import time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    N, STEP = 400, 100
+
+    class _StreamGenReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            s = start["i"]
+            e = min(s + STEP, N)
+            return (
+                iter([(i, i % 7, (i % 50) / 2.0) for i in range(s, e)]),
+                {"i": e},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i, i % 7, (i % 50) / 2.0) for i in range(start["i"], end["i"])]
+            )
+
+    class EventStreamGenSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "esn_stream_gen"
+
+        def schema(self):
+            return "event_id bigint, user_id bigint, value double"
+
+        def simpleStreamReader(self, schema):
+            return _StreamGenReader()
+
+    spark.dataSource.register(EventStreamGenSource)
+    name = f"q_pyds_stream_{int(time.time() * 1000) % 10_000_000}"
+    q = (
+        spark.readStream.format("esn_stream_gen")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pyds_stream_"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while spark.table(name).count() < N:
+            if time.time() > deadline:
+                raise TimeoutError("python stream source never drained")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name)
