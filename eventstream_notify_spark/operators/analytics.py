@@ -368,3 +368,116 @@ def journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "journey")
         .limit(15)
     )
+
+
+@register(
+    "assoc_rules",
+    extra=True,
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM li),
+    cnt AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM li GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.p_brand AS ba, b.p_brand AS bb,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT ba AS antecedent, bb AS consequent, n_ab FROM pairs
+        UNION ALL
+        SELECT bb, ba, n_ab FROM pairs
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.n_ab AS DOUBLE) / (SELECT n_orders FROM n) AS support,
+           CAST(r.n_ab AS DOUBLE) / ca.n_b AS confidence,
+           CAST(r.n_ab * (SELECT n_orders FROM n) AS DOUBLE)
+               / (ca.n_b * cc.n_b) AS lift
+    FROM rules r
+    JOIN cnt ca ON r.antecedent = ca.p_brand
+    JOIN cnt cc ON r.consequent = cc.p_brand
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 25
+    """,
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (items =
+    part brands): support, confidence, lift for brand→brand rules,
+    top-25 by lift — the co-occurrence mining pass behind 'frequently
+    bought together'. Brands (25 values) rather than raw part keys
+    keep the pair space dense at every scale factor (raw keys dilute:
+    at sf0.1 the max part-pair count is 3).
+
+    Shape: basket×item pairs dedupe scan-side, the pair self-join
+    shuffles ONCE on the basket key (per-basket fan-out is C(k,2)
+    with k = distinct brands per order, bounded by 25), and item
+    frequencies ride back as a broadcast. All three metrics are exact
+    integer ratios evaluated in one fixed order — products stay under
+    2^53, so the IEEE divisions are bit-identical cross-engine. The
+    symmetric-lift tie between a rule and its reverse is broken by
+    (antecedent, consequent). At 100 TB: identical plan, with heavy
+    baskets (k near the domain size) the only skew risk — bounded
+    here by the 25-brand domain, salted otherwise."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(table(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    cnt = li.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("n_b"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("ba"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("bb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    rules = pairs.select(
+        F.col("ba").alias("antecedent"), F.col("bb").alias("consequent"), "n_ab"
+    ).union(
+        pairs.select(
+            F.col("bb").alias("antecedent"),
+            F.col("ba").alias("consequent"),
+            "n_ab",
+        )
+    )
+    return (
+        rules.join(
+            F.broadcast(
+                cnt.select(F.col("p_brand").alias("antecedent"), F.col("n_b").alias("na"))
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(F.col("p_brand").alias("consequent"), F.col("n_b").alias("nc"))
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            (F.col("n_ab").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("na")).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nc"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(25)
+    )
