@@ -1202,3 +1202,75 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.select(stack.alias("s")).select("s.*")
+
+
+@register(
+    "skyline_pareto",
+    extra=True,
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(p_size AS BIGINT) AS sz
+        FROM part
+    ),
+    sweep AS (
+        SELECT p_partkey, cents, sz,
+               MAX(sz) OVER (ORDER BY cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS mx_cheaper,
+               MAX(sz) OVER (ORDER BY cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS mx_upto
+        FROM p
+    )
+    SELECT p_partkey, cents, sz
+    FROM sweep
+    WHERE NOT (COALESCE(mx_cheaper, -1) >= sz OR mx_upto > sz)
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query — parts no other part
+    dominates on (price low, size high): the classic multi-criteria
+    OLAP operator (Börzsönyi et al., ICDE 2001). The 2-D case needs
+    NO pairwise dominance join: after ordering by price, a point is
+    dominated iff a strictly cheaper point has size >= its own, or a
+    no-more-expensive point has size strictly greater — two running
+    maxima over one RANGE window (O(n log n) total, vs the naive
+    NOT-EXISTS O(n^2) self-join).
+
+    Prices quantize to integer cents (one identical IEEE multiply
+    -and-floor in both engines) so the RANGE frame's value offsets
+    are integers — cross-engine frame semantics stay exact. The
+    single global sort is the scale cost; at 100 TB use the
+    distributive form: skyline(parts) = skyline(union of per
+    -partition skylines), so each partition sweeps locally (the
+    frontier is tiny) and only frontiers merge on one node — same
+    window code both phases. d >= 3 criteria would switch to the
+    block-nested-loop + presort pruning of the literature."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("p_size").cast("bigint").alias("sz"),
+    )
+    w_cheaper = Window.orderBy("cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_upto = Window.orderBy("cents").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = p.select(
+        "p_partkey",
+        "cents",
+        "sz",
+        F.max("sz").over(w_cheaper).alias("mx_cheaper"),
+        F.max("sz").over(w_upto).alias("mx_upto"),
+    )
+    return sweep.filter(
+        ~(
+            (F.coalesce(F.col("mx_cheaper"), F.lit(-1)) >= F.col("sz"))
+            | (F.col("mx_upto") > F.col("sz"))
+        )
+    ).select("p_partkey", "cents", "sz")

@@ -482,3 +482,35 @@ def test_cms_heavy_hitters_exact(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_skyline_no_dominated_points(spark, sf_dir):
+    """Brute-force dominance check over the returned frontier and a
+    sample of excluded points."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.relational import skyline_pareto
+
+    sky = skyline_pareto(spark, sf_dir).collect()
+    assert sky
+    pts = [
+        (int(r.cents), int(r.sz))
+        for r in table(spark, sf_dir, "part")
+        .select(
+            F.floor(F.col("p_retailprice") * 100 + 0.5).alias("cents"),
+            "p_size",
+        )
+        .collect()
+    ]
+
+    def dominated(c, s):
+        return any(
+            (qc <= c and qs >= s) and (qc < c or qs > s) for qc, qs in pts
+        )
+
+    frontier = {(r.cents, r.sz) for r in sky}
+    for c, s in frontier:
+        assert not dominated(c, s)
+    # every non-frontier point must be dominated
+    for c, s in pts[:300]:
+        if (c, s) not in frontier:
+            assert dominated(c, s)
