@@ -497,7 +497,7 @@ def test_skyline_no_dominated_points(spark, sf_dir):
         for r in table(spark, sf_dir, "part")
         .select(
             F.floor(F.col("p_retailprice") * 100 + 0.5).alias("cents"),
-            "p_size",
+            F.col("p_size").alias("sz"),
         )
         .collect()
     ]
