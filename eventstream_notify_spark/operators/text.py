@@ -1723,10 +1723,16 @@ _BM25_TERMS = ("merge", "spark", "window")  # fixed demo query
         FROM tf GROUP BY term
     ),
     scored AS (
+        -- every fractional literal cast to DOUBLE: DuckDB otherwise
+        -- parses 2.2/1.2 as DECIMAL and the exact-decimal product
+        -- differs from Spark's double product in the last ulp
         SELECT tf.doc_id, tf.term,
-               ((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
-               * ((tf.tf * 2.2)
-                  / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl))))
+               ((stats.n_docs - idf.df + 0.5::DOUBLE)
+                / (idf.df + 0.5::DOUBLE))
+               * ((tf.tf * 2.2::DOUBLE)
+                  / (tf.tf + 1.2::DOUBLE
+                     * (0.25::DOUBLE
+                        + 0.75::DOUBLE * (dl.dl / stats.avgdl))))
                    AS s
         FROM tf
         JOIN idf ON tf.term = idf.term
