@@ -1249,6 +1249,123 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_lm_score",
+    extra=True,
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 2
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM bg GROUP BY w1
+    ),
+    v AS (
+        SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+        FROM (SELECT unnest(ts) AS term FROM t)
+    ),
+    dbg AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM bg GROUP BY doc_id, w1, w2
+    ),
+    scored AS (
+        SELECT dbg.doc_id, dbg.n_occ,
+               (1000000 * (c12.c12 + 1)) // (c1.c1 + v.v) AS p_micro
+        FROM dbg
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n_occ * p_micro) AS BIGINT) AS sum_p_micro,
+           CAST(SUM(n_occ * p_micro) AS DOUBLE)
+               / CAST(SUM(n_occ) AS DOUBLE) AS lm_score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the KenLM-style
+    quality gate of a pretraining pipeline (CCNet / RefinedWeb filter
+    docs by LM score exactly this way): train add-one-smoothed bigram
+    statistics ON the corpus itself, then score every document by its
+    mean bigram likelihood. The likelihood is kept as an integer
+    micro-probability ``(1e6·(c12+1)) div (c1+V)`` rather than a log
+    perplexity: floor-division of exact integer counts is bit-identical
+    cross-engine (ln is not guaranteed last-ulp-equal between JVM and
+    libm), and mean-µ-probability is order-isomorphic to perplexity
+    for ranking/thresholding — the same trade text_bm25 makes with its
+    log-free Robertson idf.
+
+    Shape for 100 TB: bigram occurrences are class-compressed per doc
+    (``dbg`` carries distinct (doc,w1,w2) with a count) before joining
+    the model, so the model join shuffles distinct-bigrams-per-doc,
+    not token volume. The bigram table ``c12`` joins on its natural
+    (w1,w2) key (co-partitioned shuffle join — this is the one heavy
+    join and it is key-aligned); the unigram table and the vocab
+    scalar ride in as broadcasts. Training and scoring are ONE
+    declarative plan — no model materialization round-trip."""
+    d = table(spark, sf_dir, "documents")
+    tok_arr = d.select("doc_id", tokens_col().alias("ts"))
+    bg = (
+        tok_arr.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = tok_arr.select(F.explode("ts").alias("term")).agg(
+        F.countDistinct("term").cast("bigint").alias("v")
+    )
+    dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n_occ"))
+    scored = (
+        dbg.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "n_occ",
+            F.expr("(1000000 * (c12 + 1)) div (c1 + v)").alias("p_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("p_micro"))
+            .cast("bigint")
+            .alias("sum_p_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_p_micro",
+            (
+                F.col("sum_p_micro").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("lm_score"),
+        )
+    )
+
+
 # ------------------------------------------------ graph analytics (r3)
 
 _PR_ITERS = 6

@@ -514,3 +514,39 @@ def test_skyline_no_dominated_points(spark, sf_dir):
     for c, s in pts[:300]:
         if (c, s) not in frontier:
             assert dominated(c, s)
+
+
+def test_lm_score_matches_python_reference(spark, sf_dir):
+    """Recompute the add-one bigram model in pure Python over the same
+    corpus and demand exact integer agreement (the kernel is all
+    integer floor-division, so equality is exact, not approximate)."""
+    import re
+    from collections import Counter
+
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.text import llm_lm_score
+
+    texts = {
+        r.doc_id: re.findall(r"[a-z0-9]+", r.text.lower())
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    c12, c1, vocab = Counter(), Counter(), set()
+    for ts in texts.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    v = len(vocab)
+    got = {r.doc_id: r for r in llm_lm_score(spark, sf_dir).collect()}
+    assert set(got) == {d for d, ts in texts.items() if len(ts) >= 2}
+    for doc_id, ts in texts.items():
+        if len(ts) < 2:
+            continue
+        ref = sum(
+            (1_000_000 * (c12[(a, b)] + 1)) // (c1[a] + v)
+            for a, b in zip(ts, ts[1:])
+        )
+        r = got[doc_id]
+        assert r.n_bigrams == len(ts) - 1
+        assert r.sum_p_micro == ref
+        assert r.lm_score == ref / (len(ts) - 1)
