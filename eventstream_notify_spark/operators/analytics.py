@@ -481,3 +481,57 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "antecedent", "consequent")
         .limit(25)
     )
+
+@register(
+    "feature_binning",
+    extra=True,
+    oracle="""
+    WITH t AS (
+        SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS bin
+        FROM events
+    )
+    SELECT bin, COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi,
+           ROUND(CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e6, 6) AS mean
+    FROM t
+    GROUP BY 1
+    """,
+)
+def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning (decile bucketizer): NTILE(10)
+    over a total order of the metric, then per-bin boundaries and
+    means — the discretization pass an ML feature pipeline runs
+    before one-hot/WOE encoding, and the exact-quantile sibling of
+    the sketch-based approxQuantile path (zx_agg_sketches).
+
+    Determinism: the NTILE order carries an event_id tie-break, and
+    bin means accumulate in exact bigint micro-units (the ts_ewma
+    trick) so no cross-engine float-summation drift exists.
+
+    Scale note: a global NTILE is a single-partition sort — fine for
+    the exact-quantile semantic this op pins (and at 100 TB one
+    switches to approx_percentile boundaries + width_bucket, the
+    zx_agg_sketches path; this operator is the oracle-checkable
+    exact twin). The groupBy after it is 10 partial-aggregated rows."""
+    e = table(spark, sf_dir, "events")
+    t = e.select(
+        "value",
+        F.ntile(10)
+        .over(Window.orderBy("value", "event_id"))
+        .alias("bin"),
+    )
+    return t.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.round(
+            F.sum(F.floor(F.col("value") * 1e6).cast("bigint")).cast(
+                "double"
+            )
+            / F.count("*")
+            / F.lit(1e6),
+            6,
+        ).alias("mean"),
+    )

@@ -2230,3 +2230,114 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "score", "rnk")
     )
+
+@register(
+    "text_collocations",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT t.w1, t.w2
+        FROM toks, unnest(list_transform(range(1, len(ts)),
+                 i -> {{'w1': ts[i], 'w2': ts[i + 1]}})) AS u(t)
+    ),
+    uni AS (
+        SELECT unnest(ts) AS w FROM toks
+    ),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    n_uni AS (SELECT COUNT(*) AS nu FROM uni),
+    bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+    n_bi AS (SELECT COUNT(*) AS nb FROM bi),
+    scored AS (
+        SELECT b.w1, b.w2, b.c_ab,
+               ROUND(LN(((CAST(b.c_ab AS DOUBLE) * nu) * nu)
+                        / ((CAST(nb AS DOUBLE) * a.c) * c2.c)), 6)
+                   AS pmi
+        FROM bc b
+        CROSS JOIN n_uni
+        CROSS JOIN n_bi
+        JOIN uc a ON b.w1 = a.w
+        JOIN uc c2 ON b.w2 = c2.w
+        WHERE b.c_ab >= 5
+    )
+    SELECT w1, w2, c_ab, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 100
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top adjacent bigrams by pointwise
+    mutual information, PMI = ln(p(w1,w2) / (p(w1) p(w2))) — the
+    classic signal for multi-word expressions ("new york") that a
+    tokenizer should keep together, and a standard vocabulary-
+    induction pass over a training corpus.
+
+    Cross-engine float parity: all counts are exact integers and the
+    PMI ratio is built with ONE fixed association order of IEEE
+    multiplies/divides on both sides, then rounded — no accumulation-
+    order hazard. Ranking keys on the rounded value with a (w1, w2)
+    tie-break.
+
+    Scale: bigram generation is a map-side transform (no explode-
+    then-self-join); counting is two partial-aggregatable groupBys;
+    the unigram side joins onto bigram counts — both already hash-
+    partitioned by word — and the corpus-level totals ride in as
+    broadcast 1-row frames. Top-100 is a TakeOrdered, not a sort."""
+    d = table(spark, sf_dir, "documents").select(
+        tokens_col().alias("ts")
+    )
+    # guard single-token docs: Spark's sequence(1, 0) is DESCENDING
+    # ([1, 0]), which would fabricate null bigrams where DuckDB's
+    # range(1, 1) is simply empty
+    bi = d.filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = d.select(F.explode("ts").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n_uni = uni.agg(F.count("*").alias("nu"))
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    n_bi = bi.agg(F.count("*").alias("nb"))
+    a = uc.alias("a")
+    c2 = uc.alias("c2")
+    scored = (
+        bc.crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .join(a, F.col("w1") == F.col("a.w"))
+        .join(c2, F.col("w2") == F.col("c2.w"))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (
+                        (
+                            F.col("c_ab").cast("double") * F.col("nu")
+                        )
+                        * F.col("nu")
+                    )
+                    / (
+                        (F.col("nb").cast("double") * F.col("a.c"))
+                        * F.col("c2.c")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(100)

@@ -222,3 +222,208 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma"
         ),
     )
+
+@register(
+    "downsample_m4",
+    extra=True,
+    oracle="""
+    WITH v AS (
+        SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+               epoch_us(ts) // 3600000000 AS bucket
+        FROM events
+    ),
+    rn AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts_us, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts_us DESC, event_id DESC)
+                   AS rn_d
+        FROM v
+    )
+    SELECT event_type, bucket * 3600000000 AS bucket_start_us,
+           COUNT(*) AS n,
+           MIN(ts_us) AS ts_min_us, MAX(ts_us) AS ts_max_us,
+           ROUND(MIN(value), 6) AS v_min,
+           ROUND(MAX(value), 6) AS v_max,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS v_first,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS v_last
+    FROM rn
+    GROUP BY 1, 2
+    """,
+)
+def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization-oriented downsampling (Jugel et al., VLDB'14):
+    per (series, time bucket) keep exactly the four value extremes a
+    pixel column can show — first, last, min, max — plus the bucket's
+    time span. The standard way to feed a year of raw points to a
+    dashboard without lying about spikes.
+
+    Scale: ONE partial-aggregatable groupBy per bucket — min/max
+    combine map-side; first/last ride a per-bucket row_number whose
+    window shares the (event_type, bucket) shuffle of the final agg,
+    so the whole op is a single exchange. Bucket count (not row
+    count) bounds the output: 100 TB in, pixels out."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+    )
+    wb = Window.partitionBy("event_type", "bucket")
+    rn = v.select(
+        "*",
+        F.row_number()
+        .over(wb.orderBy("ts_us", "event_id"))
+        .alias("rn_a"),
+        F.row_number()
+        .over(wb.orderBy(F.col("ts_us").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    first_v = F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+    last_v = F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+    return rn.groupBy(
+        "event_type", (F.col("bucket") * 3600000000).alias("bucket_start_us")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("ts_us").alias("ts_min_us"),
+        F.max("ts_us").alias("ts_max_us"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+        F.round(first_v, 6).alias("v_first"),
+        F.round(last_v, 6).alias("v_last"),
+    )
+
+
+@register(
+    "ts_decompose",
+    extra=True,
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+               SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    q AS (  -- micro-unit quantized hourly mean: cross-engine exact
+        SELECT event_type, hour,
+               CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS hv_q
+        FROM hourly
+    ),
+    tr AS (
+        SELECT event_type, hour, hv_q,
+               SUM(hv_q) OVER w AS tsum, COUNT(*) OVER w AS tcnt
+        FROM q
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+        SELECT event_type, hour, hv_q,
+               CAST(hv_q AS DOUBLE) / 1e6
+                   - CAST(tsum AS DOUBLE) / 24 / 1e6 AS det
+        FROM tr WHERE tcnt = 24
+    ),
+    season AS (
+        SELECT event_type, hour % 24 AS hod,
+               SUM(CAST(FLOOR(det * 1e6) AS BIGINT)) AS ds,
+               COUNT(*) AS dn
+        FROM det
+        GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.hour,
+           ROUND(CAST(d.hv_q AS DOUBLE) / 1e6, 6) AS hourly_mean,
+           ROUND(CAST(d.hv_q AS DOUBLE) / 1e6 - d.det, 6) AS trend,
+           ROUND(CAST(s.ds AS DOUBLE) / s.dn / 1e6, 6) AS seasonal,
+           ROUND(d.det - CAST(s.ds AS DOUBLE) / s.dn / 1e6, 6)
+               AS residual
+    FROM det d
+    JOIN season s
+      ON d.event_type = s.event_type AND d.hour % 24 = s.hod
+    """,
+)
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite): hourly series per
+    event type -> trend (centered 24-point moving average) ->
+    detrended -> additive seasonal profile (mean detrended value per
+    hour-of-day) -> residual. The pre-processing step before any
+    seasonality-aware anomaly rule.
+
+    Float-parity design (the ts_ewma trick, applied twice): every
+    cross-engine aggregation happens in EXACT bigint micro-units —
+    hourly sums, the quantized hourly mean, the detrended seasonal
+    sums — so no order-dependent double summation ever crosses the
+    oracle boundary; the only double ops are single IEEE divisions
+    and subtractions of bit-identical inputs.
+
+    Scale: groupBy hours (output ~ series x hours, not rows), one
+    window per series partition, and a broadcast-sized seasonal
+    profile (24 rows per series) joined back. All shuffles key on
+    event_type - the series axis a real deployment partitions by."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1e6).cast("bigint")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    q = hourly.select(
+        "event_type",
+        "hour",
+        F.floor(F.col("s").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("hv_q"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-11, 12)
+    )
+    tr = q.select(
+        "event_type",
+        "hour",
+        "hv_q",
+        F.sum("hv_q").over(w).alias("tsum"),
+        F.count("*").over(w).alias("tcnt"),
+    )
+    det = tr.filter(F.col("tcnt") == 24).select(
+        "event_type",
+        "hour",
+        "hv_q",
+        (
+            F.col("hv_q").cast("double") / F.lit(1e6)
+            - F.col("tsum").cast("double") / F.lit(24) / F.lit(1e6)
+        ).alias("det"),
+    )
+    season = det.groupBy(
+        "event_type", (F.col("hour") % 24).alias("hod")
+    ).agg(
+        F.sum(F.floor(F.col("det") * 1e6).cast("bigint")).alias("ds"),
+        F.count("*").alias("dn"),
+    )
+    seasonal = F.col("s.ds").cast("double") / F.col("s.dn") / F.lit(1e6)
+    return (
+        det.alias("d")
+        .join(
+            F.broadcast(season.alias("s")),
+            (F.col("d.event_type") == F.col("s.event_type"))
+            & ((F.col("d.hour") % 24) == F.col("s.hod")),
+        )
+        .select(
+            F.col("d.event_type").alias("event_type"),
+            F.col("d.hour").alias("hour"),
+            F.round(
+                F.col("d.hv_q").cast("double") / F.lit(1e6), 6
+            ).alias("hourly_mean"),
+            F.round(
+                F.col("d.hv_q").cast("double") / F.lit(1e6)
+                - F.col("d.det"),
+                6,
+            ).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(F.col("d.det") - seasonal, 6).alias("residual"),
+        )
+    )
