@@ -535,3 +535,80 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean"),
     )
+
+@register(
+    "attribution_last_touch",
+    extra=True,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               MAX(CASE WHEN event_type = 'click'
+                            THEN epoch_us(ts) * 4 + 1
+                        WHEN event_type = 'view'
+                            THEN epoch_us(ts) * 4 + 2
+                        WHEN event_type = 'signup'
+                            THEN epoch_us(ts) * 4 + 3
+                   END) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_code
+        FROM events
+    )
+    SELECT CASE touch_code % 4 WHEN 1 THEN 'click' WHEN 2 THEN 'view'
+                WHEN 3 THEN 'signup' ELSE 'organic' END AS channel,
+           COUNT(*) AS conversions,
+           COUNT(DISTINCT user_id) AS users
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding touch channel (click / view /
+    signup), 'organic' when none precedes — the standard conversion-
+    credit query of product analytics.
+
+    The "latest preceding qualifying event" is ONE windowed MAX over
+    an encoded (ts_us * 4 + channel_id) bigint — an argmax without a
+    self-join or a second window pass; ties at equal microsecond
+    resolve to the larger channel code identically in both engines.
+    Scale: single (user_id) window — the partition axis every other
+    per-user op here shuffles on — then a 4-row aggregate."""
+    e = table(spark, sf_dir, "events")
+    code = F.when(
+        F.col("event_type") == "click", F.col("ts_us") * 4 + 1
+    ).when(
+        F.col("event_type") == "view", F.col("ts_us") * 4 + 2
+    ).when(
+        F.col("event_type") == "signup", F.col("ts_us") * 4 + 3
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    ).select(
+        "user_id",
+        "event_type",
+        F.max(code).over(w).alias("touch_code"),
+    )
+    channel = (
+        F.when(F.col("touch_code") % 4 == 1, "click")
+        .when(F.col("touch_code") % 4 == 2, "view")
+        .when(F.col("touch_code") % 4 == 3, "signup")
+        .otherwise("organic")
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").alias("conversions"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )

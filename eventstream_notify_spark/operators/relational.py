@@ -1274,3 +1274,46 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("mx_upto") > F.col("sz"))
         )
     ).select("p_partkey", "cents", "sz")
+
+@register(
+    "join_lateral_topk",
+    extra=True,
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+    FROM nation n
+    JOIN LATERAL (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 3
+    ) t ON TRUE
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k join — "for each nation, its 3
+    richest customers" phrased the way an application developer
+    writes it (a correlated ORDER BY ... LIMIT subquery), exercising
+    Catalyst's lateral-join decorrelation: the per-row subquery is
+    rewritten into ONE windowed rank over the inner table, not N
+    correlated executions.
+
+    Scale: post-decorrelation the plan is a single (c_nationkey)
+    window + broadcast join with nation — per-group top-k with
+    map-side rank pruning, no nested-loop re-execution. The same
+    query under a naive engine is O(outer x inner)."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) t
+        """
+    )

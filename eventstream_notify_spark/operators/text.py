@@ -877,8 +877,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of content; used as a cheap join key for dedup candidates. md5 is
     identical across engines, so this is oracle-checkable."""
     d = table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    witht = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    # Tokenize ONCE per doc (the dedup_ngram lesson): without the
+    # checkpoint barrier Catalyst collapses the projection and
+    # re-evaluates regexp_extract_all inside every element_at of the
+    # shingle transform — 3 regexp runs per token per doc (measured
+    # ~6 s of this query's wall; ~1 s with the barrier).
+    witht = (
+        d.select("doc_id", tokens_col().alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .localCheckpoint(eager=True)
+    )
     shingle_hash = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 2),
         lambda i: F.md5(
@@ -2114,7 +2122,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach(seed, doc, hops) AS (
         SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id % 100 = 0
         UNION ALL
-        SELECT r.seed, e.b, r.hops + 1
+        SELECT DISTINCT r.seed, e.b, r.hops + 1
         FROM reach r JOIN edges e ON e.a = r.doc
         WHERE r.hops < 2
     )
@@ -2133,7 +2141,14 @@ def sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole query hash-matches DuckDB's recursive CTE. Each
     recursion step is one equi-join on the frontier — the same plan
     dedup_cluster builds by hand; here Catalyst's recursion operator
-    drives the loop."""
+    drives the loop.
+
+    The recursive step is SELECT DISTINCT: near-dup components are
+    near-cliques, so a bag frontier carries one row per PATH (k^2
+    per clique per hop) and blows Spark's recursion row limit at
+    sf0.1 — the set frontier carries one row per (seed, doc, hop),
+    bounded by seeds x component size. MIN(hops) is multiplicity-
+    insensitive, so both engines' results are unchanged."""
     near = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     near.createOrReplaceTempView("q_rcte_pairs")
     docs = table(spark, sf_dir, "documents").select("doc_id")
@@ -2147,7 +2162,7 @@ def sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         reach(seed, doc, hops) AS (
             SELECT doc_id, doc_id, 0 FROM q_rcte_docs WHERE doc_id % 100 = 0
             UNION ALL
-            SELECT r.seed, e.b, r.hops + 1
+            SELECT DISTINCT r.seed, e.b, r.hops + 1
             FROM reach r JOIN edges e ON e.a = r.doc
             WHERE r.hops < 2
         )
@@ -2204,6 +2219,9 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — the partition key the rest of the text family already
     shuffles on — with (score, term) tiebreak for determinism."""
     d = table(spark, sf_dir, "documents")
+    # tf and df each re-run the tokenize+explode scan; measured, that
+    # beats pinning the 200x-wider exploded frame behind a checkpoint
+    # barrier (which also costs the partial-agg pushdown)
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(
         F.count("*").cast("bigint").alias("tf")
@@ -2287,8 +2305,12 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unigram side joins onto bigram counts — both already hash-
     partitioned by word — and the corpus-level totals ride in as
     broadcast 1-row frames. Top-100 is a TakeOrdered, not a sort."""
-    d = table(spark, sf_dir, "documents").select(
-        tokens_col().alias("ts")
+    # tokenize once behind a barrier: bigram and unigram branches both
+    # read ts, and projection collapse would re-run the regexp per use
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(tokens_col().alias("ts"))
+        .localCheckpoint(eager=False)
     )
     # guard single-token docs: Spark's sequence(1, 0) is DESCENDING
     # ([1, 0]), which would fabricate null bigrams where DuckDB's
