@@ -209,3 +209,71 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         feature_extract_batches, FEATURE_SCHEMA
     )
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+PHASH_STRIDE = 7  # keep every 7th byte before hashing
+
+
+def phash_batches(batches: Iterator) -> Iterator:
+    """mapInPandas kernel: perceptual-hash stand-in — md5 over a
+    strided byte downsample of the blob (every PHASH_STRIDE-th byte).
+    A real pHash decodes + DCTs the image; the downsample-then-hash
+    SHAPE (bytes in, tiny digest out, per-blob independence) is
+    identical, and this one is deterministic and cross-engine
+    checkable."""
+    import hashlib
+
+    for pdf in batches:
+        out = pdf[["doc_id"]].copy()
+        out["phash"] = [
+            hashlib.md5(bytes(p)[::PHASH_STRIDE]).hexdigest()
+            for p in pdf["payload"]
+        ]
+        yield out
+
+
+@register(
+    "mm_dedup_phash",
+    extra=True,
+    oracle=f"""
+    WITH ph AS (
+        SELECT doc_id,
+               md5(array_to_string(list_transform(
+                   range(1, len(text) + 1, {PHASH_STRIDE}),
+                   i -> text[i]), '')) AS phash
+        FROM documents
+    )
+    SELECT phash, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS copies
+    FROM ph GROUP BY 1
+    """,
+)
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-asset dedup by content fingerprint: downsample each
+    binary blob, hash it, group identical fingerprints, keep the
+    min-id canonical — exact dedup_exact semantics lifted onto the
+    multimodal column via the Arrow decode path (the dedup a crawl
+    pipeline runs on images before any ML model sees them).
+
+    The oracle recomputes the same strided digest in SQL over the
+    text the stub blobs wrap (the corpus is ASCII, so byte stride ==
+    char stride — asserted in tests).
+
+    Scale: per-blob kernel is embarrassingly parallel over Arrow
+    batches; the shuffle moves 16-byte digests, never blobs — the
+    dedup_exact scale story, unchanged by payload size."""
+    d = table(spark, sf_dir, "documents")
+    media = with_media_column(d)
+    ph = media.select("doc_id", "payload").mapInPandas(
+        phash_batches, PHASH_SCHEMA
+    )
+    return ph.groupBy("phash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("copies"),
+    )

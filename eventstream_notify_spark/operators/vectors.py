@@ -629,3 +629,75 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+@register("sim_search_sq8", extra=True)  # rows-only: quantized scores
+def sim_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain similarity search — scalar quantization
+    (SQ8): each float32 dimension compresses to one byte against
+    per-dimension [min, max] ranges, and the top-k cosine search runs
+    entirely on the DEQUANTIZED 8-bit codes. The memory story of a
+    100 TB vector corpus: 4x smaller residency with ~1e-2 score
+    error; the IVF/LSH siblings cut candidates, this cuts bytes per
+    candidate — production ANN stacks (FAISS SQ/PQ) compose both.
+
+    Shape: per-dimension ranges are ONE posexplode + groupBy(dim)
+    (64 rows out), folded back in as a broadcast 1-row frame of
+    dim-indexed arrays — no driver collect; quantize + dequantize are
+    higher-order transforms (JVM-side, no UDF); then the standard
+    broadcast-queries top-k. Recall vs the exact search is pinned in
+    tests, not oracled (quantized scores are engine-local by
+    design)."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    ranges = F.broadcast(
+        dims.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", "mn", "mx"))
+            ).alias("rng")
+        ).select(
+            F.transform("rng", lambda r: r["mn"]).alias("mns"),
+            F.transform("rng", lambda r: r["mx"]).alias("mxs"),
+        )
+    )
+    # quantize to uint8 codes, dequantize back — both as one fused
+    # expression; scale guards the mx == mn degenerate dimension
+    deq = F.expr(
+        "transform(embedding, (x, i) -> coalesce("
+        " element_at(mns, i + 1) +"
+        " round(least(greatest((x - element_at(mns, i + 1)) /"
+        "   nullif(element_at(mxs, i + 1) - element_at(mns, i + 1), 0.0),"
+        "   0.0), 1.0) * 255)"
+        " * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 255.0,"
+        " element_at(mns, i + 1)))"  # mx == mn: the dim is a constant
+    )
+    eq = (
+        e.crossJoin(ranges)
+        .select("vec_id", deq.alias("dq"))
+        .withColumn("nrm", l2_norm("dq"))
+    )
+    q = F.broadcast(
+        eq.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("dq").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    scored = eq.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot("qe", "dq") / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

@@ -550,3 +550,107 @@ def test_lm_score_matches_python_reference(spark, sf_dir):
         assert r.n_bigrams == len(ts) - 1
         assert r.sum_p_micro == ref
         assert r.lm_score == ref / (len(ts) - 1)
+
+# ---------------------------------------------------------------- round-3 ops
+
+
+def test_phash_kernel_matches_python_reference(spark):
+    """Strided-md5 kernel == plain hashlib over the same bytes, and
+    the oracle's byte==char stride precondition (ASCII corpus) holds
+    on the test data."""
+    import hashlib
+
+    from eventstream_notify_spark.operators.multimodal import (
+        PHASH_STRIDE,
+        mm_dedup_phash,
+    )
+
+    txt = "the quick brown fox jumps over the lazy dog"
+    expect = hashlib.md5(
+        txt.encode("utf-8")[::PHASH_STRIDE]
+    ).hexdigest()
+    d = docs(spark, [(1, txt), (2, txt), (3, "other words")])
+    import eventstream_notify_spark.operators.multimodal as mm
+
+    media = mm.with_media_column(d)
+    ph = media.select("doc_id", "payload").mapInPandas(
+        mm.phash_batches, mm.PHASH_SCHEMA
+    )
+    rows = {r.doc_id: r.phash for r in ph.collect()}
+    assert rows[1] == expect and rows[2] == expect
+    assert rows[3] != expect
+
+    # ASCII precondition of the SQL oracle at the test scale
+    from eventstream_notify_spark.catalog import table
+
+    n_non_ascii = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.octet_length(F.col("text")) != F.length(F.col("text")))
+        .count()
+    )
+    assert n_non_ascii == 0
+
+
+def test_sq8_recall_vs_exact(spark):
+    """Quantized search must agree with exact cosine on most of the
+    top-5: SQ8 on 64 dims carries ~1e-2 score error, far below the
+    typical top-k gap."""
+    from collections import defaultdict
+
+    from eventstream_notify_spark.operators.vectors import (
+        sim_search_cosine,
+        sim_search_sq8,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ex_top, sq_top = defaultdict(set), defaultdict(set)
+    for r in sim_search_cosine(spark, sf).collect():
+        ex_top[r.query_id].add(r.vec_id)
+    for r in sim_search_sq8(spark, sf).collect():
+        sq_top[r.query_id].add(r.vec_id)
+    assert ex_top.keys() == sq_top.keys()
+    overlap = sum(
+        len(ex_top[q] & sq_top[q]) / 5.0 for q in ex_top
+    ) / len(ex_top)
+    assert overlap >= 0.8
+
+
+def test_m4_bucket_invariants(spark):
+    """Every M4 bucket: min <= first/last <= max, time span ordered,
+    and n sums to the table's row count."""
+    from eventstream_notify_spark.operators.timeseries import (
+        downsample_m4,
+    )
+    from eventstream_notify_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    m4 = downsample_m4(spark, sf)
+    bad = m4.filter(
+        (F.col("v_min") > F.col("v_first"))
+        | (F.col("v_min") > F.col("v_last"))
+        | (F.col("v_max") < F.col("v_first"))
+        | (F.col("v_max") < F.col("v_last"))
+        | (F.col("ts_min_us") > F.col("ts_max_us"))
+    ).count()
+    assert bad == 0
+    total = m4.agg(F.sum("n")).first()[0]
+    assert total == table(spark, sf, "events").count()
+
+
+def test_decompose_additive_identity(spark):
+    """hourly_mean == trend + seasonal + residual (exact up to the
+    independent 6-d.p. roundings of the four outputs)."""
+    from eventstream_notify_spark.operators.timeseries import (
+        ts_decompose,
+    )
+
+    df = ts_decompose(spark, "/root/testdata/sf0.001")
+    bad = df.filter(
+        F.abs(
+            F.col("hourly_mean")
+            - (F.col("trend") + F.col("seasonal") + F.col("residual"))
+        )
+        > 1e-5
+    ).count()
+    assert bad == 0
+    assert df.count() > 0
