@@ -156,10 +156,9 @@ def _znorm_pairs(daily: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "ts_ewma",
-    extra=True,
-    oracle="""
+# shared by the batch operator below AND its streaming twin
+# (streaming/pipeline.py zx_stream_ewma) — both must hash-match it
+EWMA_ORACLE = """
     WITH v AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                CAST(FLOOR(value * 1e6) AS BIGINT) AS v_int
@@ -179,8 +178,10 @@ def _znorm_pairs(daily: DataFrame) -> DataFrame:
             / CAST(CAST(POW(2, len(vals)) AS BIGINT) - 1 AS DOUBLE))
            / 1e6 AS ewma
     FROM wl
-    """,
-)
+    """
+
+
+@register("ts_ewma", extra=True, oracle=EWMA_ORACLE)
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of each user's event
     values (alpha = 1/2, 20-row lookback) — the standard smoothing

@@ -653,3 +653,28 @@ def stream_agg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hour_us") + 3_600_000_000 <= F.col("max_ok"))
         .drop("max_ok")
     )
+
+def _ewma_oracle() -> str:
+    from eventstream_notify_spark.operators.timeseries import EWMA_ORACLE
+
+    return EWMA_ORACLE
+
+
+@register("stream_ewma", extra=True, oracle=_ewma_oracle())
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of zx_ts_ewma: per-user EWMA as a CUSTOM
+    STATEFUL operator (applyInPandasWithState) whose state is the
+    last 19 quantized values per user — the window a 20-row-lookback
+    smoother needs to continue across micro-batches. Because the
+    kernel is the exact-integer formulation, the bounded replay
+    hash-matches the SAME DuckDB oracle as the batch operator — an
+    end-to-end proof that the streaming state machinery reproduces
+    batch semantics bit-for-bit, not approximately.
+
+    Scale: state is 19 bigints per active user, watermark-bounded
+    with a one-day idle eviction; the only shuffle keys on user_id.
+    """
+    from eventstream_notify_spark.streaming.state import ewma_stream
+
+    src = file_events_stream(spark, sf_dir)
+    return run_bounded(ewma_stream(src))

@@ -111,3 +111,88 @@ def rate_limit_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+EWMA_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts_us long, ewma double"
+)
+EWMA_STATE_SCHEMA = "vals array<long>"
+EWMA_LOOKBACK = 20  # window: current row + 19 predecessors
+
+
+def ewma_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful streaming EWMA — the exact-integer ts_ewma kernel
+    (alpha = 1/2 as power-of-two weights over a 20-row lookback)
+    carried across micro-batches: state is the last 19 quantized
+    values, so the first rows of batch N+1 see exactly the window the
+    batch operator would. Weighted sums run in arbitrary-precision
+    Python ints with an O(1) sliding recurrence
+    (num_p = 2*num_{p-1} + v_p, minus the evicted 2^19 term when the
+    window is full); the only floats are the final two IEEE divisions
+    — bit-identical to the batch/oracle formula."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (user_id,) = key
+    hist: list[int] = list(state.get[0]) if state.exists else []
+    last_ts = None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        vints = [int(v) for v in pdf["v_int"]]
+        arr = hist + vints
+        h = len(hist)
+        out = []
+        num = 0
+        for p in range(h, len(arr)):
+            lo = max(0, p - (EWMA_LOOKBACK - 1))
+            length = p - lo + 1
+            if p == h or lo == 0 and length < EWMA_LOOKBACK:
+                # (re)seed: window still growing or first row of batch
+                num = sum(
+                    v << (length - 1 - i)
+                    for i, v in enumerate(arr[lo : p + 1])
+                )
+            elif length == EWMA_LOOKBACK and p - 1 >= h and lo - 1 >= 0:
+                # full window sliding: evict oldest (weight 2^19)
+                num = 2 * (num - (arr[lo - 1] << (EWMA_LOOKBACK - 1))) + arr[p]
+            else:
+                num = 2 * num + arr[p]
+            den = (1 << length) - 1
+            out.append((float(num) / float(den)) / 1e6)
+        res = pdf[["event_id", "ts_us"]].copy()
+        res.insert(0, "user_id", user_id)
+        res["ewma"] = out
+        if len(res):
+            last_ts = int(res["ts_us"].iloc[-1])
+        hist = arr[-(EWMA_LOOKBACK - 1):]
+        yield res
+    state.update((hist,))
+    if last_ts is not None:
+        # evict users idle for one full day of event time
+        state.setTimeoutTimestamp(last_ts // 1000 + 86_400_000)
+
+
+def ewma_stream(events: DataFrame, watermark: str | None = "60 seconds") -> DataFrame:
+    """Streaming twin of ts_ewma. ``events`` must carry event-time
+    ``ts``; emits (user_id, event_id, ts_us, ewma) per input row."""
+    from pyspark.sql import functions as F
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("v_int"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        ewma_fn,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -179,3 +179,60 @@ def test_parse_wire_events_corrupt_path(spark):
     assert good[0].user_id == 1 and good[0].value == 1.0
     assert good[0].event_type == "event" and '"k"' in good[0].props
     assert len(bad) == 1 and bad[0]._corrupt_record == "not json at all"
+
+
+class _FakeState:
+    """Minimal GroupState double for driving stateful kernels directly."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+    def setTimeoutTimestamp(self, _ms):
+        pass
+
+
+def test_stream_ewma_kernel_multibatch_equals_whole_window():
+    """Feed the EWMA kernel the same rows as ONE batch and as TWO
+    batches split mid-window: outputs must be identical — the carried
+    state (last 19 values) plus the sliding recurrence must reproduce
+    the whole-history window exactly."""
+    import pandas as pd
+
+    from eventstream_notify_spark.streaming.state import ewma_fn
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [7] * 50,
+            "event_id": list(range(50)),
+            "ts_us": [1_000_000 * (i + 1) for i in range(50)],
+            "v_int": [((i * 37) % 101) * 1_000_000 for i in range(50)],
+        }
+    )
+
+    def run(splits):
+        state = _FakeState()
+        outs = []
+        for part in splits:
+            outs.extend(ewma_fn((7,), iter([part]), state))
+        return pd.concat(outs, ignore_index=True)
+
+    one = run([rows])
+    two = run([rows.iloc[:23], rows.iloc[23:]])
+    three = run([rows.iloc[:5], rows.iloc[5:30], rows.iloc[30:]])
+    pd.testing.assert_frame_equal(one, two)
+    pd.testing.assert_frame_equal(one, three)
+    # spot-check the first value: window of itself only
+    assert one["ewma"].iloc[0] == rows["v_int"].iloc[0] / 1e6
