@@ -543,3 +543,80 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_events"))
         .filter(F.col("n_events") >= _HEAVY_HITTER_MIN)
     )
+
+@register(
+    "scan_multiformat",
+    extra=True,
+    oracle="""
+    WITH base AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sum_v_int,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(epoch_us(ts) // 1000000000) AS BIGINT)
+                   AS sum_ts_hi,
+               CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT)
+                   AS sum_ts_lo
+        FROM events
+    )
+    SELECT f.fmt, b.n_rows, b.sum_v_int, b.n_users,
+           b.sum_ts_hi, b.sum_ts_lo
+    FROM base b CROSS JOIN (VALUES ('csv'), ('json')) f(fmt)
+    """,
+)
+def scan_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth: the events table round-trips through
+    the JSON and CSV connectors (write with explicit schema, read
+    back with explicit schema — never inferSchema, which is a full
+    extra pass at scale), then per-format lossless-ness is proven by
+    exact aggregates: row count, bigint-quantized value sum, distinct
+    users, timestamp-micros sum. The oracle computes the same numbers
+    straight off parquet — any encode/decode drift in either text
+    format breaks the hash.
+
+    Timestamps travel as unix-micros BIGINTs (text-format timestamp
+    rendering is locale/zone bait); doubles rely on the writer's
+    round-trippable shortest repr, which both connectors guarantee.
+
+    Scale: format conversion is an embarrassingly parallel
+    per-partition rewrite; the aggregates are one partial-agg scan
+    per format."""
+    import tempfile
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    root = tempfile.mkdtemp(prefix="esn_multiformat_")
+    e.write.mode("overwrite").json(f"{root}/json")
+    e.write.mode("overwrite").option("header", True).csv(f"{root}/csv")
+    js = spark.read.schema(schema).json(f"{root}/json")
+    cs = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(f"{root}/csv")
+    )
+
+    def summarize(df: DataFrame, fmt: str) -> DataFrame:
+        # ts sums split hi/lo around 1e9: SUM(raw micros) overflows
+        # int64 past ~5k rows; the pair pins every microsecond with
+        # headroom to billions of rows
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("bigint")).alias(
+                "sum_v_int"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.expr("ts_us div 1000000000")).alias("sum_ts_hi"),
+            F.sum(F.col("ts_us") % 1_000_000_000).alias("sum_ts_lo"),
+        ).select(F.lit(fmt).alias("fmt"), "*")
+
+    return summarize(cs, "csv").unionByName(summarize(js, "json"))
