@@ -561,12 +561,12 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.fmt, b.n_rows, b.sum_v_int, b.n_users,
            b.sum_ts_hi, b.sum_ts_lo
-    FROM base b CROSS JOIN (VALUES ('csv'), ('json')) f(fmt)
+    FROM base b CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(fmt)
     """,
 )
 def scan_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-format breadth: the events table round-trips through
-    the JSON and CSV connectors (write with explicit schema, read
+    the JSON, CSV and ORC connectors (write with explicit schema, read
     back with explicit schema — never inferSchema, which is a full
     extra pass at scale), then per-format lossless-ness is proven by
     exact aggregates: row count, bigint-quantized value sum, distinct
@@ -598,12 +598,14 @@ def scan_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="esn_multiformat_")
     e.write.mode("overwrite").json(f"{root}/json")
     e.write.mode("overwrite").option("header", True).csv(f"{root}/csv")
+    e.write.mode("overwrite").orc(f"{root}/orc")
     js = spark.read.schema(schema).json(f"{root}/json")
     cs = (
         spark.read.schema(schema)
         .option("header", True)
         .csv(f"{root}/csv")
     )
+    oc = spark.read.schema(schema).orc(f"{root}/orc")
 
     def summarize(df: DataFrame, fmt: str) -> DataFrame:
         # ts sums split hi/lo around 1e9: SUM(raw micros) overflows
@@ -619,4 +621,8 @@ def scan_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ts_us") % 1_000_000_000).alias("sum_ts_lo"),
         ).select(F.lit(fmt).alias("fmt"), "*")
 
-    return summarize(cs, "csv").unionByName(summarize(js, "json"))
+    return (
+        summarize(cs, "csv")
+        .unionByName(summarize(js, "json"))
+        .unionByName(summarize(oc, "orc"))
+    )

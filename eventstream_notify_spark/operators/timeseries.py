@@ -428,3 +428,110 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d.det") - seasonal, 6).alias("residual"),
         )
     )
+
+
+# OLS anchor: x is minutes since 2024-01-01T00:00Z — recentering near
+# the data keeps the normal-equation cross terms ~1e16, inside the
+# 2^53 double mantissa, so the slope division is numerically clean as
+# well as bit-deterministic.
+OLS_EPOCH_US = 1_704_067_200 * 1_000_000
+
+
+@register(
+    "ols_trend",
+    extra=True,
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id,
+               CAST((epoch_us(ts) - {OLS_EPOCH_US}) // 60000000 AS BIGINT)
+                   AS x,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1440.0 / 1e6, 6) AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+    FROM s
+    WHERE n >= 2
+      AND n * sxx - sx * sx <> 0
+    """,
+)
+def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordinary-least-squares trend of ``value`` over time —
+    the closed-form normal equations as ONE aggregation pass.
+
+    Spark ships ``regr_slope``/``regr_intercept``, but their float
+    accumulation order is partition-dependent — useless for a
+    cross-engine hash gate and irreproducible run-to-run at scale.
+    Instead the five sufficient statistics (n, Σx, Σy, Σx², Σxy) are
+    accumulated as EXACT bigints over quantized inputs (x = minutes
+    since the 2024-01-01 anchor, y = micro-units), then the slope is
+    derived in double arithmetic whose operand ORDER is written
+    identically on both engines: same exact integers in → same IEEE
+    ops → same doubles out. The quantization gives int64 headroom to
+    ~1e5 rows/key (Σxy ≤ 43200·5e8·n); beyond that, re-center x per
+    partition window.
+
+    Scale: one scan, one partial-agg shuffle keyed on user_id — the
+    sufficient-statistic trick means NO second centered pass (the
+    textbook two-pass formulation would rescan the fact per mean).
+    Reference parity: trends over auto_kafka_redis.py's value field
+    (event payload value, auto_kafka_redis.py:60)."""
+    pts = table(spark, sf_dir, "events").select(
+        "user_id",
+        ((F.unix_micros("ts") - F.lit(OLS_EPOCH_US)) / F.lit(60_000_000))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("value") * 1e6).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return (
+        s.filter(
+            (F.col("n") >= 2)
+            & (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                != 0
+            )
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(slope * F.lit(1440.0) / F.lit(1e6), 6).alias(
+                "slope_per_day"
+            ),
+            F.round(
+                (syd - slope * sxd) / nd / F.lit(1e6), 6
+            ).alias("intercept"),
+        )
+    )
