@@ -86,20 +86,44 @@ def tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond TIMESTAMP regardless of
+    the physical parquet layout the driver generated:
+
+    - ``bigint``  — TIMESTAMP(NANOS) read via the nanosAsLong legacy
+      conf; truncate nanos→micros (same truncation DuckDB applies).
+    - ``timestamp_ntz`` — TIMESTAMP(MICROS, isAdjustedToUTC=false);
+      cast to instant TIMESTAMP. The session timezone is pinned UTC in
+      ``tune_session``, so the NTZ wall-clock reinterprets to the exact
+      epoch-micros the DuckDB oracle computes.
+    - ``timestamp`` — already an instant; no-op.
+
+    Both the batch catalog and the streaming file source MUST route
+    through this — a unit mismatch silently mis-scales event time by
+    1000x instead of erroring.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → full pushdown support.
 
-    The ``events`` table stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; we read nanos as int64 (legacy conf, settable at
-    runtime) and convert to microsecond TIMESTAMP — same truncation
-    DuckDB applies, keeping the oracle bit-compatible.
+    The ``events`` table's ``ts`` physical type has varied across
+    testdata generations (TIMESTAMP(NANOS) read as int64 via legacy
+    conf; TIMESTAMP_NTZ micros); ``normalize_events_ts`` maps every
+    layout to the same microsecond instant TIMESTAMP.
     """
     tune_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -160,11 +160,15 @@ def kafka_events_sink(
 
 def file_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded replay of the events table as a stream (test double for
-    Kafka — SURVEY §7 'no live Kafka in CI'). Nanos are read as long
-    and converted, same as the batch catalog. tune_session matters
-    doubly here: on a vanilla session, shuffle partitions (200) pin the
-    streaming STATE partition count — 200 RocksDB instances/trigger."""
-    from eventstream_notify_spark.catalog import tune_session
+    Kafka — SURVEY §7 'no live Kafka in CI'). The ts column is
+    normalized through the same ``catalog.normalize_events_ts`` the
+    batch path uses — the streaming schema is derived from the actual
+    parquet footer (a driver-side metadata read, no data scan), so a
+    physical-layout change in the testdata can't silently mis-scale
+    event time. tune_session matters doubly here: on a vanilla
+    session, shuffle partitions (200) pin the streaming STATE
+    partition count — 200 RocksDB instances/trigger."""
+    from eventstream_notify_spark.catalog import normalize_events_ts, tune_session
 
     tune_session(spark)
     # Streaming state partition count == shuffle partitions at stream
@@ -178,8 +182,14 @@ def file_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
+    # Footer-only schema probe: streaming reads REQUIRE a declared
+    # schema, and declaring the wrong physical type for ts coerces
+    # instead of erroring (nanos declared as micros = every window
+    # collapses). Probe the real layout once, driver-side.
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(probe.dtypes).get("ts", "timestamp_ntz")
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
         "value double, props string"
     )
     raw = (
@@ -187,7 +197,7 @@ def file_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def rate_events_stream(
