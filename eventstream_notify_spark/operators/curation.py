@@ -1,0 +1,276 @@
+"""Training-data curation operators: chunking, epoch shuffling, PII
+redaction.
+
+These extend the LLM-pipeline family (SURVEY §2.F) with three shapes a
+large-scale pretraining pipeline needs between "curated corpus" and
+"training batches":
+
+- overlapping-window chunking (RAG / context packing prep),
+- deterministic epoch-shuffle ordering (reproducible global
+  permutations without materializing a random state),
+- PII redaction (regex scrubbing with audit counts).
+
+All three are scan-local or bucket-parallel — no all-pairs joins, no
+driver-side loops; see each docstring for the 100 TB argument.
+
+Reference scope note: the reference engine (auto_kafka_redis.py) has no
+document pipeline; these derive from the driver's ``documents`` table
+and public corpus-curation practice (C4/Gopher-style pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.registry import register
+
+# Tokens = whitespace runs, after trim: identical in Java regex (Spark)
+# and RE2 (DuckDB), no zero-length edge tokens.
+_WS = r"\s+"
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "llm_chunk_overlap",
+    extra=True,
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '{_WS}') AS tokens,
+               len(regexp_split_to_array(trim(text), '{_WS}')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, n,
+               unnest(generate_series(
+                   0, ((greatest(0, n - {CHUNK_SIZE}) + {CHUNK_STRIDE - 1})
+                       // {CHUNK_STRIDE}))) AS chunk_id
+        FROM toks
+    )
+    SELECT c.doc_id, c.chunk_id,
+           least({CHUNK_SIZE}, t.n - c.chunk_id * {CHUNK_STRIDE}) AS n_tokens,
+           md5(array_to_string(
+               t.tokens[c.chunk_id * {CHUNK_STRIDE} + 1 :
+                        c.chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}],
+               ' ')) AS chunk_md5
+    FROM chunks c JOIN toks t USING (doc_id)
+    """,
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking: size-64 word windows at
+    stride 48 (16-word overlap), the standard RAG/pretraining prep for
+    documents longer than the context budget.
+
+    Chunk count per doc = ceil(max(0, n-64)/48) + 1 in pure integer
+    arithmetic, so every token lands in >=1 chunk and the final partial
+    window is kept. Output carries md5(chunk_text) rather than the text
+    itself so the result (and the oracle hash) stays small.
+
+    Scale: split -> sequence -> explode -> slice is entirely scan-local
+    (narrow, whole-stage codegen); ZERO shuffles. At 100 TB this runs
+    at parquet-scan speed with ~1.33x row expansion.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), _WS).alias("tokens"),
+    ).withColumn("n", F.size("tokens"))
+    n_last = (
+        F.greatest(F.lit(0), F.col("n") - F.lit(CHUNK_SIZE))
+        + F.lit(CHUNK_STRIDE - 1)
+    ) / F.lit(CHUNK_STRIDE)
+    return (
+        toks.withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), n_last.cast("int"))),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.least(
+                F.lit(CHUNK_SIZE),
+                F.col("n") - F.col("chunk_id") * CHUNK_STRIDE,
+            ).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "tokens",
+                        F.col("chunk_id") * CHUNK_STRIDE + 1,
+                        F.lit(CHUNK_SIZE),
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+N_EPOCHS = 3
+# md5-prefix keys are < 2^60; >> 52 yields 256 balanced buckets.
+_SHUF_BUCKET_SHIFT = 52
+
+
+@register(
+    "llm_epoch_shuffle",
+    extra=True,
+    oracle=f"""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id,
+               CAST(('0x' || substring(
+                   md5(CAST(d.doc_id AS VARCHAR) || ':'
+                       || CAST(e.epoch AS VARCHAR)), 1, 15)) AS UBIGINT) AS k
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch) e
+    )
+    SELECT epoch,
+           row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos,
+           doc_id
+    FROM keyed
+    """,
+)
+def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle order: every epoch gets an
+    independent pseudo-random permutation of the corpus, reproducible
+    from (doc_id, epoch) alone — no RNG state to checkpoint, any worker
+    can recompute any shard's order (how large-scale training jobs
+    shuffle without a coordinator).
+
+    The key is the top 60 bits of md5(doc_id:epoch) — uniform, so
+    ordering by it IS the permutation.
+
+    Scale: a naive row_number() OVER (PARTITION BY epoch) puts one
+    epoch = ONE task (the whole corpus through a single partition —
+    dead at 100 TB). Instead this computes the classic distributed
+    global rank: bucket by the key's top byte (256 uniform buckets per
+    epoch), count per bucket, prefix-sum the tiny (epochs x 256)
+    bucket-count table for offsets, broadcast it back, and rank within
+    each (epoch, bucket) in parallel: pos = bucket_offset + local rank.
+    Hash-identical to the oracle's single-window form.
+    """
+    d = table(spark, sf_dir, "documents")
+    keyed = (
+        d.select("doc_id")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))))
+        .withColumn(
+            "k",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .withColumn("bucket", F.shiftright("k", _SHUF_BUCKET_SHIFT))
+    )
+    counts = keyed.groupBy("epoch", "bucket").agg(F.count("*").alias("c"))
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch",
+        "bucket",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_local = Window.partitionBy("epoch", "bucket").orderBy("k", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select(
+            "epoch",
+            (F.col("offset") + F.row_number().over(w_local)).alias("pos"),
+            "doc_id",
+        )
+    )
+
+
+# Redaction patterns — identical semantics in Java regex and RE2 (no
+# lookaround, no \b).
+_RE_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_RE_PHONE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_RE_IDNUM = r"[0-9]{6,}"
+
+# The synthetic documents are digit-free lowercase prose, so a pure
+# redaction over `text` would be vacuously zero-hit. Append a
+# deterministic PII-bearing contact line derived from doc_id (one
+# email, one phone, one 8-digit id per doc) so the kernel's match,
+# replace, and count paths all execute with nonzero traffic — and the
+# oracle must reproduce them exactly.
+_CONTACT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS STRING)"
+    " || '@example.com ph 415-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+    " || ' id ' || lpad(CAST(doc_id AS STRING), 8, '0')"
+)
+
+
+@register(
+    "text_pii_redact",
+    extra=True,
+    oracle=rf"""
+    WITH aug AS (
+        SELECT doc_id, {_CONTACT_SQL} AS t0 FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               regexp_replace(t0, '{_RE_EMAIL}', '<EMAIL>', 'g') AS t1,
+               len(regexp_extract_all(t0, '{_RE_EMAIL}')) AS n_email
+        FROM aug
+    ),
+    s2 AS (
+        SELECT doc_id, n_email,
+               regexp_replace(t1, '{_RE_PHONE}', '<PHONE>', 'g') AS t2,
+               len(regexp_extract_all(t1, '{_RE_PHONE}')) AS n_phone
+        FROM s1
+    )
+    SELECT doc_id, n_email, n_phone,
+           len(regexp_extract_all(t2, '{_RE_IDNUM}')) AS n_idnum,
+           n_email + n_phone
+               + len(regexp_extract_all(t2, '{_RE_IDNUM}')) AS n_redactions,
+           md5(regexp_replace(t2, '{_RE_IDNUM}', '<NUM>', 'g')) AS redacted_md5
+    FROM s2
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with audit counts: emails, then phone numbers,
+    then long digit runs, replaced in that order (so a phone's digit
+    groups are consumed before the id-number pass) with per-stage match
+    counts — the scrub-and-account shape privacy review requires of a
+    training-data pipeline.
+
+    Counting happens on each stage's INPUT (post-prior-redaction), so
+    categories never double-count the same span. Output carries
+    md5(redacted) so the full redacted text never leaves the executor.
+
+    Scale: pure per-row regex in whole-stage codegen — zero shuffles,
+    runs at parquet-scan speed; counts aggregate map-side if rolled up.
+    """
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.expr(_CONTACT_SQL).alias("t0"),
+    )
+    s1 = aug.select(
+        "doc_id",
+        F.regexp_replace("t0", _RE_EMAIL, "<EMAIL>").alias("t1"),
+        F.size(F.expr(f"regexp_extract_all(t0, '{_RE_EMAIL}', 0)")).alias("n_email"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "n_email",
+        F.regexp_replace("t1", _RE_PHONE, "<PHONE>").alias("t2"),
+        F.size(F.expr(f"regexp_extract_all(t1, '{_RE_PHONE}', 0)")).alias("n_phone"),
+    )
+    n_idnum = F.size(F.expr(f"regexp_extract_all(t2, '{_RE_IDNUM}', 0)"))
+    return s2.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        n_idnum.alias("n_idnum"),
+        (F.col("n_email") + F.col("n_phone") + n_idnum).alias("n_redactions"),
+        F.md5(F.regexp_replace("t2", _RE_IDNUM, "<NUM>")).alias("redacted_md5"),
+    )

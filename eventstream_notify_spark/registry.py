@@ -74,6 +74,7 @@ def _load_all() -> None:
     from eventstream_notify_spark.operators import (  # noqa: F401
         alerts,
         analytics,
+        curation,
         events,
         modern,
         multimodal,

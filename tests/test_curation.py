@@ -1,0 +1,136 @@
+"""Unit + plan tests for the curation operators (chunking, epoch
+shuffle, PII redaction)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from eventstream_notify_spark.plans.explain import plan_str
+from eventstream_notify_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Every doc's token count n implies ceil(max(0,n-64)/48)+1 chunks;
+    the last chunk ends exactly at token n (full coverage, no orphan
+    tail), and consecutive chunks overlap by exactly 16 tokens."""
+    rows = queries()["zx_llm_chunk_overlap"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        # every chunk except the last is full-size
+        assert all(c.n_tokens == 64 for c in chunks[:-1])
+        last = chunks[-1]
+        n = last.chunk_id * 48 + last.n_tokens  # reconstructed token count
+        assert len(chunks) == max(0, -(-(max(0, n - 64)) // 48)) + 1
+        assert 0 < last.n_tokens <= 64
+
+
+def test_chunk_overlap_md5_matches_python(spark, sf_dir):
+    """Spot-check the chunk text hash against a pure-Python rebuild."""
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .select("doc_id", "text")
+        .first()
+    )
+    tokens = doc.text.strip().split()
+    want = hashlib.md5(" ".join(tokens[0:64]).encode()).hexdigest()
+    got = (
+        queries()["zx_llm_chunk_overlap"](spark, sf_dir)
+        .filter((F.col("doc_id") == doc.doc_id) & (F.col("chunk_id") == 0))
+        .first()
+        .chunk_md5
+    )
+    assert got == want
+
+
+def test_chunk_overlap_is_scan_local(spark):
+    """Chunking must be narrow: split/sequence/explode/slice with ZERO
+    Exchange — at 100 TB this is the difference between scan-speed and
+    a corpus-wide shuffle."""
+    df = queries()["zx_llm_chunk_overlap"](spark, SF)
+    assert "Exchange" not in plan_str(df, "simple")
+
+
+def test_epoch_shuffle_is_permutation(spark, sf_dir):
+    """Each epoch's pos must be exactly 1..N (bucket offsets + local
+    ranks interleave seamlessly), and epochs must order docs
+    differently (the permutations are independent)."""
+    df = queries()["zx_llm_epoch_shuffle"](spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    per_epoch = (
+        df.groupBy("epoch")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.countDistinct("pos").alias("distinct_pos"),
+        )
+        .collect()
+    )
+    assert len(per_epoch) == 3
+    for r in per_epoch:
+        assert (r.n, r.lo, r.hi, r.distinct_pos) == (n_docs, 1, n_docs, n_docs)
+    # different epochs must not agree on the first document
+    firsts = {r.doc_id for r in df.filter(F.col("pos") == 1).collect()}
+    assert len(firsts) > 1
+
+
+def test_epoch_shuffle_no_single_partition_window(spark):
+    """The global rank must come from (epoch, bucket) windows — 768
+    fine partitions — never a window partitioned by epoch alone (3
+    partitions = whole corpus through 3 tasks)."""
+    df = queries()["zx_llm_epoch_shuffle"](spark, SF)
+    plan = plan_str(df, "simple")
+    import re
+
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "bucket" in spec, f"window not bucket-partitioned: {spec}"
+
+
+def test_pii_redact_counts_and_masks(spark, sf_dir):
+    """Every doc gains exactly one email, one phone, one id-run from the
+    deterministic contact line; digits inside already-redacted spans
+    must not be double-counted."""
+    rows = queries()["zx_text_pii_redact"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_email == 1
+        assert r.n_phone == 1
+        assert r.n_idnum == 1  # the 8-digit lpad id; phone digits consumed
+        assert r.n_redactions == 3
+
+
+def test_pii_redact_matches_python_reference(spark, sf_dir):
+    """Rebuild one doc's redaction in pure Python and compare hashes."""
+    import re
+
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .select("doc_id", "text")
+        .first()
+    )
+    t0 = (
+        f"{doc.text} contact user{doc.doc_id}@example.com"
+        f" ph 415-555-{doc.doc_id % 10000:04d} id {doc.doc_id:08d}"
+    )
+    t1 = re.sub(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>", t0)
+    t2 = re.sub(r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>", t1)
+    t3 = re.sub(r"[0-9]{6,}", "<NUM>", t2)
+    want = hashlib.md5(t3.encode()).hexdigest()
+    got = (
+        queries()["zx_text_pii_redact"](spark, sf_dir)
+        .filter(F.col("doc_id") == doc.doc_id)
+        .first()
+        .redacted_md5
+    )
+    assert got == want
