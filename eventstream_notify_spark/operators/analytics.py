@@ -612,3 +612,238 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("users"),
         )
     )
+
+
+# ------------------------------------------------------- percentiles
+
+
+@register(
+    "agg_percentiles",
+    extra=True,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.90), 6) AS p90,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (linear interpolation): the latency/
+    value-distribution readout every dashboard needs. Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the SQL-standard
+    interpolation, so parity is exact at 6 d.p.
+
+    Scale: exact percentile buffers each group's values — fine for
+    bounded group counts (5 event types). The unbounded-cardinality
+    scale path is ``zx_agg_sketches``'s KLL/approx_percentile; this
+    operator is its exact twin on low-cardinality groups.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# ------------------------------------------------------ corr matrix
+
+
+@register(
+    "corr_matrix",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+             SUM(CAST(round(value * 1000) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.v AS x, b.v AS y
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, COUNT(*) AS n,
+      ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*y) AS DOUBLE)
+             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+       / sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+               - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+            * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y*y) AS DOUBLE)
+               - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))), 6)
+        AS pearson_r
+    FROM pairs GROUP BY 1, 2
+    HAVING (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) > 0
+       AND (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y*y) AS DOUBLE)
+            - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)) > 0
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' per-(user,day)
+    activity totals — the behavioral co-occurrence matrix.
+
+    Cross-engine float parity trick (same as zx_ts_ewma): every
+    aggregate is an EXACT bigint (milli-unit quantized sums), and the
+    correlation is one deterministic double expression over those six
+    exact integers — identical IEEE evaluation on both engines, so the
+    result hash-matches at 6 d.p. Degenerate (zero-variance) pairs are
+    filtered on both sides rather than risking NaN-vs-NULL skew.
+
+    Scale: one shuffle of the fact on (user_id, day, event_type) to
+    build `daily`, then a self-equi-join on (user_id, day) — both sides
+    co-partitioned, candidate width bounded by types-per-user-day (<=5)
+    — then a 10-row aggregate. No driver loops, no wide pivot.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+    ).agg(F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("v"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    return (
+        agg.filter((var_x > 0) & (var_y > 0))
+        .select(
+            "type_a",
+            "type_b",
+            "n",
+            F.round((nd * sxy - sx * sy) / F.sqrt(var_x * var_y), 6).alias(
+                "pearson_r"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------- skyline
+
+
+_SKY_BUCKETS = 64
+
+
+@register(
+    "skyline_pareto_bucketed",
+    extra=True,
+    oracle="""
+    WITH g AS (
+        SELECT o_totalprice AS p, max(o_orderdate) AS gmax
+        FROM orders GROUP BY 1
+    ),
+    gm AS (
+        SELECT p, gmax,
+               max(gmax) OVER (ORDER BY p DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        FROM g
+    )
+    SELECT o.o_orderkey, o.o_totalprice,
+           epoch_us(o.o_orderdate) AS date_us
+    FROM orders o JOIN gm ON o.o_totalprice = gm.p
+    WHERE (gm.m1 IS NULL OR gm.m1 < o.o_orderdate)
+      AND o.o_orderdate = gm.gmax
+    """,
+)
+def skyline_pareto_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over ORDERS with the DISTRIBUTED sweep (cf.
+    zx_skyline_pareto in relational.py: same operator class, single
+    global-window sweep over `part`): orders not dominated on
+    (o_totalprice, o_orderdate) — no other order is >= on both axes and
+    strictly greater on one. The classic multi-criteria shortlist
+    operator (Borzsony/Kossmann/Stocker, ICDE'01 'The Skyline
+    Operator').
+
+    Dominance decomposes per price group: a row survives iff it carries
+    its price group's max date AND no strictly-higher price group
+    reaches that date. The oracle computes "max date over all strictly
+    higher prices" with ONE global window — correct, but a single
+    ordering task at scale.
+
+    Scale shape instead: the same distributed-prefix pattern as
+    zx_llm_epoch_shuffle — range-bucket prices (fixed-width bins off a
+    1-row min/max agg), compute the per-bucket date max, prefix-max the
+    TINY bucket table (64 rows) for "max date in all higher buckets",
+    broadcast it back, and run the strictly-higher-price window
+    PARTITIONED BY BUCKET (parallel; higher bucket => strictly higher
+    price, proven by fixed-width binning). Every step is a bounded
+    shuffle or a broadcast; nothing funnels the fact through one task.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderdate").alias("d"),
+    )
+    lohi = o.agg(F.min("p").alias("lo"), F.max("p").alias("hi")).first()
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) / _SKY_BUCKETS or 1.0
+    bucket = F.least(
+        F.lit(_SKY_BUCKETS - 1),
+        F.floor((F.col("p") - F.lit(lo)) / F.lit(width)),
+    ).alias("bucket")
+
+    g = o.select(bucket, "p", "d").groupBy("bucket", "p").agg(
+        F.max("d").alias("gmax")
+    )
+    b = g.groupBy("bucket").agg(F.max("gmax").alias("bmax"))
+    w_above = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = b.select("bucket", F.max("bmax").over(w_above).alias("m_above"))
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("p").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gm = (
+        g.withColumn("m_local", F.max("gmax").over(w_local))
+        .join(F.broadcast(prefix), "bucket")
+        # greatest() skips NULLs: null m_local/m_above mean "no higher
+        # price exists on that side"
+        .withColumn("m1", F.greatest("m_local", "m_above"))
+    )
+    return (
+        o.select(bucket, "o_orderkey", "p", "d")
+        .join(gm.select("bucket", "p", "gmax", "m1"), ["bucket", "p"])
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("d")))
+            & (F.col("d") == F.col("gmax"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("p").alias("o_totalprice"),
+            F.unix_micros(F.col("d").cast("timestamp")).alias("date_us"),
+        )
+    )
