@@ -274,3 +274,92 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_email") + F.col("n_phone") + n_idnum).alias("n_redactions"),
         F.md5(F.regexp_replace("t2", _RE_IDNUM, "<NUM>")).alias("redacted_md5"),
     )
+
+
+# ------------------------------------------------- fuzzy typo lookup
+
+# Deletion-key blocking for edit distance <= 1: every string emits
+# itself plus each single-character deletion as join keys. Two strings
+# within one edit ALWAYS share a key (delete the differing position);
+# sharing a key does NOT imply distance <= 1, so candidates get an
+# exact levenshtein verify. Standard spell-join (FastSS family).
+_DEL_KEYS = (
+    "transform(sequence(0, length({c})), "
+    "i -> concat(substring({c}, 1, i), substring({c}, i + 2)))"
+)
+
+
+@register(
+    "fuzzy_typo_lookup",
+    extra=True,
+    oracle="""
+    WITH probes AS (
+        SELECT p_partkey AS probe_id,
+               substring(p_name, 1, p_partkey % length(p_name)) ||
+               substring(p_name, p_partkey % length(p_name) + 2) AS q
+        FROM part
+    ),
+    pk AS (
+        SELECT probe_id, q,
+               unnest(list_transform(range(0, length(q) + 1),
+                   i -> substring(q, 1, i) || substring(q, i + 2))) AS key
+        FROM probes
+    ),
+    nk AS (
+        SELECT p_name,
+               unnest(list_transform(range(0, length(p_name) + 1),
+                   i -> substring(p_name, 1, i)
+                        || substring(p_name, i + 2))) AS key
+        FROM (SELECT DISTINCT p_name FROM part)
+    ),
+    cand AS (
+        SELECT DISTINCT pk.probe_id, pk.q, nk.p_name
+        FROM pk JOIN nk USING (key)
+    ),
+    hits AS (
+        SELECT probe_id, q, p_name, levenshtein(q, p_name) AS dist
+        FROM cand WHERE levenshtein(q, p_name) <= 1
+    )
+    SELECT probe_id, COUNT(*) AS n_names, MIN(dist) AS min_dist
+    FROM hits GROUP BY probe_id
+    """,
+)
+def fuzzy_typo_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy catalog lookup: part names corrupted by one deterministic
+    character deletion (position = p_partkey mod length) matched back
+    against the distinct name catalog at edit distance <= 1 — the
+    typo-tolerant entity-resolution shape (product matching, query
+    spelling, dedup of near-identical titles).
+
+    Scale: NEVER a levenshtein cross join. Both sides explode into
+    deletion keys (len+1 keys per string, the FastSS blocking), match
+    on a hash equi-join, dedupe candidates, and verify with one exact
+    levenshtein per candidate. Candidate count is bounded by true
+    near-matches plus blocking collisions — independent of catalog x
+    probe cardinality. Per-probe aggregation (match count + min
+    distance) keeps the output narrow even on duplicate-heavy
+    catalogs.
+    """
+    part = table(spark, sf_dir, "part")
+    probes = part.select(
+        F.col("p_partkey").alias("probe_id"),
+        F.expr(
+            "concat(substring(p_name, 1, p_partkey % length(p_name)), "
+            "substring(p_name, p_partkey % length(p_name) + 2))"
+        ).alias("q"),
+    )
+    pk = probes.select(
+        "probe_id", "q", F.explode(F.expr(_DEL_KEYS.format(c="q"))).alias("key")
+    )
+    names = part.select("p_name").distinct()
+    nk = names.select(
+        "p_name", F.explode(F.expr(_DEL_KEYS.format(c="p_name"))).alias("key")
+    )
+    cand = pk.join(nk, "key").select("probe_id", "q", "p_name").distinct()
+    hits = cand.withColumn("dist", F.levenshtein("q", "p_name")).filter(
+        F.col("dist") <= 1
+    )
+    return hits.groupBy("probe_id").agg(
+        F.count("*").alias("n_names"),
+        F.min("dist").alias("min_dist"),
+    )

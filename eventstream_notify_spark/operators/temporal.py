@@ -275,3 +275,108 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_locf"),
         F.col("v").isNull().cast("int").alias("was_gap"),
     )
+
+
+# ------------------------------------------------- point-in-time join
+
+
+PIT_LOOKBACK_US = 3_600_000_000  # probe = 1 h before each purchase
+SCD2_EOT_US = 253_402_300_800_000_000  # year-9999 sentinel (scd2 twin)
+
+
+@register(
+    "scd2_point_in_time",
+    extra=True,
+    oracle=f"""
+    WITH changes AS (
+        SELECT user_id, state, ts_us, event_id FROM (
+            SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+                   event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ) WHERE state <> prev OR prev IS NULL
+    ),
+    scd AS (
+        SELECT user_id, state,
+               ts_us AS valid_from_us,
+               COALESCE(LEAD(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ), {SCD2_EOT_US}) AS valid_to_us
+        FROM changes
+    ),
+    probes AS (
+        SELECT event_id, user_id,
+               epoch_us(ts) - {PIT_LOOKBACK_US} AS probe_ts_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.probe_ts_us,
+           COALESCE(s.state, 'none') AS state_at
+    FROM probes p LEFT JOIN scd s
+      ON p.user_id = s.user_id
+     AND p.probe_ts_us >= s.valid_from_us
+     AND p.probe_ts_us <  s.valid_to_us
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: each purchase probes the SCD2 user
+    -state dimension (zx_scd2_user_state's intervals) for the state
+    valid one hour BEFORE the purchase — the leakage-free feature
+    lookup every ML feature store must answer ("what did we know at
+    prediction time?").
+
+    The oracle expresses it as the textbook interval-containment LEFT
+    join. A range join like that degrades to per-key nested loops at
+    scale, so the engine instead rides the as-of kernel shape: tag and
+    union state-change rows (side 0) with probe rows (side 1), sort
+    within user by (ts, side, event_id), carry the last non-null state
+    forward, keep probes. ONE shuffle on user_id, no range predicate.
+    The event_id tie-break makes same-timestamp state flips
+    deterministic: the later change wins, exactly matching the
+    zero-width intervals the LEAD-based SCD2 build produces.
+
+    Probes earlier than a user's first state resolve to 'none'
+    (LEFT-join parity).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter((F.col("event_type") != F.col("prev")) | F.col("prev").isNull())
+        .select(
+            "user_id",
+            F.col("ts_us").alias("ord_us"),
+            F.lit(0).alias("side"),
+            "event_id",
+            F.col("event_type").alias("state"),
+        )
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts_us") - PIT_LOOKBACK_US).alias("ord_us"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ord_us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        changes.unionByName(probes)
+        .withColumn("state_at", F.last("state", ignorenulls=True).over(wc))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ord_us").alias("probe_ts_us"),
+            F.coalesce("state_at", F.lit("none")).alias("state_at"),
+        )
+    )

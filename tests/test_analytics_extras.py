@@ -68,3 +68,73 @@ def test_skyline_bucketed_no_global_window_over_fact(spark):
     # partitioning — that one runs on a 64-row table and is fine
     for s in unpartitioned:
         assert "bucket" in s, f"window neither partitioned nor over buckets: {s}"
+
+
+def test_pit_join_has_no_range_join(spark):
+    """The PIT lookup must ride the union+carry-forward kernel — a
+    range/theta join would plan a (BroadcastNestedLoop|Cartesian)
+    join and die at scale."""
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    plan = plan_str(queries()["zx_scd2_point_in_time"](spark, SF), "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_pit_join_matches_python_reconstruction(spark, sf_dir):
+    """Replay one user's timeline in Python: the state at probe time
+    must be the last state change at or before probe_ts."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "event_type",
+            "unix_micros(cast(ts as timestamp)) AS ts_us",
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    got = {
+        r.event_id: r.state_at
+        for r in queries()["zx_scd2_point_in_time"](spark, sf_dir).collect()
+    }
+    checked = 0
+    for user, evs in list(by_user.items())[:5]:
+        evs.sort(key=lambda r: (r.ts_us, r.event_id))
+        changes = []
+        prev = None
+        for e in evs:
+            if e.event_type != prev:
+                changes.append((e.ts_us, e.event_id, e.event_type))
+                prev = e.event_type
+        for e in evs:
+            if e.event_type != "purchase":
+                continue
+            probe = e.ts_us - 3_600_000_000
+            state = "none"
+            for ts, eid, st in changes:
+                if ts <= probe:
+                    state = st
+            assert got[e.event_id] == state
+            checked += 1
+    assert checked > 0
+
+
+def test_fuzzy_lookup_every_probe_finds_origin(spark, sf_dir):
+    """Each probe is one deletion away from its origin name, so every
+    probe must report >= 1 match at distance <= 1."""
+    res = {r.probe_id: r for r in queries()["zx_fuzzy_typo_lookup"](spark, sf_dir).collect()}
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    assert len(res) == n_parts
+    for r in res.values():
+        assert r.n_names >= 1
+        assert r.min_dist <= 1
+
+
+def test_fuzzy_lookup_blocked_not_cross_joined(spark):
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    plan = plan_str(queries()["zx_fuzzy_typo_lookup"](spark, SF), "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
