@@ -847,3 +847,153 @@ def skyline_pareto_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("d").cast("timestamp")).alias("date_us"),
         )
     )
+
+
+# ----------------------------------------------------- sliding DAU
+
+
+@register(
+    "sliding_dau",
+    extra=True,
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT day, COUNT(*) AS dau1 FROM du GROUP BY day),
+    exp AS (
+      SELECT du.day + o.o AS day, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) o
+    )
+    SELECT e.day, COUNT(DISTINCT e.user_id) AS dau7, d.dau1
+    FROM exp e JOIN days d ON e.day = d.day
+    GROUP BY e.day, d.dau1
+    """,
+)
+def sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (DAU/WAU) — the
+    canonical hard sliding-window op, because COUNT(DISTINCT) does not
+    decompose over window frames.
+
+    Scale shape: distinct (day,user) pairs once, then EXPLODE each
+    pair into the 7 window-end days it contributes to (narrow 7x
+    expansion of the already-deduped pairs, not of the fact), and
+    count distinct per day. A days-x-pairs BETWEEN join would plan a
+    nested loop; the expansion is a generator + one exchange. Days
+    with no events of their own are dropped by the broadcast join
+    against the real-day list (window ends only where data exists).
+    """
+    e = table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    days = du.groupBy("day").agg(F.count("*").alias("dau1"))
+    exp = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "day", "user_id"
+    ).select((F.col("day") + F.col("o")).alias("day"), "user_id")
+    return (
+        exp.join(F.broadcast(days), "day")
+        .groupBy("day", "dau1")
+        .agg(F.countDistinct("user_id").alias("dau7"))
+        .select("day", "dau7", "dau1")
+    )
+
+
+# ------------------------------------------------------- A/B stats
+
+
+@register(
+    "ab_test_stats",
+    extra=True,
+    oracle="""
+    WITH assigned AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant, event_type,
+             CAST(round(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, variant, COUNT(*) AS n,
+             SUM(v) AS s, SUM(v*v) AS ss
+      FROM assigned GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+             a.ss AS ss_a, b.ss AS ss_b
+      FROM m a JOIN m b
+        ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type, n_a, n_b,
+      ROUND((CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / 1000.0, 6)
+        AS lift,
+      ROUND((CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+       / sqrt((CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+                 / CAST(n_a AS DOUBLE)
+            + (CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+               - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                 / CAST(n_b AS DOUBLE)), 6) AS z_score
+    FROM w
+    """,
+)
+def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B readout per event type: deterministic variant
+    assignment (user_id parity — in production, a salted hash bucket),
+    mean lift, and Welch z-score.
+
+    Same cross-engine float discipline as zx_corr_matrix: the only
+    aggregates are exact bigints (count, milli-unit sum, milli-unit
+    sum of squares); means, variances, and the z-score are one
+    deterministic double expression over those integers, evaluated
+    with identical structure on both engines.
+
+    Scale: one partial+final aggregation of the fact into 10 rows
+    (type x variant), then a self-join of the 10-row table. Nothing
+    after the first exchange depends on data volume.
+    """
+    e = table(spark, sf_dir, "events")
+    m = (
+        e.select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            "event_type",
+            F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+    )
+    a = m.filter(F.col("variant") == 0).alias("a")
+    b = m.filter(F.col("variant") == 1).alias("b")
+    w = a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.s").alias("s_a"),
+        F.col("b.s").alias("s_b"),
+        F.col("a.ss").alias("ss_a"),
+        F.col("b.ss").alias("ss_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    ssa, ssb = F.col("ss_a").cast("double"), F.col("ss_b").cast("double")
+    mean_a, mean_b = sa / na, sb / nb
+    var_term = (ssa / na - mean_a * mean_a) / na + (
+        ssb / nb - mean_b * mean_b
+    ) / nb
+    return w.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round((mean_b - mean_a) / 1000.0, 6).alias("lift"),
+        F.round((mean_b - mean_a) / F.sqrt(var_term), 6).alias("z_score"),
+    )

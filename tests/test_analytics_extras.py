@@ -138,3 +138,46 @@ def test_fuzzy_lookup_blocked_not_cross_joined(spark):
 
     plan = plan_str(queries()["zx_fuzzy_typo_lookup"](spark, SF), "simple")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_sliding_dau_dominates_daily(spark, sf_dir):
+    """dau7 >= dau1 everywhere, and dau7 never exceeds the 7-day sum
+    of dailies; all days in output must carry data of their own."""
+    rows = queries()["zx_sliding_dau"](spark, sf_dir).collect()
+    assert rows
+    daily = {r.day: r.dau1 for r in rows}
+    for r in rows:
+        assert r.dau7 >= r.dau1
+        window_sum = sum(daily.get(r.day - o, 0) for o in range(7))
+        assert r.dau7 <= window_sum
+
+
+def test_ab_stats_recompute_from_pandas(spark, sf_dir):
+    """Recompute one event type's z-score with numpy from the same
+    quantized values and compare at 6 d.p."""
+    import numpy as np
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "cast(user_id % 2 as int) AS variant",
+            "event_type",
+            "cast(round(value * 1000) as bigint) AS v",
+        )
+        .filter("event_type = 'click'")
+        .toPandas()
+    )
+    a = pdf[pdf.variant == 0].v.to_numpy(dtype=np.float64)
+    b = pdf[pdf.variant == 1].v.to_numpy(dtype=np.float64)
+    lift = (b.mean() - a.mean()) / 1000.0
+    z = (b.mean() - a.mean()) / np.sqrt(
+        (np.mean(a * a) - a.mean() ** 2) / len(a)
+        + (np.mean(b * b) - b.mean() ** 2) / len(b)
+    )
+    got = (
+        queries()["zx_ab_test_stats"](spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .first()
+    )
+    assert abs(got.lift - lift) < 1e-5
+    assert abs(got.z_score - z) < 1e-5
