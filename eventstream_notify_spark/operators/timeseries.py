@@ -535,3 +535,146 @@ def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
+
+
+# ------------------------------------------------------------- ACF
+
+
+@register(
+    "ts_acf",
+    extra=True,
+    oracle="""
+    WITH hc AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+    p AS (
+      SELECT l.lag, a.c AS x, b.c AS y
+      FROM lags l JOIN hc a ON true JOIN hc b ON b.hour = a.hour + l.lag
+    )
+    SELECT lag, COUNT(*) AS n,
+      ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*y) AS DOUBLE)
+             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+       / sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+               - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+            * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y*y) AS DOUBLE)
+               - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))), 6)
+        AS acf
+    FROM p GROUP BY lag
+    HAVING (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x*x) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) > 0
+       AND (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y*y) AS DOUBLE)
+            - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)) > 0
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-rate series at lags
+    1..24 — the seasonality detector feeding zx_ts_decompose's period
+    choice.
+
+    Pairwise-complete ACF: each lag correlates the series against its
+    shifted self over the overlapping hours (equi-join on hour+lag,
+    never a window over the whole series). Counts are integers, so the
+    zx_corr_matrix float discipline applies verbatim: exact bigint
+    moments, one deterministic double expression, degenerate lags
+    filtered identically on both engines.
+
+    Scale: the fact collapses to per-hour counts at the first
+    exchange (~9k rows/year); the 24x lag expansion and self-join act
+    on that tiny series, not the fact.
+    """
+    e = table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour")
+    ).agg(F.count("*").alias("c"))
+    a = (
+        hc.withColumn("lag", F.explode(F.sequence(F.lit(1), F.lit(24))))
+        .select("lag", F.col("hour").alias("h"), F.col("c").alias("x"))
+    )
+    b = hc.select(F.col("hour").alias("hb"), F.col("c").alias("y"))
+    p = a.join(b, F.col("hb") == F.col("h") + F.col("lag")).select(
+        "lag", "x", "y"
+    )
+    agg = p.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    return (
+        agg.filter((var_x > 0) & (var_y > 0))
+        .select(
+            "lag",
+            "n",
+            F.round((nd * sxy - sx * sy) / F.sqrt(var_x * var_y), 6).alias(
+                "acf"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------- CUSUM
+
+
+@register(
+    "change_point_cusum",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(round(value * 1000) AS BIGINT)) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+    c AS (
+      SELECT day,
+             CAST(SUM(t.n * d.x - t.s) OVER (ORDER BY day) AS BIGINT)
+                 AS cusum
+      FROM daily d CROSS JOIN tot t
+    )
+    SELECT day, cusum FROM c
+    ORDER BY abs(cusum) DESC, day LIMIT 1
+    """,
+)
+def change_point_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily value series: the
+    day where the cumulative deviation from the global mean peaks (the
+    classic single-change-point estimator).
+
+    Fully INTEGER arithmetic — the usual CUSUM accumulates x_i - mean
+    (a float), but scaling by n turns it into n*x_i - S, an exact
+    bigint: the argmax is identical and nothing floats, so parity is
+    bit-exact with no rounding discipline needed at all.
+
+    Scale: the fact reduces to ~365 daily rows at the first exchange;
+    the running sum and argmax act on that. The running-sum window is
+    over the tiny daily table (single partition of hundreds of rows —
+    bounded by days, not data; the bucket-prefix pattern applies if
+    the grain were ever finer).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("x"))
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("cusum", F.sum(F.col("n") * F.col("x") - F.col("s")).over(w))
+    )
+    return (
+        c.select("day", "cusum")
+        .orderBy(F.abs(F.col("cusum")).desc(), "day")
+        .limit(1)
+    )

@@ -181,3 +181,38 @@ def test_ab_stats_recompute_from_pandas(spark, sf_dir):
     )
     assert abs(got.lift - lift) < 1e-5
     assert abs(got.z_score - z) < 1e-5
+
+
+def test_acf_bounds_and_lag_domain(spark, sf_dir):
+    rows = queries()["zx_ts_acf"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.lag <= 24
+        assert -1.0 <= r.acf <= 1.0
+        assert r.n > 1
+
+
+def test_cusum_matches_python(spark, sf_dir):
+    """Integer CUSUM argmax recomputed in pure Python must agree."""
+    import collections
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day",
+            "cast(round(value * 1000) as bigint) AS v",
+        )
+        .collect()
+    )
+    daily = collections.defaultdict(int)
+    for r in rows:
+        daily[r.day] += r.v
+    days = sorted(daily)
+    n, s = len(days), sum(daily.values())
+    best, run = None, 0
+    for d in days:
+        run += n * daily[d] - s
+        if best is None or abs(run) > abs(best[1]):
+            best = (d, run)
+    got = queries()["zx_change_point_cusum"](spark, sf_dir).first()
+    assert (got.day, got.cusum) == best
