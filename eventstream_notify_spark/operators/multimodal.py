@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -276,4 +276,89 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ph.groupBy("phash").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count("*").alias("copies"),
+    )
+
+
+SHARD_TARGET_BYTES = 16_384  # prod: 256MB-1GB tar shards; scaled to corpus
+
+
+@register(
+    "mm_shard_pack",
+    extra=True,
+    oracle=f"""
+    WITH assets AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             CAST(('0x' || substring(
+                 md5('shard:' || CAST(doc_id AS STRING)), 1, 15))
+                 AS UBIGINT) AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_bytes,
+             CAST(SUM(n_bytes) OVER (ORDER BY k, doc_id) AS BIGINT)
+                 - n_bytes AS start_off
+      FROM assets
+    )
+    SELECT start_off // {SHARD_TARGET_BYTES} AS shard_id,
+           COUNT(*) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
+    FROM c GROUP BY 1
+    """,
+)
+def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment: media assets packed into
+    size-balanced shards in a deterministic pseudo-random order (hash
+    key shuffles correlated neighbors apart), shard = byte offset of
+    the asset's start div the target shard size. The export step every
+    multimodal training pipeline runs before writing tar shards.
+
+    The global byte-offset running sum uses the SAME bucket-prefix
+    pattern as zx_llm_epoch_shuffle (256 hash-key buckets, per-bucket
+    cumsum in parallel, tiny bucket-total table prefix-summed and
+    broadcast back) — never one task scanning all assets. Blobs
+    themselves never shuffle; only (doc_id, n_bytes, key) triples do.
+    """
+    d = table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias(
+            "n_bytes"
+        ),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("k"),
+    ).withColumn("bucket", F.shiftright("k", 52))
+    btot = assets.groupBy("bucket").agg(F.sum("n_bytes").alias("b"))
+    w_off = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "bucket", F.coalesce(F.sum("b").over(w_off), F.lit(0)).alias("boff")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        assets.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "start_off",
+            F.col("boff") + F.sum("n_bytes").over(w_local) - F.col("n_bytes"),
+        )
+        .groupBy(
+            F.expr(f"start_off div {SHARD_TARGET_BYTES}").alias("shard_id")
+        )
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("shard_bytes"),
+        )
     )

@@ -2363,3 +2363,56 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), "w1", "w2"
     ).limit(100)
+
+
+@register(
+    "llm_bpe_pair_counts",
+    extra=True,
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                 i -> substring(w, i, 2))) AS pair, f
+      FROM wf
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting kernel of BPE tokenizer training: corpus-weighted
+    adjacent character-pair frequencies, top 20 — i.e. the statistic
+    that picks each merge. (Full BPE iterates merge→recount; each
+    round is exactly this plan over the rewritten vocab, so the kernel
+    is the scale-relevant piece. Simplified: no end-of-word marker.)
+
+    Scale: the fact collapses to the DISTINCT-WORD table (+counts) at
+    the first exchange — pair explosion happens on vocabulary, not
+    corpus (Zipf: vocab grows ~sqrt of corpus). Weighted counts then
+    aggregate map-side; top-20 is a TakeOrdered, no global sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

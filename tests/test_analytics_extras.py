@@ -216,3 +216,43 @@ def test_cusum_matches_python(spark, sf_dir):
             best = (d, run)
     got = queries()["zx_change_point_cusum"](spark, sf_dir).first()
     assert (got.day, got.cusum) == best
+
+
+def test_shard_pack_conserves_assets_and_bytes(spark, sf_dir):
+    """Shards must partition the corpus: totals conserved, every shard
+    except possibly the last reaches the target once it closes."""
+    rows = queries()["zx_mm_shard_pack"](spark, sf_dir).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("sum(octet_length(encode(text, 'UTF-8'))) AS b", "count(*) AS n")
+        .first()
+    )
+    assert sum(r.n_assets for r in rows) == docs.n
+    assert sum(r.shard_bytes for r in rows) == docs.b
+    ids = sorted(r.shard_id for r in rows)
+    assert ids == list(range(len(ids)))  # contiguous shard ids
+
+
+def test_bpe_pairs_match_python(spark, sf_dir):
+    """Recount the top pair in pure Python."""
+    import collections
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    cnt: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in t.strip().split():
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    cnt[w[i : i + 2]] += 1
+    rows = queries()["zx_llm_bpe_pair_counts"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    top = rows[0]
+    best = max(cnt.items(), key=lambda kv: (kv[1], ))
+    assert top.cnt == cnt[top.pair] == max(cnt.values())
+    for r in rows:
+        assert r.cnt == cnt[r.pair]
