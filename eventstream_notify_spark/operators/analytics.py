@@ -997,3 +997,105 @@ def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean_b - mean_a) / 1000.0, 6).alias("lift"),
         F.round((mean_b - mean_a) / F.sqrt(var_term), 6).alias("z_score"),
     )
+
+
+# ------------------------------------------------ interval concurrency
+
+
+_CONC_BUCKETS = 64
+
+
+@register(
+    "max_concurrent_sessions",
+    extra=True,
+    oracle="""
+    WITH se AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+      FROM (SELECT user_id, ts_us,
+                   SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts_us) AS sid
+            FROM se)
+      GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s_us AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT e_us + 1 AS t, -1 FROM sess
+    ),
+    sweep AS (
+      SELECT t, CAST(SUM(SUM(d)) OVER (ORDER BY t) AS BIGINT) AS concurrent
+      FROM deltas GROUP BY t
+    )
+    SELECT t AS ts_us, concurrent FROM sweep
+    ORDER BY concurrent DESC, t LIMIT 10
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency: sessionize (30-min gaps, same islands as
+    zx_sessionize_events), then the classic +1/-1 interval sweep — the
+    'max simultaneous connections' / capacity-planning query.
+
+    The sweep's running sum is a GLOBAL prefix over session-boundary
+    deltas, so it gets the same range-bucket treatment as
+    zx_skyline_pareto_bucketed: fixed-width TIME bins off one min/max
+    row, per-bin delta totals prefix-summed on the tiny bin table and
+    broadcast back, running sum inside each bin in parallel plus its
+    bin offset. Deltas are 2 rows/session (<< events), and no stage
+    funnels them through one task.
+    """
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_start",
+            (
+                F.col("prev_us").isNull()
+                | ((F.col("ts_us") - F.col("prev_us")) > SESSION_GAP_US)
+            ).cast("int"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_start").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts_us", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+    deltas = sess.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("d")
+    ).unionByName(sess.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("d")))
+    grouped = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
+    lohi = grouped.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).first()
+    lo, hi = int(lohi["lo"]), int(lohi["hi"])
+    width = max(1, (hi - lo) // _CONC_BUCKETS + 1)
+    b = grouped.withColumn("bucket", ((F.col("t") - lo) / width).cast("bigint"))
+    btot = b.groupBy("bucket").agg(F.sum("dd").alias("bsum"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "bucket", F.coalesce(F.sum("bsum").over(w_off), F.lit(0)).alias("boff")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn("concurrent", F.col("boff") + F.sum("dd").over(w_local))
+        .select(F.col("t").alias("ts_us"), "concurrent")
+        .orderBy(F.col("concurrent").desc(), "ts_us")
+        .limit(10)
+    )

@@ -256,3 +256,42 @@ def test_bpe_pairs_match_python(spark, sf_dir):
     assert top.cnt == cnt[top.pair] == max(cnt.values())
     for r in rows:
         assert r.cnt == cnt[r.pair]
+
+
+def test_max_concurrent_matches_python_sweep(spark, sf_dir):
+    """Recompute peak concurrency with a python sweep over the same
+    session intervals."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_micros(cast(ts as timestamp)) AS ts_us",
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts_us, r.event_id))
+    deltas: dict[int, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        start = prev = None
+        for ts, _ in evs:
+            if prev is None or ts - prev > 1_800_000_000:
+                if start is not None:
+                    deltas[prev + 1] = deltas.get(prev + 1, 0) - 1
+                start = ts
+                deltas[ts] = deltas.get(ts, 0) + 1
+            prev = ts
+        deltas[prev + 1] = deltas.get(prev + 1, 0) - 1
+    run, best = 0, []
+    for t in sorted(deltas):
+        run += deltas[t]
+        best.append((run, t))
+    want = sorted(best, key=lambda x: (-x[0], x[1]))[:10]
+    got = [
+        (r.concurrent, r.ts_us)
+        for r in queries()["zx_max_concurrent_sessions"](spark, sf_dir).collect()
+    ]
+    assert got == want
