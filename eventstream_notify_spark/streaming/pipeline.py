@@ -19,7 +19,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eventstream_notify_spark.registry import register
@@ -678,3 +678,101 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = file_events_stream(spark, sf_dir)
     return run_bounded(ewma_stream(src))
+
+
+@register(
+    "stream_pit_enrich",
+    extra=True,
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, state, ts_us, event_id FROM (
+            SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+                   event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ) WHERE state <> prev OR prev IS NULL
+    ),
+    scd AS (
+        SELECT user_id, state,
+               ts_us AS valid_from_us,
+               COALESCE(LEAD(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+               ), 253402300800000000) AS valid_to_us
+        FROM changes
+    ),
+    probes AS (
+        SELECT user_id, epoch_us(ts) - 3600000000 AS probe_us, value
+        FROM events
+    )
+    SELECT COALESCE(s.state, 'none') AS state_at,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM probes p LEFT JOIN scd s
+      ON p.user_id = s.user_id
+     AND p.probe_us >= s.valid_from_us
+     AND p.probe_us <  s.valid_to_us
+    GROUP BY 1
+    """,
+)
+def stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment — the feature-store serving
+    path: every event on the stream is enriched with the SCD2 state
+    that was valid one hour before it, via a PER-MICRO-BATCH join
+    against the broadcast interval dimension (equi on user_id + a
+    residual containment filter — a BroadcastHashJoin per batch, and
+    the dimension re-resolves at every refresh like any slowly
+    changing dim in Structured Streaming). Batch twin:
+    zx_scd2_point_in_time (union+carry-forward); this is the shape
+    you run when the dimension is small enough to broadcast and the
+    STREAM is the unbounded side.
+
+    Bounded replay equals the batch interval join exactly, so the
+    aggregate (events + decimal value sum per state) oracle-checks.
+    """
+    from eventstream_notify_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dim = F.broadcast(
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter((F.col("event_type") != F.col("prev")) | F.col("prev").isNull())
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("state"),
+            F.col("ts_us").alias("valid_from_us"),
+            F.coalesce(
+                F.lead("ts_us").over(w),
+                F.lit(253_402_300_800_000_000),
+            ).alias("valid_to_us"),
+        )
+    )
+    src = file_events_stream(spark, sf_dir)
+    probes = src.select(
+        "user_id",
+        (F.unix_micros("ts") - 3_600_000_000).alias("probe_us"),
+        "value",
+    )
+    joined = probes.join(
+        dim,
+        (probes.user_id == dim.d_user)
+        & (F.col("probe_us") >= F.col("valid_from_us"))
+        & (F.col("probe_us") < F.col("valid_to_us")),
+        "left",
+    )
+    agg = (
+        joined.groupBy(F.coalesce("state", F.lit("none")).alias("state_at"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return run_bounded(agg, output_mode="complete")

@@ -295,3 +295,13 @@ def test_max_concurrent_matches_python_sweep(spark, sf_dir):
         for r in queries()["zx_max_concurrent_sessions"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_stream_pit_enrich_states_partition_events(spark, sf_dir):
+    """Every event lands in exactly one state bucket; totals conserve."""
+    rows = queries()["zx_stream_pit_enrich"](spark, sf_dir).collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n_events
+    states = {r.state_at for r in rows}
+    assert "none" in states  # earliest probes precede any state
+    assert states <= {"none", "click", "view", "purchase", "signup", "error"}
