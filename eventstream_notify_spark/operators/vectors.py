@@ -701,3 +701,93 @@ def sim_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 50
+MMR_K = 10
+
+
+@register("mmr_rerank", extra=True)  # rows-only: iterative greedy argmax
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: take each query's top-50
+    cosine candidates and greedily pick 10 that trade off relevance
+    against redundancy (lambda=0.7) — the diversification pass behind
+    every retrieval stack (Carbonell & Goldstein, SIGIR'98).
+
+    The candidate cut is the existing broadcast + HOF-dot-product
+    kernel (distributed); the greedy argmax is inherently sequential
+    IN K but over <= 50 candidates per query, so it runs as an
+    applyInPandas kernel per query group — numpy over a 50 x dim
+    block, Arrow-batched, thousands of queries in parallel. This is
+    the canonical 'small iterative core after a distributed cut'
+    split. Rows-only: the greedy recurrence is not SQL-expressible;
+    a python-reference test pins the kernel exactly.
+    """
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    cand = (
+        e.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("score"),
+            (F.col("embedding")).alias("emb"),
+            F.col("nrm").alias("cnrm"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CANDIDATES)
+        .drop("rn")
+    )
+
+    out_schema = (
+        "query_id bigint, rank int, vec_id bigint, mmr_score double"
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["score", "vec_id"], ascending=[False, True])
+        pdf = pdf.reset_index(drop=True)
+        embs = np.stack(pdf["emb"].to_numpy())
+        nrms = pdf["cnrm"].to_numpy(dtype=np.float64)
+        sims = (embs @ embs.T) / np.outer(nrms, nrms)
+        rel = pdf["score"].to_numpy(dtype=np.float64)
+        vec_ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        rows = []
+        max_sim = np.zeros(n)
+        for rank in range(min(MMR_K, n)):
+            mmr_score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+            mmr_score[selected] = -np.inf
+            # deterministic tie-break: lowest vec_id among maxima
+            best = np.lexsort((vec_ids, -mmr_score))[0]
+            selected.append(best)
+            rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank + 1,
+                    int(vec_ids[best]),
+                    round(float(mmr_score[best]), 6),
+                )
+            )
+            max_sim = np.maximum(max_sim, sims[:, best])
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "vec_id", "mmr_score"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(mmr, out_schema)

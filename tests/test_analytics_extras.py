@@ -305,3 +305,67 @@ def test_stream_pit_enrich_states_partition_events(spark, sf_dir):
     states = {r.state_at for r in rows}
     assert "none" in states  # earliest probes precede any state
     assert states <= {"none", "click", "view", "purchase", "signup", "error"}
+
+
+def test_mmr_rerank_matches_python_reference(spark, sf_dir):
+    """Rebuild one query's MMR selection exactly in numpy."""
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    qid = 0
+    qv = emb[qid]
+    qn = np.sqrt((qv * qv).sum())
+    cands = []
+    for vid, v in emb.items():
+        if vid == qid:
+            continue
+        n = np.sqrt((v * v).sum())
+        cands.append((round(float(qv @ v / (qn * n)), 6), vid, v, n))
+    cands.sort(key=lambda t: (-t[0], t[1]))
+    cands = cands[:50]
+    rel = np.array([c[0] for c in cands])
+    ids = np.array([c[1] for c in cands])
+    V = np.stack([c[2] for c in cands])
+    N = np.array([c[3] for c in cands])
+    sims = (V @ V.T) / np.outer(N, N)
+    max_sim = np.zeros(len(cands))
+    sel, want = [], []
+    for rank in range(10):
+        sc = 0.7 * rel - 0.3 * max_sim
+        sc[sel] = -np.inf
+        best = int(np.lexsort((ids, -sc))[0])
+        sel.append(best)
+        want.append((qid, rank + 1, int(ids[best]), round(float(sc[best]), 6)))
+        max_sim = np.maximum(max_sim, sims[:, best])
+    from pyspark.sql import functions as SF
+
+    got = [
+        (r.query_id, r.rank, r.vec_id, r.mmr_score)
+        for r in queries()["zx_mmr_rerank"](spark, sf_dir)
+        .filter(SF.col("query_id") == qid)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_mmr_first_pick_is_top_cosine_and_diverse(spark, sf_dir):
+    """Rank-1 must equal the plain cosine top-1; selections distinct."""
+    mmr = queries()["zx_mmr_rerank"](spark, sf_dir).collect()
+    cos = queries()["sim_search_cosine"](spark, sf_dir).collect()
+    top1 = {
+        r.query_id: r.vec_id
+        for r in cos
+        if r.score == max(c.score for c in cos if c.query_id == r.query_id)
+    }
+    by_q: dict[int, list] = {}
+    for r in mmr:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len({r.vec_id for r in rows}) == len(rows)
+        if qid in top1:
+            assert rows[0].vec_id == top1[qid]
