@@ -31,6 +31,11 @@ def audit(plan: str) -> list[str]:
     flags = []
     if "CartesianProduct" in plan:
         flags.append("!! CartesianProduct (unbounded pair blowup)")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append(
+            "BNLJ: fine iff the broadcast side is bounded (query sets, "
+            "rule tables, 1-row aggregates, salt ranges); fatal if data-sized"
+        )
     if "BatchEvalPython" in plan:
         flags.append("!! row-at-a-time Python UDF (use Arrow/pandas)")
     n_ex = len(re.findall(r"\bExchange\b", plan))
