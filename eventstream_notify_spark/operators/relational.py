@@ -1317,3 +1317,54 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "json_key_stats",
+    extra=True,
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS key, props FROM events
+    ),
+    typed AS (
+      SELECT key,
+             CASE WHEN TRY_CAST(json_extract_string(props, '$.' || key)
+                       AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END AS is_num
+      FROM kv
+    )
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_num) AS BIGINT) AS n_numeric,
+           CAST(COUNT(*) - SUM(is_num) AS BIGINT) AS n_other
+    FROM typed GROUP BY key
+    """,
+)
+def json_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema discovery: enumerate every key appearing
+    in the ``props`` JSON column with presence and inferred-type
+    counts — what a catalog crawler runs before promoting JSON paths
+    to typed columns (cf. scalar_variant, which consumes a KNOWN
+    path; this finds the paths).
+
+    Type inference is defined engine-neutrally as double-castability
+    of the extracted string (Spark's non-ANSI cast and DuckDB's
+    TRY_CAST agree: NULL on non-numeric). Scale: json_object_keys +
+    explode is scan-local; the aggregate is by key (bounded by schema
+    vocabulary, not rows).
+    """
+    e = table(spark, sf_dir, "events")
+    kv = e.select(
+        F.explode(F.json_object_keys("props")).alias("key"), "props"
+    )
+    typed = kv.select(
+        "key",
+        F.expr("get_json_object(props, concat('$.', key))")
+        .cast("double")
+        .isNotNull()
+        .cast("int")
+        .alias("is_num"),
+    )
+    return typed.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("is_num").alias("n_numeric"),
+        (F.count("*") - F.sum("is_num")).alias("n_other"),
+    )
