@@ -369,3 +369,17 @@ def test_mmr_first_pick_is_top_cosine_and_diverse(spark, sf_dir):
         assert len({r.vec_id for r in rows}) == len(rows)
         if qid in top1:
             assert rows[0].vec_id == top1[qid]
+
+
+def test_incremental_rollup_merge_reads_view_not_history(spark):
+    """The merge plan must scan the materialized view plus a
+    cutoff-FILTERED events scan — history reaches Spark only through
+    the view. The events-side parquet scan must carry a pushed ts
+    filter."""
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    df = queries()["zx_incremental_rollup"](spark, SF)
+    plan = plan_str(df, "formatted")
+    assert "ivm_rollup_" in plan  # the standing view is a scan source
+    # the events scan pushes the cutoff down to parquet
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan, plan
