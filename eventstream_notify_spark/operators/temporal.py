@@ -453,3 +453,86 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_mv").alias("sum_mv"),
         )
     )
+
+
+# -------------------------------------------------- forward as-of
+
+
+@register(
+    "join_asof_forward",
+    extra=True,
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           MIN(e.ts_us) - p.ts_us AS us_to_error
+    FROM p LEFT JOIN e ON e.user_id = p.user_id AND e.ts_us > p.ts_us
+    GROUP BY p.event_id, p.user_id, p.ts_us
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each purchase is paired with the user's NEXT
+    error strictly after it (time-to-failure after purchase — the
+    survival-analysis join; zx_join_asof is the backward twin). NULL
+    when no later error exists.
+
+    Same union + carry kernel as the backward as-of, run in REVERSE
+    time order: sort within user by ts DESC with error rows before
+    purchase rows at equal ts excluded by the strict inequality
+    (side 0 = error sorts AFTER side 1 = purchase at equal ts under
+    the side ASC tie-break, so an error AT the purchase instant is
+    not visible — '>' semantics). min-of-future becomes
+    last-non-null-carry over the reversed stream. One user_id
+    shuffle; the oracle's theta-join formulation would be a per-key
+    nested loop at scale.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts_us").alias("ord_us"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts_us").alias("err_us"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("ord_us"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("err_us"),
+    )
+    # DESC time: rows later in real time come FIRST; carrying the last
+    # non-null error ts forward = the MINIMUM future error. side ASC at
+    # equal ord_us puts the error (side 0) BEFORE the purchase in the
+    # reversed stream, i.e. visible — so exclude the equal instant by
+    # carrying from strictly-preceding rows only after ordering on
+    # (ord_us DESC, side ASC): at equal ts the error row precedes and
+    # WOULD be visible, violating '>'; order side DESC instead so the
+    # purchase row comes first and never sees the same-instant error.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ord_us").desc(), F.col("side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        err.unionByName(pur)
+        .withColumn("next_err", F.last("err_us", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ord_us").alias("ts_us"),
+            (F.col("next_err") - F.col("ord_us")).alias("us_to_error"),
+        )
+    )
