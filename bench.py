@@ -237,8 +237,13 @@ def main() -> None:
     for name in names:
         fn = qs[name]
         # warm the plan (analysis) outside the timer? No — cold, honest.
+        # Headline queries are the round-over-round trend markers, so
+        # they always get median-of-3 (±60% single-shot jitter would
+        # otherwise read as regressions); the long extras tail stays
+        # at the budgeted rep count.
+        q_reps = max(reps, 3) if name in HEADLINE else reps
         runs: list[float] = []
-        for _ in range(reps):
+        for _ in range(q_reps):
             cleanup()
             t0 = time.time()
             try:
