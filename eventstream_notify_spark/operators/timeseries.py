@@ -678,3 +678,141 @@ def change_point_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum")).desc(), "day")
         .limit(1)
     )
+
+
+# ------------------------------------------------------ KS drift
+
+
+@register(
+    "ks_drift_test",
+    extra=True,
+    oracle="""
+    WITH a AS (SELECT CAST(round(value*1000) AS BIGINT) v FROM events
+               WHERE user_id % 2 = 0),
+    b AS (SELECT CAST(round(value*1000) AS BIGINT) v FROM events
+          WHERE user_id % 2 = 1),
+    na AS (SELECT COUNT(*) n FROM a), nb AS (SELECT COUNT(*) n FROM b),
+    pts AS (
+      SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM (
+        SELECT v, 1 AS ia, 0 AS ib FROM a
+        UNION ALL SELECT v, 0, 1 FROM b
+      ) GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      FROM pts
+    )
+    SELECT c.v AS at_v,
+           CAST(abs((SELECT n FROM nb) * c.cum_a
+                    - (SELECT n FROM na) * c.cum_b) AS BIGINT) AS d_num,
+           CAST((SELECT n FROM na) AS BIGINT) AS n_a,
+           CAST((SELECT n FROM nb) AS BIGINT) AS n_b
+    FROM cum c
+    ORDER BY abs((SELECT n FROM nb) * c.cum_a
+                 - (SELECT n FROM na) * c.cum_b) DESC, c.v
+    LIMIT 1
+    """,
+)
+def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the A/B
+    variants' value distributions (the distribution-level companion to
+    zx_ab_test_stats' mean test; in production: training-vs-serving
+    feature drift).
+
+    The KS statistic D = max |F_a − F_b| is computed WITHOUT floats:
+    scaling by n_a*n_b gives |n_b·cumA(v) − n_a·cumB(v)| — exact
+    bigints with the same argmax (the CUSUM trick again). Output is
+    the supremum point, the integer numerator, and both sample sizes
+    (D = d_num / (n_a*n_b)).
+
+    Scale: the fact reduces to per-distinct-value counts at the first
+    exchange (bounded by value cardinality); cumulative sums run over
+    that bounded table, and the two 1-row counts broadcast.
+    """
+    e = table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("ia"),
+    )
+    pts = e.groupBy("v").agg(
+        F.sum("ia").alias("ca"),
+        F.sum(1 - F.col("ia")).alias("cb"),
+    )
+    tot = pts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        pts.withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    d = F.abs(
+        F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b")
+    )
+    return (
+        cum.select(
+            F.col("v").alias("at_v"),
+            d.alias("d_num"),
+            "n_a",
+            "n_b",
+        )
+        .orderBy(F.col("d_num").desc(), "at_v")
+        .limit(1)
+    )
+
+
+# -------------------------------------------------- rolling median
+
+
+@register(
+    "rolling_median",
+    extra=True,
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(round(value*1000) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(median(v) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS med_mv
+    FROM e
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 21-event median of each user's quantized values — the
+    robust denoiser (median filters shrug off the outliers that wreck
+    zx_ts_ewma-style means; see also zx_anomaly_mad).
+
+    Medians are holistic — no decomposable partial — but the frame is
+    a BOUNDED 21 rows, so collect_list over the frame + sort_array +
+    middle element is exact and O(frame log frame) per row, riding
+    the ONE user_id shuffle. Even-sized warm-up frames interpolate
+    (avg of the two middles) exactly like DuckDB's window median.
+    Unbounded-frame medians would need the KLL sketch path instead.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-20, 0)
+    )
+    med = F.expr(
+        "CASE WHEN size(arr) % 2 = 1"
+        " THEN CAST(element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) AS DOUBLE)"
+        " ELSE (element_at(arr, CAST(size(arr) div 2 AS INT))"
+        "       + element_at(arr, CAST(size(arr) div 2 + 1 AS INT))) / 2.0 END"
+    )
+    return (
+        e.withColumn("arr", F.sort_array(F.collect_list("v").over(w)))
+        .select("user_id", "event_id", "ts_us", med.alias("med_mv"))
+    )
