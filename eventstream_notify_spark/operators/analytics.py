@@ -1099,3 +1099,41 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("concurrent").desc(), "ts_us")
         .limit(10)
     )
+
+
+@register("sliding_dau_hll", extra=True)  # rows-only: sketch estimates
+def sliding_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path for zx_sliding_dau: per-day HyperLogLog
+    sketches (Spark's DataSketches HLL, lgK=14 => ~0.8% rel. error),
+    merged over each 7-day window — COUNT DISTINCT becomes a
+    MERGEABLE aggregate, so window reuse costs a tiny sketch union
+    instead of re-touching (day,user) pairs.
+
+    Exact twin zx_sliding_dau expands deduped pairs 7x; that is fine
+    while distinct users per day fit a shuffle, but sketches make the
+    rollup O(days x 16KB) regardless of cardinality — the same
+    partial-merge property zx_incremental_rollup exploits for
+    algebraic aggregates, extended to the holistic one. Rows-only by
+    nature; the accuracy bound vs the exact twin is pinned in tests.
+    """
+    e = table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    sketches = du.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    days = du.select("day").distinct()
+    exp = sketches.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "day", "sk"
+    ).select((F.col("day") + F.col("o")).alias("day"), "sk")
+    return (
+        exp.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("dau7_est")
+        )
+    )

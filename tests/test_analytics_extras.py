@@ -383,3 +383,18 @@ def test_incremental_rollup_merge_reads_view_not_history(spark):
     assert "ivm_rollup_" in plan  # the standing view is a scan source
     # the events scan pushes the cutoff down to parquet
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan, plan
+
+
+def test_sliding_dau_hll_accuracy_vs_exact(spark, sf_dir):
+    """HLL lgK=14 must land within 2% of the exact 7-day distinct
+    count on every window (theoretical rel. err ~0.8%)."""
+    exact = {
+        r.day: r.dau7 for r in queries()["zx_sliding_dau"](spark, sf_dir).collect()
+    }
+    est = {
+        r.day: r.dau7_est
+        for r in queries()["zx_sliding_dau_hll"](spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for day, v in exact.items():
+        assert abs(est[day] - v) <= max(1, 0.02 * v), (day, v, est[day])
