@@ -134,3 +134,53 @@ def test_pii_redact_matches_python_reference(spark, sf_dir):
         .redacted_md5
     )
     assert got == want
+
+
+def test_curation_ops_edge_case_parity_vs_duckdb(spark, tmp_path):
+    """Degenerate documents (empty text, single token, leading/
+    trailing whitespace, unicode) must hash-match the DuckDB oracle —
+    a future testdata regen could contain any of these."""
+    import duckdb
+    import pandas as pd
+
+    from eventstream_notify_spark.registry import lookup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "",
+                "one",
+                "  padded  ",
+                "naïve café ünïcode tökens",
+                "a b c " * 30,
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [0, 3, 10, 25, 180],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    def fingerprint(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(repr(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)
+        )
+
+    for name in (
+        "llm_chunk_overlap",
+        "text_pii_redact",
+        "llm_epoch_shuffle",
+        "llm_bpe_pair_counts",
+    ):
+        reg = lookup(name)
+        sdf = reg.fn(spark, str(tmp_path)).toPandas()
+        ddf = con.sql(reg.oracle).df()
+        assert fingerprint(sdf) == fingerprint(ddf), name
