@@ -1137,3 +1137,159 @@ def sliding_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("dau7_est")
         )
     )
+
+
+# -------------------------------------------------- windowed funnel
+
+
+DAY_US = 86_400_000_000
+
+
+@register(
+    "funnel_windowed",
+    extra=True,
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                FROM events),
+    v AS (SELECT user_id, MIN(ts_us) AS view_us FROM ev
+          WHERE event_type='view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, MIN(e.ts_us) AS click_us
+      FROM ev e JOIN v USING (user_id)
+      WHERE e.event_type='click' AND e.ts_us > v.view_us
+        AND e.ts_us <= v.view_us + {DAY_US}
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts_us) AS purchase_us
+      FROM ev e JOIN c USING (user_id) JOIN v USING (user_id)
+      WHERE e.event_type='purchase' AND e.ts_us > c.click_us
+        AND e.ts_us <= v.view_us + {7 * DAY_US}
+      GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_view,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_click_1d,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_purchase_7d
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (the product-analytics default):
+    view → click within 1 DAY of the view → purchase within 7 DAYS of
+    the view (and after the click). Unlike zx_funnel_conversion's
+    unbounded ordering, each step carries a deadline anchored at
+    funnel entry — the extra per-user frame columns ride the same
+    broadcastable 1-row step frames; the fact is still never
+    self-joined.
+    """
+    ev = _ev(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("view_us"))
+            & (F.col("ts_us") <= F.col("view_us") + DAY_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_us"))
+    )
+    cv = c.join(F.broadcast(v), "user_id")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cv), "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("click_us"))
+            & (F.col("ts_us") <= F.col("view_us") + 7 * DAY_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_view"),
+            F.count("click_us").alias("n_click_1d"),
+            F.count("purchase_us").alias("n_purchase_7d"),
+        )
+    )
+
+
+# ------------------------------------------------------------- RFM
+
+
+@register(
+    "rfm_segments",
+    extra=True,
+    oracle="""
+    WITH anchor AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+    per_user AS (
+      SELECT user_id,
+             (SELECT now_us FROM anchor) - MAX(epoch_us(ts)) AS recency_us,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT)
+                 AS monetary_mv
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, monetary_mv,
+             NTILE(5) OVER (ORDER BY recency_us ASC, user_id) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+             NTILE(5) OVER (ORDER BY monetary_mv DESC, user_id) AS m
+      FROM per_user
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(monetary_mv) AS BIGINT) AS segment_mv
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user Recency / Frequency / Monetary
+    quintiles over purchases (NTILE with deterministic user_id
+    tie-breaks — identical bucket boundaries cross-engine), rolled up
+    to segment sizes and value — the classic CRM cut.
+
+    Scale: the fact collapses to one row per purchasing user at the
+    first exchange. The three NTILEs order that per-user table
+    globally — bounded by user count, and each is the bucket-prefix
+    pattern's candidate if users outgrow one task. Monetary stays in
+    exact milli-unit bigints.
+    """
+    e = table(spark, sf_dir, "events")
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias(
+                "monetary_mv"
+            ),
+        )
+    )
+    now = pu.agg(F.max("last_us").alias("now_us"))
+    scored = pu.crossJoin(F.broadcast(now)).select(
+        "user_id",
+        "monetary_mv",
+        (F.col("now_us") - F.col("last_us")).alias("recency_us"),
+        "frequency",
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_us").asc(), "user_id"))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary_mv").desc(), "user_id"))
+    return (
+        scored.select(
+            r.alias("r"), f.alias("f"), m.alias("m"), "monetary_mv"
+        )
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("monetary_mv").alias("segment_mv"),
+        )
+    )
