@@ -1368,3 +1368,75 @@ def json_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_num").alias("n_numeric"),
         (F.count("*") - F.sum("is_num")).alias("n_other"),
     )
+
+
+@register(
+    "key_skew_audit",
+    extra=True,
+    oracle="""
+    WITH kc AS (SELECT user_id, COUNT(*) AS c FROM events
+                GROUP BY user_id),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS i FROM kc
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_c,
+             CAST(SUM(i * c) AS BIGINT) AS s_ic
+      FROM ranked
+    )
+    SELECT n_keys, n_rows, max_c,
+           ROUND(CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE), 6) AS hot_key_ratio,
+           ROUND((2.0 * CAST(s_ic AS DOUBLE))
+                 / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                 - (CAST(n_keys AS DOUBLE) + 1.0)
+                   / CAST(n_keys AS DOUBLE), 6) AS gini
+    FROM agg
+    """,
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic for the user_id key: key and
+    row counts, the hottest key's load relative to uniform
+    (hot_key_ratio = max_c / (n_rows/n_keys) — the number AQE's skew
+    threshold compares against), and the Gini coefficient of the load
+    distribution. This is the measurement that decides between a
+    plain shuffle, AQE skew-split, and zx_join_salted.
+
+    Gini via the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
+    ascending-sorted counts: every aggregate is an exact bigint
+    (rank-weighted sums — the corr_matrix discipline), floats appear
+    only in the final expression. The rank window runs over the
+    per-key count table (bounded by key cardinality; bucket-prefix
+    pattern if keys outgrow one task).
+    """
+    e = table(spark, sf_dir, "events")
+    kc = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    ranked = kc.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "user_id"))
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+        F.sum(F.col("i") * F.col("c")).alias("s_ic"),
+    )
+    nk = F.col("n_keys").cast("double")
+    nr = F.col("n_rows").cast("double")
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_c",
+        F.round(F.col("max_c").cast("double") * nk / nr, 6).alias(
+            "hot_key_ratio"
+        ),
+        F.round(
+            (2.0 * F.col("s_ic").cast("double")) / (nk * nr)
+            - (nk + 1.0) / nk,
+            6,
+        ).alias("gini"),
+    )
