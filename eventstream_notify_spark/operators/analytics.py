@@ -1293,3 +1293,112 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary_mv").alias("segment_mv"),
         )
     )
+
+
+# -------------------------------------------------------- YoY / LTV
+
+
+@register(
+    "yoy_growth",
+    extra=True,
+    oracle="""
+    WITH yearly AS (
+      SELECT n.n_name,
+             CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y') AS INT) AS yr,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, yr, revenue,
+           ROUND(CASE WHEN LAG(revenue) OVER w > 0
+                THEN revenue / LAG(revenue) OVER w - 1.0 END, 6)
+               AS yoy_growth
+    FROM yearly WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+    """,
+)
+def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the standard BI
+    trend readout: decimal-exact yearly sums (order-independent),
+    then LAG on the tiny (nation x year) grid. First years emit NULL
+    growth on both engines. Scale: the fact reduces at the first
+    exchange; the window runs over ~175 rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    yearly = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "n_name",
+        "yr",
+        "revenue",
+        F.round(
+            F.when(prev > 0, F.col("revenue") / prev - 1.0), 6
+        ).alias("yoy_growth"),
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    extra=True,
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+             CAST(round(value*1000) AS BIGINT) AS mv
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cw FROM ev GROUP BY 1),
+    wk AS (
+      SELECT c.cw, e.week - c.cw AS off, CAST(SUM(e.mv) AS BIGINT) AS wk_mv
+      FROM ev e JOIN cohort c USING (user_id) GROUP BY 1, 2
+    )
+    SELECT cw AS cohort_week, off AS week_offset,
+           CAST(SUM(wk_mv) OVER (PARTITION BY cw ORDER BY off) AS BIGINT)
+               AS cum_mv
+    FROM wk
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curve per first-purchase cohort —
+    zx_retention_cohorts' monetary sibling: purchases bucket into
+    (cohort week, week offset), then a running sum per cohort gives
+    the LTV trajectory. Exact milli-unit bigints end to end; the
+    cumsum runs over the tiny cohort-week triangle. Same one-shuffle
+    cohort-join shape as retention (per-user 1-row cohort frame,
+    broadcastable).
+    """
+    e = table(spark, sf_dir, "events")
+    ev = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("week"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("mv"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cw"))
+    wk = (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy("cw", (F.col("week") - F.col("cw")).alias("off"))
+        .agg(F.sum("mv").alias("wk_mv"))
+    )
+    w = (
+        Window.partitionBy("cw")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return wk.select(
+        F.col("cw").alias("cohort_week"),
+        F.col("off").alias("week_offset"),
+        F.sum("wk_mv").over(w).alias("cum_mv"),
+    )
