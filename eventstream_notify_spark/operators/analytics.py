@@ -1402,3 +1402,147 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("off").alias("week_offset"),
         F.sum("wk_mv").over(w).alias("cum_mv"),
     )
+
+
+# ------------------------------------------- shares / cumulative / IAT
+
+
+@register(
+    "revenue_share",
+    extra=True,
+    oracle="""
+    WITH nr AS (
+      SELECT r.r_name, n.n_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name, n_name, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6)
+               AS region_share,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS global_share
+    FROM nr
+    """,
+)
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region
+    and of the world — the percent-of-total window every BI layer
+    names. Decimal-exact sums reduce the fact to 25 rows first; both
+    share windows run over that grid, and the empty-frame global
+    window is a 25-row broadcast-scale concern, not a fact scan.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    nr = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wg = Window.partitionBy()
+    return nr.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6).alias(
+            "region_share"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(wg), 6).alias(
+            "global_share"
+        ),
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    extra=True,
+    oracle="""
+    WITH fa AS (
+      SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
+      FROM events GROUP BY 1
+    ),
+    daily_new AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM fa GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+               AS cum_distinct_users
+    FROM daily_new
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — a HOLISTIC running aggregate
+    made algebraic by the first-appearance identity: cumulative
+    COUNT(DISTINCT user) = running SUM of per-day FIRST APPEARANCES
+    (each user counts exactly once, on their min day). One shuffle to
+    per-user min-day, a daily count, and a cumsum over the tiny day
+    series — where the naive framing re-scans an ever-growing prefix
+    per day.
+    """
+    e = table(spark, sf_dir, "events")
+    fa = e.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("first_day")
+    )
+    daily_new = fa.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    )
+
+
+@register(
+    "interarrival_histogram",
+    extra=True,
+    oracle="""
+    WITH gaps AS (
+      SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+      FROM events
+    )
+    SELECT CAST(CAST(gap_s >= 4 AS BIGINT) + CAST(gap_s >= 16 AS BIGINT) + CAST(gap_s >= 64 AS BIGINT) + CAST(gap_s >= 256 AS BIGINT) + CAST(gap_s >= 1024 AS BIGINT) + CAST(gap_s >= 4096 AS BIGINT) + CAST(gap_s >= 16384 AS BIGINT) + CAST(gap_s >= 65536 AS BIGINT) + CAST(gap_s >= 262144 AS BIGINT) + CAST(gap_s >= 1048576 AS BIGINT) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+    """,
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per user stream (point-process
+    fingerprint: bursts vs idle tails), bucketed on a base-4 log grid.
+
+    The log bucket is computed WITHOUT logs: bucket = sum of
+    integer-threshold indicators (gap >= 4^k), because ln() differs
+    in the last ulp between libm and the JVM and floor(ln(x)/ln(4))
+    can flip at bin edges — the indicator sum is exact on both
+    engines. One user_id-partitioned lag + a 10-bucket aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us")
+    ).select(F.expr("gap_us div 1000000").alias("gap_s"))
+    bucket = sum(
+        (F.col("gap_s") >= 4 ** k).cast("bigint") for k in range(1, 11)
+    )
+    return (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
