@@ -2416,3 +2416,91 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "graph_degree_distribution",
+    extra=True,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT doc_a AS node FROM pairs
+            UNION ALL
+            SELECT doc_b AS node FROM pairs
+        ) GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the exact near-dup graph — completes the
+    graph family (components, PageRank, triangles, bounded-hop paths):
+    the first thing you look at before choosing a clustering strategy
+    (a heavy tail means label propagation converges slowly and hub
+    docs deserve salting).
+
+    Degrees ride the pair generation's blocked equi-join (never
+    all-pairs); the histogram is two tiny aggregates on top.
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = pairs.select(F.col("doc_a").alias("node")).unionByName(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+VOCAB_TOP_K = 16
+
+
+@register(
+    "llm_vocab_coverage",
+    extra=True,
+    oracle=rf"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+    vocab AS (SELECT w FROM wf ORDER BY f DESC, w LIMIT {VOCAB_TOP_K}),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types FROM wf),
+    cov AS (SELECT CAST(SUM(f) AS BIGINT) AS in_vocab
+            FROM wf JOIN vocab USING (w))
+    SELECT t.n_tokens, t.n_types, c.in_vocab,
+           ROUND(CAST(c.in_vocab AS DOUBLE)
+                 / CAST(t.n_tokens AS DOUBLE), 6) AS coverage
+    FROM tot t CROSS JOIN cov c
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: what fraction of corpus tokens a
+    top-K frequency vocabulary explains (the go/no-go statistic for a
+    tokenizer's vocab size; pairs with zx_llm_bpe_pair_counts, which
+    picks the merges). Computed on the distinct-vocab table —
+    corpus-size-independent after the first count — with the top-K cut
+    as a TakeOrdered and a broadcast semi-join back.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    vocab = wf.orderBy(F.col("f").desc(), "w").limit(VOCAB_TOP_K).select("w")
+    tot = wf.agg(
+        F.sum("f").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    cov = wf.join(F.broadcast(vocab), "w").agg(
+        F.sum("f").alias("in_vocab")
+    )
+    return tot.crossJoin(cov).select(
+        "n_tokens",
+        "n_types",
+        "in_vocab",
+        F.round(
+            F.col("in_vocab").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
