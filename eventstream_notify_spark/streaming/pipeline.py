@@ -776,3 +776,93 @@ def stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(agg, output_mode="complete")
+
+
+@register(
+    "watermark_lateness_audit",
+    extra=True,
+    oracle="""
+    WITH delayed AS (
+      SELECT event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) + 1000000 *
+                 (CAST(('0x' || substring(
+                     md5('arr:' || CAST(event_id AS STRING)), 1, 15))
+                     AS UBIGINT) % 120) AS arrival_us
+      FROM events
+    ),
+    arr AS (
+      SELECT ts_us,
+             MAX(ts_us) OVER (ORDER BY arrival_us, event_id) - ts_us
+                 AS late_us
+      FROM delayed
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 30000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS dropped_30s,
+           CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS dropped_1m,
+           CAST(SUM(CASE WHEN late_us > 120000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS dropped_2m,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM arr
+    """,
+)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing audit — the batch analysis you run BEFORE
+    choosing withWatermark(): replay events under a deterministic
+    arrival-delay model (md5-jittered 0..119 s network delay — the
+    testdata generator emits in perfect event-time order, so disorder
+    must be simulated to be measurable), track the event-time frontier
+    in arrival order, and count how many events each candidate
+    watermark (30 s / 1 m / 2 m) would drop. E4 (stream_late_data)
+    exercises the drop mechanism; this measures the drop RATE a given
+    delay bound implies.
+
+    The frontier is a running max in arrival order — global, but over
+    (ts, arrival) pairs that collapse to one row per event before the
+    window; the bucket-prefix pattern applies at scale (range-bucket
+    arrival time like zx_max_concurrent_sessions). Exact integers
+    end to end.
+    """
+    from eventstream_notify_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    delayed = e.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn(
+        "arrival_us",
+        F.col("ts_us")
+        + 1_000_000
+        * (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 120
+        ),
+    )
+    w = Window.orderBy("arrival_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = delayed.select(
+        (F.max("ts_us").over(w) - F.col("ts_us")).alias("late_us")
+    )
+    return arr.agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("late_us") > 30_000_000).cast("bigint")).alias(
+            "dropped_30s"
+        ),
+        F.sum((F.col("late_us") > 60_000_000).cast("bigint")).alias(
+            "dropped_1m"
+        ),
+        F.sum((F.col("late_us") > 120_000_000).cast("bigint")).alias(
+            "dropped_2m"
+        ),
+        F.max("late_us").alias("max_late_us"),
+    )
