@@ -766,10 +766,9 @@ def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------- rolling median
 
 
-@register(
-    "rolling_median",
-    extra=True,
-    oracle="""
+# shared by the batch operator AND its streaming stateful twin
+# (streaming/pipeline.py zx_stream_rolling_median) — both hash-match it
+ROLLING_MEDIAN_ORACLE = """
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              CAST(round(value*1000) AS BIGINT) AS v
@@ -781,8 +780,10 @@ def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN 20 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS med_mv
     FROM e
-    """,
-)
+    """
+
+
+@register("rolling_median", extra=True, oracle=ROLLING_MEDIAN_ORACLE)
 def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 21-event median of each user's quantized values — the
     robust denoiser (median filters shrug off the outliers that wreck

@@ -866,3 +866,34 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("late_us").alias("max_late_us"),
     )
+
+
+def _rolling_median_oracle() -> str:
+    from eventstream_notify_spark.operators.timeseries import (
+        ROLLING_MEDIAN_ORACLE,
+    )
+
+    return ROLLING_MEDIAN_ORACLE
+
+
+@register(
+    "stream_rolling_median", extra=True, oracle=_rolling_median_oracle()
+)
+def stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of zx_rolling_median: the per-user 21-row median
+    as a CUSTOM STATEFUL operator (applyInPandasWithState, state =
+    last 20 quantized values) — the second member of the
+    batch-oracle-shared streaming family after zx_stream_ewma.
+    Bounded replay hash-matches the SAME DuckDB oracle as the batch
+    window operator: streaming state reproduces the batch frame
+    bit-for-bit across micro-batch boundaries.
+
+    Scale: 20 bigints of state per active user, watermark + one-day
+    idle eviction; one user_id shuffle.
+    """
+    from eventstream_notify_spark.streaming.state import (
+        rolling_median_stream,
+    )
+
+    src = file_events_stream(spark, sf_dir)
+    return run_bounded(rolling_median_stream(src))

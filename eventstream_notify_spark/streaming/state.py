@@ -196,3 +196,76 @@ def ewma_stream(events: DataFrame, watermark: str | None = "60 seconds") -> Data
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+MEDIAN_OUTPUT_SCHEMA = "user_id long, event_id long, ts_us long, med_mv double"
+MEDIAN_STATE_SCHEMA = "vals array<long>"
+MEDIAN_LOOKBACK = 21  # current row + 20 predecessors
+
+
+def rolling_median_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful streaming rolling median — the zx_rolling_median
+    kernel carried across micro-batches: state is the last 20
+    quantized values per user, so batch N+1's first rows see exactly
+    the frame the batch window operator would. Median of <= 21 ints
+    per row; even warm-up frames average the two middles — the same
+    interpolation the batch twin and DuckDB's window median use."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (user_id,) = key
+    hist: list[int] = list(state.get[0]) if state.exists else []
+    last_ts = None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        out = []
+        for v in pdf["v"]:
+            hist.append(int(v))
+            if len(hist) > MEDIAN_LOOKBACK:
+                hist.pop(0)
+            w = sorted(hist)
+            n = len(w)
+            med = (
+                float(w[n // 2])
+                if n % 2 == 1
+                else (w[n // 2 - 1] + w[n // 2]) / 2.0
+            )
+            out.append(med)
+        res = pdf[["event_id", "ts_us"]].copy()
+        res.insert(0, "user_id", user_id)
+        res["med_mv"] = out
+        if len(res):
+            last_ts = int(res["ts_us"].iloc[-1])
+        yield res
+    state.update((hist[-(MEDIAN_LOOKBACK - 1):],))
+    if last_ts is not None:
+        state.setTimeoutTimestamp(last_ts // 1000 + 86_400_000)
+
+
+def rolling_median_stream(
+    events: DataFrame, watermark: str | None = "60 seconds"
+) -> DataFrame:
+    """Streaming twin of zx_rolling_median; emits one median per input
+    row, continuing each user's 21-row frame across micro-batches."""
+    from pyspark.sql import functions as F
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        rolling_median_fn,
+        MEDIAN_OUTPUT_SCHEMA,
+        MEDIAN_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

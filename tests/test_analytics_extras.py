@@ -398,3 +398,47 @@ def test_sliding_dau_hll_accuracy_vs_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for day, v in exact.items():
         assert abs(est[day] - v) <= max(1, 0.02 * v), (day, v, est[day])
+
+
+def test_rolling_median_kernel_batch_split_invariant():
+    """Feeding the stateful kernel two chunks must equal one chunk —
+    state carries exactly the 20-value frame across batches."""
+    import pandas as pd
+
+    from eventstream_notify_spark.streaming.state import rolling_median_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    vals = [(i, 1_000_000 + i * 1000, (i * 37) % 500) for i in range(100)]
+    pdf = pd.DataFrame(vals, columns=["event_id", "ts_us", "v"])
+
+    def run(chunks):
+        st = FakeState()
+        out = []
+        for c in chunks:
+            out.extend(
+                df for df in rolling_median_fn((7,), iter([c]), st)
+            )
+        return pd.concat(out, ignore_index=True)
+
+    whole = run([pdf])
+    split = run([pdf.iloc[:33], pdf.iloc[33:66], pdf.iloc[66:]])
+    pd.testing.assert_frame_equal(whole, split)
