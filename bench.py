@@ -101,9 +101,63 @@ def latency_mode(duration_s: float = 20.0, rate: int = 20) -> None:
     print(json.dumps(out))
 
 
+def scaling_mode() -> None:
+    """--scaling: run every registered query once at sf0.01 and sf0.1
+    and report the time ratio. 10x data should cost <=~10x time for a
+    linear operator; anything >15x is flagged super-linear — the cheap
+    local proxy for 'would this plan survive a 100x scale-up'. Noise
+    guard: ratios are only flagged when the sf0.1 time is above 0.5 s
+    (sub-half-second queries are dominated by fixed per-query overhead
+    and jitter, not scaling behavior)."""
+    small = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    big = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark)
+    cleanup = make_cleanup(spark)
+    t_small = run_suite(spark, small, 1, cleanup)
+    t_big = run_suite(spark, big, 1, cleanup)
+    ratios: dict[str, float] = {}
+    flagged: dict[str, float] = {}
+    for name, tb in t_big.items():
+        ts = t_small.get(name, -1.0)
+        if ts <= 0 or tb <= 0:
+            continue
+        r = round(tb / max(ts, 0.01), 1)
+        ratios[name] = r
+        if r > 15.0 and tb > 0.5:
+            flagged[name] = r
+    out = {
+        "metric": "scaling_ratio_sf001_to_sf01",
+        "value": round(
+            sorted(ratios.values())[len(ratios) // 2], 2
+        ) if ratios else None,
+        "unit": "x",
+        "ratios": ratios,
+        "super_linear": flagged,
+        "small": t_small,
+        "big": t_big,
+    }
+    print(json.dumps(out, separators=(",", ":")))
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_summary",
+                "median_ratio": out["value"],
+                "super_linear": flagged,
+                "n": len(ratios),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
 def main() -> None:
     if "--latency" in sys.argv:
         latency_mode()
+        return
+    if "--scaling" in sys.argv:
+        scaling_mode()
         return
     # --n K: median-of-K per query. Default 1 (driver budget); medians
     # tame the ±60% single-shot jitter on sub-second queries.
@@ -114,9 +168,43 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM (task scheduling, codegen, shuffle machinery) so
-    # per-query numbers measure the queries, not session startup;
-    # touches no benchmark data
+    warmup(spark)
+    cleanup = make_cleanup(spark)
+    timings = run_suite(spark, sf_dir, reps, cleanup)
+    total = round(sum(v for v in timings.values() if v >= 0), 2)
+    headline = {n: timings[n] for n in HEADLINE if n in timings}
+    # Two lines, deliberately: the full per-query map first (humans,
+    # SURVEY tables), then a SHORT summary line LAST. The driver
+    # captures a bounded tail of stdout and parses the last JSON line;
+    # the ~190-query map outgrew that capture in rounds 2-5
+    # ("parsed": null), so the final line carries only the suite
+    # value, sf, and the 8-query headline map — small enough to
+    # survive any tail clip.
+    full = {
+        "queries": timings,
+        "sf": sf,
+        "unit": "sec",
+        "value": total,
+        "metric": "suite_wall_clock_full",
+    }
+    print(json.dumps(full, separators=(",", ":")))
+    summary = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "headline": headline,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+    }
+    print(json.dumps(summary, separators=(",", ":")))
+
+
+def warmup(spark) -> None:
+    """Warm the JVM (task scheduling, codegen, shuffle machinery) so
+    per-query numbers measure the queries, not session startup;
+    touches no benchmark data."""
     from pyspark.sql import functions as F
 
     (
@@ -210,6 +298,9 @@ def main() -> None:
         ).count()
     except Exception:  # noqa: BLE001 — warmup must never fail the bench
         pass
+
+
+def make_cleanup(spark):
     def cleanup() -> None:
         """Drop the previous query's session residue so query N+1 is
         measured on a clean session, not on N predecessors' garbage:
@@ -229,6 +320,10 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — hygiene must never fail the bench
             pass
 
+    return cleanup
+
+
+def run_suite(spark, sf_dir: str, reps: int, cleanup) -> dict[str, float]:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
@@ -257,22 +352,7 @@ def main() -> None:
         timings[name] = (
             round(good[len(good) // 2], 2) if good else -1.0
         )
-    total = round(sum(v for v in timings.values() if v >= 0), 2)
-    # Key order is deliberate and load-bearing: the driver captures a
-    # bounded TAIL of stdout, so the big per-query map goes FIRST and
-    # the small summary keys (headline subset, sf, unit, value, metric)
-    # go LAST — a tail capture that clips the head still retains every
-    # summary number. Compact separators + 2 d.p. keep the whole line
-    # small enough to survive intact anyway.
-    out = {
-        "queries": timings,
-        "headline": {n: timings[n] for n in HEADLINE if n in timings},
-        "sf": sf,
-        "unit": "sec",
-        "value": total,
-        "metric": "suite_wall_clock",
-    }
-    print(json.dumps(out, separators=(",", ":")))
+    return timings
 
 
 if __name__ == "__main__":
