@@ -1273,7 +1273,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    now = pu.agg(F.max("last_us").alias("now_us"))
+    # Anchor "now" at MAX(ts) over ALL events, matching the oracle —
+    # anchoring at the last PURCHASE would shift every recency by a
+    # constant (NTILE-invariant today, but a trap the moment
+    # recency_us is emitted or binned by absolute value).
+    now = e.agg(F.max(F.unix_micros("ts")).alias("now_us"))
     scored = pu.crossJoin(F.broadcast(now)).select(
         "user_id",
         "monetary_mv",

@@ -762,7 +762,11 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values(["score", "vec_id"], ascending=[False, True])
         pdf = pdf.reset_index(drop=True)
-        embs = np.stack(pdf["emb"].to_numpy())
+        # Arrow delivers array<float> as float32; accumulate the
+        # similarity matrix in float64 so the 6-d.p. rounded scores and
+        # the greedy argmax match the float64 python reference exactly
+        # regardless of dim or testdata regen.
+        embs = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
         nrms = pdf["cnrm"].to_numpy(dtype=np.float64)
         sims = (embs @ embs.T) / np.outer(nrms, nrms)
         rel = pdf["score"].to_numpy(dtype=np.float64)

@@ -51,7 +51,12 @@ def make_rate_limiter(limit: int, window_s: int):
             state.remove()
             return
         win_start, admitted = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
+        # Grouping by key is the only ordering guarantee; a group that
+        # spans several Arrow chunks can interleave, and the
+        # window-anchor recurrence is order-sensitive — materialize
+        # the group and sort once (same hazard as ewma_fn below).
+        chunks = [c for c in pdfs if len(c)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
             import numpy as np
 
             pdf = pdf.sort_values(["ts", "event_id"])
@@ -139,8 +144,21 @@ def ewma_fn(
     (user_id,) = key
     hist: list[int] = list(state.get[0]) if state.exists else []
     last_ts = None
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # applyInPandasWithState guarantees only grouping by key — a
+    # group's micro-batch rows can arrive as MULTIPLE Arrow chunks in
+    # shuffle-interleave order (>~10k rows per group, or rows from
+    # several map tasks). Sorting each chunk independently would run
+    # the recurrence over mis-ordered frames, so materialize the whole
+    # group and sort ONCE before computing.
+    chunks = [c for c in pdfs if len(c)]
+    pdf = (
+        pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        if chunks
+        else None
+    )
+    if pdf is not None:
         vints = [int(v) for v in pdf["v_int"]]
         arr = hist + vints
         h = len(hist)
@@ -220,8 +238,14 @@ def rolling_median_fn(
     (user_id,) = key
     hist: list[int] = list(state.get[0]) if state.exists else []
     last_ts = None
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # Same chunk-ordering hazard as ewma_fn: materialize the whole
+    # group and sort once — per-chunk sorting is wrong when a group
+    # spans multiple Arrow chunks.
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
         out = []
         for v in pdf["v"]:
             hist.append(int(v))
