@@ -26,6 +26,12 @@ from eventstream_notify_spark.registry import register
 from eventstream_notify_spark.sources.events import file_events_stream
 from eventstream_notify_spark.streaming.state import rate_limit_stream
 
+# arrival-time range buckets for the lateness audit's frontier
+# (bucket-prefix pattern; matches _CONC_BUCKETS' order of magnitude —
+# enough parallelism for any executor count, small enough that the
+# per-bucket offset table broadcasts for free)
+_LATENESS_BUCKETS = 64
+
 
 def run_bounded(
     stream_df: DataFrame, name: str | None = None, output_mode: str = "append"
@@ -818,11 +824,16 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the drop mechanism; this measures the drop RATE a given
     delay bound implies.
 
-    The frontier is a running max in arrival order — global, but over
-    (ts, arrival) pairs that collapse to one row per event before the
-    window; the bucket-prefix pattern applies at scale (range-bucket
-    arrival time like zx_max_concurrent_sessions). Exact integers
-    end to end.
+    The frontier is a running max in arrival order — global, so it
+    gets the range-bucket prefix treatment (the
+    zx_max_concurrent_sessions pattern): fixed-width ARRIVAL-time
+    bins off one min/max row, per-bin frontier maxima prefix-maxed on
+    the tiny bin table and broadcast back, running max inside each
+    bin in parallel vs its bin's prefix. Bucketing by arrival range
+    keeps (bucket, arrival_us, event_id) order == global arrival
+    order, so the per-bin max OR'd with the strictly-earlier-bin
+    prefix max IS the global frontier — and no stage funnels the
+    fact through one task. Exact integers end to end.
     """
     from eventstream_notify_spark.catalog import table
 
@@ -847,11 +858,54 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 120
         ),
     )
-    w = Window.orderBy("arrival_us", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    lohi = delayed.agg(
+        F.min("arrival_us").alias("lo"), F.max("arrival_us").alias("hi")
+    ).first()
+    lo, hi = int(lohi["lo"]), int(lohi["hi"])
+    width = max(1, (hi - lo) // _LATENESS_BUCKETS + 1)
+    b = delayed.withColumn(
+        "bucket", ((F.col("arrival_us") - lo) / width).cast("bigint")
     )
-    arr = delayed.select(
-        (F.max("ts_us").over(w) - F.col("ts_us")).alias("late_us")
+    # Per-bucket maxima: ≤ _LATENESS_BUCKETS rows regardless of data
+    # size, so the prefix max is a bounded driver-side fold turned
+    # into a literal lookup — no unpartitioned window anywhere in
+    # this plan (the per-bucket running max below partitions by
+    # bucket; 64 buckets saturate any executor count).
+    bmax = sorted(
+        (int(r["bucket"]), int(r["bts"]))
+        for r in b.groupBy("bucket").agg(F.max("ts_us").alias("bts")).collect()
+    )
+    prefix: dict[int, int] = {}
+    run = None
+    for bk, bts in bmax:
+        if run is not None:
+            prefix[bk] = run
+        run = bts if run is None else max(run, bts)
+    sentinel = -(1 << 62)
+    bprev = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in prefix.items() for x in kv]
+            ),
+            F.col("bucket").cast("int"),
+        )
+        if prefix
+        else F.lit(None).cast("bigint")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = (
+        b.withColumn(
+            "frontier",
+            F.greatest(
+                F.max("ts_us").over(w_local),
+                F.coalesce(bprev, F.lit(sentinel)),
+            ),
+        )
+        .select((F.col("frontier") - F.col("ts_us")).alias("late_us"))
     )
     return arr.agg(
         F.count("*").alias("n_events"),
