@@ -109,6 +109,51 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if dtype == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if dtype == "timestamp":
+        return df
+    # Unknown layout — fail LOUDLY here at the catalog seam instead of
+    # as silently mis-scaled event time deep inside operators (the
+    # round-4 failure mode; a double-seconds or string layout would
+    # otherwise flow through unconverted).
+    raise ValueError(
+        f"events.ts physical layout {dtype!r} is not a recognized "
+        "timestamp encoding — the testdata generator changed; add a "
+        "normalization branch in catalog.normalize_events_ts"
+    )
+
+
+# Temporal columns outside events that operators consume directly;
+# same drift hazard, same fix: map every plausible physical layout to
+# the one logical type the operators (and the DuckDB oracle, which
+# reads the raw parquet) agree on, and raise on anything new.
+TEMPORAL_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate", "l_commitdate", "l_receiptdate"),
+}
+
+
+def normalize_temporal(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Normalize date-like columns to a consistent logical type across
+    testdata regens: NANOS-as-bigint (the layout events.ts once
+    shipped with) becomes a microsecond instant; ntz/instant/date pass
+    through (operators use them via date_format + literal comparisons,
+    identical under the pinned UTC session tz); anything else raises
+    at the catalog seam."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dtype = dtypes.get(c)
+        if dtype is None:
+            continue  # column-set drift is the schema pin test's job
+        if dtype == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dtype not in ("timestamp", "timestamp_ntz", "date"):
+            raise ValueError(
+                f"{c} physical layout {dtype!r} is not a recognized "
+                "temporal encoding — the testdata generator changed; "
+                "add a normalization branch in catalog.normalize_temporal"
+            )
     return df
 
 
@@ -124,6 +169,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events_ts(df)
+    if name in TEMPORAL_COLS:
+        df = normalize_temporal(df, TEMPORAL_COLS[name])
     return df
 
 

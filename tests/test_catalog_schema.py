@@ -92,6 +92,69 @@ EXPECTED = {
 }
 
 
+def test_unknown_events_ts_layout_fails_loudly(spark, tmp_path):
+    """A hostile regen (ts as double-seconds — a layout no branch
+    handles) must raise at the catalog seam, not flow through as
+    silently mis-scaled event time (the round-4 failure mode)."""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import normalize_events_ts
+
+    bad = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1.5).alias("ts"),  # double seconds
+        F.col("id").alias("user_id"),
+    )
+    with pytest.raises(ValueError, match="events.ts physical layout"):
+        normalize_events_ts(bad)
+
+
+def test_unknown_orderdate_layout_fails_loudly(spark, tmp_path):
+    """Same loud-failure contract for the non-events temporal columns:
+    write an orders fixture whose o_orderdate is a STRING and assert
+    the catalog read refuses it with a pointed message."""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import table
+
+    d = tmp_path / "hostile"
+    d.mkdir()
+    spark.range(5).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit("1995-01-01").alias("o_orderdate"),
+    ).write.parquet(str(d / "orders.parquet"))
+    with pytest.raises(ValueError, match="o_orderdate physical layout"):
+        table(spark, str(d), "orders")
+
+
+def test_nanos_bigint_orderdate_normalizes(spark, tmp_path):
+    """The layout events.ts actually shipped with once (TIMESTAMP
+    NANOS read as int64) must come out a microsecond instant for any
+    registered temporal column."""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import table
+
+    d = tmp_path / "nanos"
+    d.mkdir()
+    base_us = 788_918_400_000_000  # 1995-01-01T00:00:00Z
+    spark.range(3).select(
+        F.col("id").alias("o_orderkey"),
+        (F.lit(base_us * 1000) + F.col("id") * 86_400_000_000_000).alias(
+            "o_orderdate"
+        ),
+    ).write.parquet(str(d / "orders.parquet"))
+    got = table(spark, str(d), "orders")
+    assert dict(got.dtypes)["o_orderdate"] == "timestamp"
+    days = sorted(
+        r[0]
+        for r in got.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd")
+        ).collect()
+    )
+    assert days == ["1995-01-01", "1995-01-02", "1995-01-03"]
+
+
 @pytest.mark.parametrize("name", TABLES)
 def test_table_dtypes_pinned(spark, sf_dir, name):
     got = dict(table(spark, sf_dir, name).dtypes)
