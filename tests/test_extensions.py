@@ -85,9 +85,63 @@ def test_alert_rules_unit(spark):
     assert fired == {(1, 1), (2, 1), (3, 3), (4, 4)}
 
 
-def test_decode_media_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_media_rejects_unsupported_format():
+    with pytest.raises(ValueError, match="no codec"):
         decode_media(b"bytes", "image/png")
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+
+    from eventstream_notify_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(7, 5, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(rng)), rng)
+    # comment + extra-whitespace header grammar
+    with_comment = b"P6\n# a comment\n 5  7\n255\n" + rng.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), rng)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\nnot p6")
+
+
+def test_bmp_roundtrip_exact_including_row_padding():
+    import numpy as np
+
+    from eventstream_notify_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # width 5 -> 15-byte rows -> 1 pad byte; bottom-up + BGR covered
+    px = (np.arange(5 * 4 * 3, dtype=np.int64) * 17 % 256).astype(
+        np.uint8
+    ).reshape(4, 5, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX junk")
+
+
+def test_mm_decode_kernel_matches_python_reference():
+    import numpy as np
+    import pandas as pd
+
+    from eventstream_notify_spark.operators.multimodal import (
+        ppm_bmp_roundtrip_batches,
+    )
+
+    ids = [0, 1, 2, 3, 11, 38]
+    out = pd.concat(
+        list(ppm_bmp_roundtrip_batches(iter([pd.DataFrame({"doc_id": ids})])))
+    )
+    for _, r in out.iterrows():
+        did = int(r.doc_id)
+        w, h = 4 + did % 5, 3 + did % 4
+        want = int(((did * 7 + np.arange(3 * w * h)) % 256).sum())
+        assert (r.width, r.height, r.n_px) == (w, h, w * h)
+        assert int(r.px_sum) == want
 
 
 def test_fake_decode_plumbing(spark):
