@@ -510,17 +510,17 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin means accumulate in exact bigint micro-units (the ts_ewma
     trick) so no cross-engine float-summation drift exists.
 
-    Scale note: a global NTILE is a single-partition sort — fine for
-    the exact-quantile semantic this op pins (and at 100 TB one
-    switches to approx_percentile boundaries + width_bucket, the
-    zx_agg_sketches path; this operator is the oracle-checkable
-    exact twin). The groupBy after it is 10 partial-aggregated rows."""
+    Scale: the NTILE rides ``global_ntile`` (functions/ranking.py) —
+    value-range buckets, per-bucket parallel rank, driver-folded
+    prefix offsets — bit-identical to the single-window form with no
+    unpartitioned window in the plan. The groupBy after it is 10
+    partial-aggregated rows. (At 100 TB the approx sibling is
+    zx_agg_sketches' approx_percentile + width_bucket.)"""
+    from eventstream_notify_spark.functions.ranking import global_ntile
+
     e = table(spark, sf_dir, "events")
-    t = e.select(
-        "value",
-        F.ntile(10)
-        .over(Window.orderBy("value", "event_id"))
-        .alias("bin"),
+    t = global_ntile(
+        e.select("value", "event_id"), 10, "value", ["event_id"], out="bin"
     )
     return t.groupBy("bin").agg(
         F.count("*").alias("n"),
@@ -816,12 +816,15 @@ def skyline_pareto_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = o.select(bucket, "p", "d").groupBy("bucket", "p").agg(
         F.max("d").alias("gmax")
     )
-    b = g.groupBy("bucket").agg(F.max("gmax").alias("bmax"))
-    w_above = (
-        Window.orderBy(F.col("bucket").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from eventstream_notify_spark.functions.ranking import (
+        bucket_prefix_expr,
     )
-    prefix = b.select("bucket", F.max("bmax").over(w_above).alias("m_above"))
+
+    b = g.groupBy("bucket").agg(F.max("gmax").alias("bmax"))
+    # "max date in any strictly higher bucket": the 64-row bucket
+    # table folds on the driver into a literal-map lookup (constant-
+    # bounded — no unpartitioned window even over the tiny table)
+    m_above = bucket_prefix_expr(b, "bucket", "bmax", "max", descending=True)
     w_local = (
         Window.partitionBy("bucket")
         .orderBy(F.col("p").desc())
@@ -829,7 +832,7 @@ def skyline_pareto_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gm = (
         g.withColumn("m_local", F.max("gmax").over(w_local))
-        .join(F.broadcast(prefix), "bucket")
+        .withColumn("m_above", m_above)
         # greatest() skips NULLs: null m_local/m_above mean "no higher
         # price exists on that side"
         .withColumn("m1", F.greatest("m_local", "m_above"))
@@ -1077,15 +1080,20 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sess.select(
         F.col("s_us").alias("t"), F.lit(1).alias("d")
     ).unionByName(sess.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("d")))
+    from eventstream_notify_spark.functions.ranking import (
+        bucket_prefix_expr,
+    )
+
     grouped = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
     lohi = grouped.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).first()
     lo, hi = int(lohi["lo"]), int(lohi["hi"])
     width = max(1, (hi - lo) // _CONC_BUCKETS + 1)
     b = grouped.withColumn("bucket", ((F.col("t") - lo) / width).cast("bigint"))
     btot = b.groupBy("bucket").agg(F.sum("dd").alias("bsum"))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = btot.select(
-        "bucket", F.coalesce(F.sum("bsum").over(w_off), F.lit(0)).alias("boff")
+    # per-bin offsets: the ≤64-row bin-total table folds on the driver
+    # into a literal-map lookup (constant-bounded, window-free)
+    boff = F.coalesce(
+        bucket_prefix_expr(btot, "bucket", "bsum", "sum"), F.lit(0)
     )
     w_local = (
         Window.partitionBy("bucket")
@@ -1093,8 +1101,7 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        b.join(F.broadcast(offsets), "bucket")
-        .withColumn("concurrent", F.col("boff") + F.sum("dd").over(w_local))
+        b.withColumn("concurrent", boff + F.sum("dd").over(w_local))
         .select(F.col("t").alias("ts_us"), "concurrent")
         .orderBy(F.col("concurrent").desc(), "ts_us")
         .limit(10)
@@ -1256,11 +1263,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     to segment sizes and value — the classic CRM cut.
 
     Scale: the fact collapses to one row per purchasing user at the
-    first exchange. The three NTILEs order that per-user table
-    globally — bounded by user count, and each is the bucket-prefix
-    pattern's candidate if users outgrow one task. Monetary stays in
-    exact milli-unit bigints.
+    first exchange. The three NTILEs run distributed via
+    ``global_ntile`` (functions/ranking.py) — per-metric range
+    buckets, parallel within-bucket rank, driver-folded prefix
+    offsets — so user cardinality never funnels through one task
+    (DESC metrics rank on the negated key). Monetary stays in exact
+    milli-unit bigints.
     """
+    from eventstream_notify_spark.functions.ranking import global_ntile
     e = table(spark, sf_dir, "events")
     pu = (
         e.filter(F.col("event_type") == "purchase")
@@ -1284,13 +1294,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("now_us") - F.col("last_us")).alias("recency_us"),
         "frequency",
     )
-    r = F.ntile(5).over(Window.orderBy(F.col("recency_us").asc(), "user_id"))
-    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-    m = F.ntile(5).over(Window.orderBy(F.col("monetary_mv").desc(), "user_id"))
+    tiled = global_ntile(scored, 5, "recency_us", ["user_id"], out="r")
+    tiled = global_ntile(
+        tiled, 5, -F.col("frequency"), ["user_id"], out="f"
+    )
+    tiled = global_ntile(
+        tiled, 5, -F.col("monetary_mv"), ["user_id"], out="m"
+    )
     return (
-        scored.select(
-            r.alias("r"), f.alias("f"), m.alias("m"), "monetary_mv"
-        )
+        tiled.select("r", "f", "m", "monetary_mv")
         .groupBy("r", "f", "m")
         .agg(
             F.count("*").alias("n_users"),

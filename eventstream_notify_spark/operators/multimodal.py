@@ -511,12 +511,16 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("k"),
     ).withColumn("bucket", F.shiftright("k", 52))
-    btot = assets.groupBy("bucket").agg(F.sum("n_bytes").alias("b"))
-    w_off = (
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    from eventstream_notify_spark.functions.ranking import (
+        bucket_prefix_expr,
     )
-    offsets = btot.select(
-        "bucket", F.coalesce(F.sum("b").over(w_off), F.lit(0)).alias("boff")
+
+    btot = assets.groupBy("bucket").agg(F.sum("n_bytes").alias("b"))
+    # per-bucket byte offsets: the ≤256-row bucket-total table folds
+    # on the driver into a literal-map lookup (constant-bounded,
+    # window-free)
+    boff = F.coalesce(
+        bucket_prefix_expr(btot, "bucket", "b", "sum"), F.lit(0)
     )
     w_local = (
         Window.partitionBy("bucket")
@@ -524,10 +528,9 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        assets.join(F.broadcast(offsets), "bucket")
-        .withColumn(
+        assets.withColumn(
             "start_off",
-            F.col("boff") + F.sum("n_bytes").over(w_local) - F.col("n_bytes"),
+            boff + F.sum("n_bytes").over(w_local) - F.col("n_bytes"),
         )
         .groupBy(
             F.expr(f"start_off div {SHARD_TARGET_BYTES}").alias("shard_id")

@@ -1407,18 +1407,19 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gini via the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over
     ascending-sorted counts: every aggregate is an exact bigint
     (rank-weighted sums — the corr_matrix discipline), floats appear
-    only in the final expression. The rank window runs over the
-    per-key count table (bounded by key cardinality; bucket-prefix
-    pattern if keys outgrow one task).
+    only in the final expression. The rank runs distributed via
+    ``global_row_number`` (functions/ranking.py: count-range buckets +
+    driver-folded prefix offsets) so key cardinality never funnels
+    through one task.
     """
+    from eventstream_notify_spark.functions.ranking import (
+        global_row_number,
+    )
+
     e = table(spark, sf_dir, "events")
     kc = e.groupBy("user_id").agg(F.count("*").alias("c"))
-    ranked = kc.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy("c", "user_id"))
-        .alias("i"),
-    )
+    ranked, _n = global_row_number(kc, "c", ["user_id"], out="i")
+    ranked = ranked.select("c", "i")
     agg = ranked.agg(
         F.count("*").alias("n_keys"),
         F.sum("c").alias("n_rows"),

@@ -83,3 +83,24 @@ def assert_take_ordered(df: DataFrame) -> str:
 def assert_whole_stage_codegen(df: DataFrame) -> str:
     """In simple mode codegen'd operators are starred: ``*(n) Project``."""
     return assert_contains(df, "*(", mode="simple")
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Logical ``Window`` nodes with an EMPTY partition spec — the
+    plan shape that funnels its whole input through one task ("Moving
+    all data to a single partition"). Walks the optimized logical
+    plan tree and checks each Window node's partitionSpec directly
+    (string parsing can't distinguish unpartitioned-with-order from
+    partitioned-without-order). Bounded-input exceptions (bucket
+    offset tables, day grids) are the CALLER's allowlist to grant."""
+    bad = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and node.partitionSpec().isEmpty():
+            bad.append(node.simpleString(120))
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return bad

@@ -79,6 +79,79 @@ def test_sim_search_broadcasts_queries(spark, q):
     assert_contains(df, "Broadcast")
 
 
+# Unpartitioned windows tolerated ONLY over inputs bounded by a
+# DOMAIN, not by data size — each entry documents why. Anything new
+# must either ride functions/ranking.py (global_row_number /
+# global_ntile / bucket_prefix_expr) or argue its way in here.
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # calendar-day grid: grows with elapsed time, not data volume
+    "zx_change_point_cusum",
+    "zx_cumulative_distinct_users",
+    # distinct quantized values: bounded by the value domain (~2e3)
+    "zx_ks_drift_test",
+    # ratio-to-report over the 25-row nation grid
+    "zx_revenue_share",
+    # the DECLARED single-window exact baseline; the scale path is
+    # zx_skyline_pareto_bucketed (zero unpartitioned windows)
+    "zx_skyline_pareto",
+}
+
+# Row-at-a-time Python eval tolerated only where it IS the point
+BATCH_EVAL_PYTHON_ALLOWLIST = {"zx_udtf_surface"}
+
+# Builders that EXECUTE a bounded streaming query and return its
+# memory-sink result: their returned plan is a trivial scan (nothing
+# to audit) and each run costs ~2 s — skipped to keep the sweep fast.
+_STREAMING_EXECUTORS = (
+    "stream_",
+    "zx_stream_",
+    "sink_",
+    "pipeline_e2e",
+    "rate_limit_user",
+    "dedup_ttl",
+)
+
+
+def test_every_query_plan_is_scale_clean(spark):
+    """The round-5 plan sweep as a permanent gate: every registered
+    BATCH query must plan (a) zero CartesianProduct, (b) row-at-a-time
+    Python eval only in the UDTF allowlist, (c) no unpartitioned
+    Window outside the domain-bounded allowlist."""
+    from eventstream_notify_spark.plans.explain import (
+        plan_str,
+        unpartitioned_windows,
+    )
+
+    failures: list[str] = []
+    for name, fn in sorted(queries().items()):
+        if any(
+            name.startswith(p) or name.removeprefix("zx_").startswith(p)
+            for p in _STREAMING_EXECUTORS
+        ):
+            continue
+        try:
+            df = fn(spark, SF)
+        except Exception as ex:  # noqa: BLE001 — collect, don't abort
+            failures.append(f"{name}: builder raised {ex!r:.120}")
+            continue
+        plan = plan_str(df, "simple")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if (
+            "BatchEvalPython" in plan
+            and name not in BATCH_EVAL_PYTHON_ALLOWLIST
+        ):
+            failures.append(f"{name}: BatchEvalPython outside allowlist")
+        bad = unpartitioned_windows(df)
+        if bad and name not in UNPARTITIONED_WINDOW_ALLOWLIST:
+            failures.append(f"{name}: unpartitioned window {bad[0][:90]}")
+        if not bad and name in UNPARTITIONED_WINDOW_ALLOWLIST:
+            failures.append(
+                f"{name}: allowlisted but clean — remove from allowlist"
+            )
+    assert not failures, "\n".join(failures)
+
+
 def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     """Hive-partitioned layout + a partition-key predicate => the scan
     prunes partitions (PartitionFilters), reading only matching dirs —
