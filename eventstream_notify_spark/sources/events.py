@@ -97,7 +97,19 @@ def kafka_events_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return parse_wire_events(raw)
+    return _canonical_wire(parse_wire_events(raw))
+
+
+def _canonical_wire(parsed: DataFrame) -> DataFrame:
+    """Pipeline-facing view of a parsed wire stream: undecodable
+    messages are dropped EXPLICITLY here (the reference drops them
+    silently, auto_kafka_redis.py:301; batch consumers wanting the
+    corrupt rows use parse_wire_events directly) and the diagnostic
+    column is removed so the canonical 6-column EVENT_SCHEMA reaches
+    the stateful operators, whose declared output schemas are exact."""
+    return parsed.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
 
 
 def to_wire(events: DataFrame) -> DataFrame:
@@ -153,6 +165,30 @@ def kafka_events_sink(
         wire.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def wire_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-transport twin of ``kafka_events_stream`` for broker-less
+    CI: a parquet directory of ``(key, value)`` wire rows stands in
+    for the topic, and the SAME ``parse_wire_events`` decodes it — so
+    the produce → ingest → pipeline loop is exercised end to end with
+    only the broker itself swapped out."""
+    raw = spark.readStream.schema("key string, value string").parquet(path)
+    return _canonical_wire(parse_wire_events(raw))
+
+
+def wire_file_sink(events: DataFrame, path: str, checkpoint_dir: str):
+    """File-transport twin of ``kafka_events_sink``: identical
+    ``to_wire`` serialization, parquet 'topic' directory as the
+    transport. Broker-specific options are the ONLY difference from
+    the Kafka writer."""
+    return (
+        to_wire(events)
+        .writeStream.format("parquet")
+        .option("path", path)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -1,14 +1,18 @@
-"""Live-Kafka integration round trip — env-gated.
+"""Wire-transport integration round trip.
 
-The container CI has no broker, so this module SKIPS cleanly unless
-``SPARK_GRAFT_KAFKA_BOOTSTRAP`` points at one (and the Spark Kafka
-connector is on the classpath, e.g. ``--packages
-org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``). With a
-broker it exercises the one path the wire round-trip inverse test
-(test_sources.py) cannot: the real produce → ``kafka_events_stream``
-→ pipeline → keyed sink → ``kafka_events_sink`` → re-consume loop,
-mirroring the reference's producer/consumer pair
-(auto_kafka_redis.py:191-229 produce, :296-304 consume).
+The full loop — produce wire JSON → streaming ingest →
+``parse_wire_events`` → pipeline → keyed sink → egress serialization
+→ re-consume — runs UNCONDITIONALLY against the file transport
+(``wire_file_stream`` / ``wire_file_sink``: identical code path with
+a parquet 'topic' directory standing in for the broker), mirroring
+the reference's producer/consumer pair (auto_kafka_redis.py:191-229
+produce, :296-304 consume).
+
+The live-broker variant of the same loop stays env-gated: set
+``SPARK_GRAFT_KAFKA_BOOTSTRAP`` (and put the Spark Kafka connector on
+the classpath, e.g. ``--packages
+org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``) to run
+it — the only lines it adds over the file variant are broker options.
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ import pytest
 
 BOOTSTRAP = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
 
-pytestmark = pytest.mark.skipif(
+needs_broker = pytest.mark.skipif(
     not BOOTSTRAP,
     reason="no Kafka broker: set SPARK_GRAFT_KAFKA_BOOTSTRAP to run",
 )
@@ -41,6 +45,66 @@ def _canonical_fixture(spark, n=50):
     )
 
 
+def test_wire_file_transport_produce_pipeline_sink_roundtrip(
+    spark, tmp_path
+):
+    """The full wire loop with the parquet-dir transport: produce
+    wire rows → ``wire_file_stream`` (same parse_wire_events as the
+    Kafka reader) → REAL pipeline → MergeKeyedStore, then
+    ``wire_file_sink`` egress (same to_wire as the Kafka writer) →
+    batch re-read → parse: both hops preserve the canonical columns.
+    Runs in every CI — no broker required."""
+    from eventstream_notify_spark.sources.events import (
+        parse_wire_events,
+        to_wire,
+        wire_file_sink,
+        wire_file_stream,
+    )
+    from eventstream_notify_spark.streaming.pipeline import start_pipeline
+    from eventstream_notify_spark.streaming.sinks import MergeKeyedStore
+
+    topic_in = str(tmp_path / "topic_in")
+    topic_out = str(tmp_path / "topic_out")
+    events = _canonical_fixture(spark)
+
+    # 1. produce the wire shape onto the file transport
+    to_wire(events).write.parquet(topic_in)
+
+    # 2. consume through the REAL pipeline into the keyed sink
+    store = MergeKeyedStore(str(tmp_path / "store"))
+    q = start_pipeline(
+        wire_file_stream(spark, topic_in),
+        str(tmp_path / "ckpt_in"),
+        store.upsert_batch,
+        rate_window_s=86400,
+        rate_limit=10**9,  # ingest-parity run: no admission drops
+        available_now=True,
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.user_id, r.value)
+        for r in store.current(spark).collect()
+    }
+    want = {(r.event_id, r.user_id, r.value) for r in events.collect()}
+    assert got == want
+
+    # 3. egress the stored state and re-consume it batch-side
+    sink_q = wire_file_sink(
+        _bounded_stream(spark, store, tmp_path),
+        topic_out,
+        str(tmp_path / "ckpt_out"),
+    )
+    sink_q.awaitTermination(120)
+    sink_q.stop()
+    back = spark.read.parquet(topic_out)
+    reparsed = {
+        (r.event_id, r.user_id, r.value)
+        for r in parse_wire_events(back).collect()
+    }
+    assert reparsed == want
+
+
+@needs_broker
 def test_kafka_produce_pipeline_sink_roundtrip(spark, tmp_path):
     """produce(wire) → kafka_events_stream → start_pipeline →
     MergeKeyedStore, then kafka_events_sink egress → batch re-consume
