@@ -94,6 +94,13 @@ def queries() -> dict[str, QueryFn]:
     return {name: reg.fn for name, reg in sorted(_REGISTRY.items())}
 
 
+def registered() -> dict[str, Registered]:
+    """The full registry records (name -> Registered) — for tools that
+    need implementation sites or verification mode, not just the fn."""
+    _load_all()
+    return dict(sorted(_REGISTRY.items()))
+
+
 def oracle_sql() -> dict[str, str]:
     _load_all()
     return {
