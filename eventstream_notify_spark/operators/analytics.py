@@ -1562,3 +1562,105 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
+
+
+# ------------------------------------------- exact global order stats
+
+
+@register(
+    "global_median_exact",
+    extra=True,
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, l_orderkey, l_linenumber)
+                 AS i
+      FROM c
+    ),
+    n AS (SELECT COUNT(*) AS n FROM c)
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 100, 6)
+               AS median_price
+    FROM ranked
+    WHERE i IN ((SELECT (n + 1) // 2 FROM n), (SELECT n // 2 + 1 FROM n))
+    """,
+)
+def global_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median over an unbounded-domain metric
+    (l_extendedprice) — the order statistic approx_percentile
+    approximates, computed exactly WITHOUT a single-partition sort:
+    ``global_row_number`` (functions/ranking.py) ranks the fact in
+    value-range buckets (parallel within-bucket windows + driver-
+    folded prefix offsets), the two middle positions fall out of the
+    bucket counts for free, and only those ≤2 rows survive to the
+    final 1-row aggregate. Exact cents end to end; the half-cent
+    interpolation for even n is the same two-middle average DuckDB's
+    median() uses.
+
+    Scale: one fact shuffle (by value bucket) + one tiny filter — vs
+    the naive ORDER BY's all-rows-to-one-task plan.
+    """
+    from eventstream_notify_spark.functions.ranking import (
+        global_row_number,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked, n = global_row_number(
+        li, "v", ["l_orderkey", "l_linenumber"], out="i"
+    )
+    mid = ranked.filter(F.col("i").isin((n + 1) // 2, n // 2 + 1))
+    return mid.agg(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum("v").cast("double") / F.count("*") / 100, 6
+        ).alias("median_price"),
+    )
+
+
+@register(
+    "sample_reservoir",
+    extra=True,
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value * 1000) AS BIGINT) AS value_mv
+    FROM events
+    ORDER BY md5('smp:' || CAST(event_id AS STRING)), event_id
+    LIMIT 500
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-uniform sample (reservoir-sampling semantics
+    without reservoir state): rank every row by a keyed hash and keep
+    the k smallest — each row's hash is i.i.d.-uniform, so the k
+    smallest ARE a uniform k-subset, and the same k rows come back on
+    every run/engine (the property seed-based sampling can't give
+    cross-engine).
+
+    Scale: ORDER BY hash LIMIT k compiles to TakeOrderedAndProject —
+    per-partition top-k heaps + a k-row driver merge; no global sort,
+    no state, no second pass (how you sample 500 rows from 100 TB
+    with one scan).
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 1000).cast("bigint").alias("value_mv"),
+            F.md5(
+                F.concat(F.lit("smp:"), F.col("event_id").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "event_id")
+        .limit(500)
+        .drop("_h")
+    )

@@ -817,3 +817,81 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("arr", F.sort_array(F.collect_list("v").over(w)))
         .select("user_id", "event_id", "ts_us", med.alias("med_mv"))
     )
+
+
+# ------------------------------------------------------ MAD outliers
+
+
+@register(
+    "anomaly_mad_daily",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                 AS total_mv
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(median(2 * total_mv) AS BIGINT) AS med2
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.total_mv, m.med2,
+             abs(2 * d.total_mv - m.med2) AS dev2
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS (
+      SELECT event_type, CAST(median(2 * dev2) AS BIGINT) AS mad4
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+           d.total_mv,
+           CAST(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 ELSE 0 END
+               AS INTEGER) AS is_outlier
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    """,
+)
+def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on daily per-type totals via Median
+    Absolute Deviation — the TIME-SERIES sibling of zx_anomaly_mad's
+    per-user variant (relational.py): a day is anomalous for a type
+    when |x − median| > 3·MAD over that type's daily history.
+
+    Exactness discipline: both medians run over INTEGERS doubled once
+    per interpolation level (2·total for the center, 2·dev2 = 4·|dev|
+    for the spread), so the even-count half-way interpolation stays an
+    exact integer — zero float drift, bit-identical flags cross-engine.
+
+    Scale: the fact collapses to (type, day) rows at the first
+    exchange; per-type medians are percentile aggregates over
+    calendar-bounded day grids (partitioned by type — no global
+    window); the two tiny median tables broadcast back.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias(
+            "total_mv"
+        )
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * total_mv, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("total_mv") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        "total_mv",
+        (2 * F.col("dev2") > 3 * F.col("mad4"))
+        .cast("int")
+        .alias("is_outlier"),
+    )

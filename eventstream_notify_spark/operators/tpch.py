@@ -1205,3 +1205,86 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    extra=True,
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 1000) AS BIGINT) AS qty_m,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    )
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(qty_m) AS DOUBLE) / 1e3, 6) AS sum_qty,
+           ROUND(CAST(SUM(price_c) AS DOUBLE) / 1e2, 6) AS sum_base_price,
+           ROUND(CAST(SUM(price_c * (100 - disc_p)) AS DOUBLE) / 1e4, 6)
+               AS sum_disc_price,
+           ROUND(CAST(SUM(price_c * (100 - disc_p) * (100 + tax_p))
+                 AS DOUBLE) / 1e6, 6) AS sum_charge,
+           ROUND(CAST(SUM(qty_m) AS DOUBLE) / 1e3 / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(price_c) AS DOUBLE) / 1e2 / COUNT(*), 6)
+               AS avg_price,
+           ROUND(CAST(SUM(disc_p) AS DOUBLE) / 1e2 / COUNT(*), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM q GROUP BY 1, 2
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary — the canonical scan-heavy grouped
+    aggregation (completes the 22/22 TPC-H adaptation set). All eight
+    aggregates accumulate in exact integer units (milli-qty, cents,
+    integer percent discounts/taxes — the repo's quantize-then-sum
+    discipline), so the extended sums (price x (1-disc) x (1+tax))
+    are order-independent bigint products; doubles appear only in the
+    final per-group division.
+
+    Scale: one pushed-down scan (shipdate predicate + 7-column
+    pruning), partial aggregation before the 4-group exchange —
+    Catalyst's textbook plan, nothing custom.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    q = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity") * 1000).cast("bigint").alias("qty_m"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_p"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("tax_p"),
+    )
+    cnt = F.count("*")
+    return q.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("qty_m").cast("double") / 1e3, 6).alias("sum_qty"),
+        F.round(F.sum("price_c").cast("double") / 1e2, 6).alias(
+            "sum_base_price"
+        ),
+        F.round(
+            F.sum(F.col("price_c") * (100 - F.col("disc_p"))).cast("double")
+            / 1e4,
+            6,
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(
+                F.col("price_c")
+                * (100 - F.col("disc_p"))
+                * (100 + F.col("tax_p"))
+            ).cast("double")
+            / 1e6,
+            6,
+        ).alias("sum_charge"),
+        F.round(F.sum("qty_m").cast("double") / 1e3 / cnt, 6).alias("avg_qty"),
+        F.round(F.sum("price_c").cast("double") / 1e2 / cnt, 6).alias(
+            "avg_price"
+        ),
+        F.round(F.sum("disc_p").cast("double") / 1e2 / cnt, 6).alias(
+            "avg_disc"
+        ),
+        cnt.cast("bigint").alias("count_order"),
+    )
