@@ -558,3 +558,184 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("next_err") - F.col("ord_us")).alias("us_to_error"),
         )
     )
+
+
+# -------------------------------------------------- nearest as-of
+
+
+@register(
+    "join_asof_nearest",
+    extra=True,
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           MIN(abs(e.ts_us - p.ts_us)) AS nearest_err_us
+    FROM p LEFT JOIN e ON e.user_id = p.user_id
+    GROUP BY p.event_id, p.user_id, p.ts_us
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: each purchase paired with the user's closest
+    error in EITHER time direction — the third member of the as-of
+    family (zx_join_asof backward, zx_join_asof_forward forward). The
+    nearest error is necessarily either the last one at-or-before or
+    the first one after, so two IGNORE-NULLS carry windows over ONE
+    user_id shuffle replace the oracle's per-key theta join:
+    least(t - prev_err, next_err - t).
+
+    Ties at equal distance both yield the same |Δ|, so the output is
+    order-independent. NULL when the user has no errors.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    ).filter(F.col("event_type").isin("purchase", "error"))
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts_us"))
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last(err_ts, ignorenulls=True).over(w_back).alias("prev_err"),
+        F.first(err_ts, ignorenulls=True).over(w_fwd).alias("next_err"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.least(
+            F.col("ts_us") - F.col("prev_err"),
+            F.col("next_err") - F.col("ts_us"),
+        ).alias("nearest_err_us"),
+    )
+
+
+# ------------------------------------------------ SCD2 maintenance
+
+
+@register(
+    "scd2_merge_upsert",
+    extra=True,
+    oracle=f"""
+    WITH changes AS (
+        SELECT user_id, state, ts_us, event_id FROM (
+            SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+                   event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ) WHERE state <> prev OR prev IS NULL
+    )
+    SELECT user_id, state,
+           ts_us AS valid_from_us,
+           COALESCE(LEAD(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ), {SCD2_EOT_US}) AS valid_to_us
+    FROM changes
+    """,
+)
+def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension MAINTENANCE — the producer side of
+    zx_scd2_point_in_time's consumer: the standing dimension is built
+    from history only (events before the last-day cutoff), then the
+    last day's events are applied as the classic warehouse MERGE:
+    delta rows join the OPEN dimension rows to seed change detection
+    (a delta event equal to the user's current state is NOT a
+    change), changed users' open intervals CLOSE at their first new
+    change, and the chained delta changes INSERT. The oracle builds
+    the dimension from FULL history in one pass — equality IS the
+    merge-correctness proof (the incremental_rollup trick, applied to
+    interval semantics).
+
+    Scale: the merge touches history only through the OPEN rows (one
+    row per user — the dimension head, not the fact); delta work is
+    one user_id shuffle of one day of events. Refresh cost is
+    O(delta + dim), never O(history).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    cutoff_us = ev.agg(
+        F.max(F.expr("ts_us div 86400000000"))
+    ).first()[0] * 86_400_000_000
+
+    def scd2(changes: DataFrame) -> DataFrame:
+        w_next = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        return changes.select(
+            "user_id",
+            "state",
+            F.col("ts_us").alias("valid_from_us"),
+            F.coalesce(
+                F.lead("ts_us").over(w_next), F.lit(SCD2_EOT_US)
+            ).alias("valid_to_us"),
+        )
+
+    w_seq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hist_changes = (
+        ev.filter(F.col("ts_us") < cutoff_us)
+        .withColumn("prev", F.lag("state").over(w_seq))
+        .filter((F.col("state") != F.col("prev")) | F.col("prev").isNull())
+        .drop("prev")
+    )
+    hist_dim = scd2(hist_changes)
+
+    open_rows = hist_dim.filter(F.col("valid_to_us") == SCD2_EOT_US)
+    delta = ev.filter(F.col("ts_us") >= cutoff_us)
+    # seed each user's delta sequence with their current open state
+    seeded = delta.join(
+        open_rows.select("user_id", F.col("state").alias("cur_state")),
+        "user_id",
+        "left",
+    )
+    delta_changes = (
+        seeded.withColumn(
+            "prev", F.coalesce(F.lag("state").over(w_seq), F.col("cur_state"))
+        )
+        .filter((F.col("state") != F.col("prev")) | F.col("prev").isNull())
+        .select("user_id", "state", "ts_us", "event_id")
+    )
+    # new intervals from the delta changes (chained within the delta)
+    inserts = scd2(delta_changes)
+    # close changed users' open intervals at their FIRST delta change
+    first_chg = delta_changes.groupBy("user_id").agg(
+        F.min("ts_us").alias("close_us")
+    )
+    closed = (
+        open_rows.join(first_chg, "user_id")
+        .select(
+            "user_id",
+            "state",
+            "valid_from_us",
+            F.col("close_us").alias("valid_to_us"),
+        )
+    )
+    untouched = open_rows.join(first_chg, "user_id", "left_anti")
+    return (
+        hist_dim.filter(F.col("valid_to_us") != SCD2_EOT_US)
+        .unionByName(untouched)
+        .unionByName(closed)
+        .unionByName(inserts)
+    )
