@@ -2504,3 +2504,89 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    extra=True,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    tri AS (
+        SELECT COUNT(*) AS n_tri
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT doc_a AS node FROM pairs
+            UNION ALL
+            SELECT doc_b AS node FROM pairs
+        ) GROUP BY 1
+    ),
+    wed AS (
+        SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg
+    )
+    SELECT CAST(t.n_tri AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           w.n_nodes, w.n_wedges,
+           ROUND(CASE WHEN w.n_wedges > 0
+                 THEN 3.0 * t.n_tri / w.n_wedges ELSE 0 END, 6)
+               AS transitivity
+    FROM tri t, wed w
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global transitivity over the exact near-dup
+    graph — the standard cohesion readout before choosing a clustering
+    strategy (high transitivity ⇒ near-cliques ⇒ min-label CC
+    converges in ~2 hops; low ⇒ chains ⇒ budget diameter). Each
+    triangle a<b<c is counted exactly once by orienting every edge
+    low→high and joining e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — the classic
+    distributed triangle enumeration: two EQUI-joins on the oriented
+    edge list, never an all-pairs product. Wedges are an integer
+    degree-sum; the only double is the final ratio.
+
+    Scale: edge orientation bounds each join's fan-out by the max
+    out-degree (sqrt-degree orientation is the refinement if a hub
+    appears); all joins key on doc ids — plain shuffles.
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count("*").alias("n_tri")
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias(
+            "n_wedges"
+        ),
+        F.count("*").alias("n_nodes"),
+    )
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wed))
+        .select(
+            F.col("n_tri").alias("n_triangles"),
+            "n_edges",
+            "n_nodes",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_tri") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("transitivity"),
+        )
+    )
