@@ -951,3 +951,58 @@ def stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = file_events_stream(spark, sf_dir)
     return run_bounded(rolling_median_stream(src))
+
+
+@register(
+    "stream_cdc_apply",
+    extra=True,
+    oracle="""
+    WITH last AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             event_type,
+             CAST(round(value * 1000) AS BIGINT) AS value_mv,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us, value_mv
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog apply — the CDC ingestion shape (Debezium topic →
+    lakehouse table): the replayed event stream becomes a changelog
+    (error events ⇒ DELETE the user's row, everything else ⇒ UPSERT)
+    and lands through CdcKeyedStore's delete-aware MERGE. The final
+    state per user is decided by the LAST op — a delete removes the
+    key, a later upsert resurrects it — which is exactly what the
+    oracle's last-row-per-user filter states declaratively.
+
+    Scale: inherits MergeKeyedStore's bucket-pruned copy-on-write
+    (per-epoch cost O(touched buckets), never O(state)); deletes are
+    an anti-join on the same bucket-pruned pre-state.
+    """
+    import tempfile
+
+    from eventstream_notify_spark.streaming.sinks import CdcKeyedStore
+
+    src = file_events_stream(spark, sf_dir).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    store = CdcKeyedStore(tempfile.mkdtemp(prefix="cdc_store_"), key="user_id")
+    q = (
+        src.writeStream.foreachBatch(store.upsert_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cdc_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.current(spark).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("value_mv"),
+    )

@@ -121,19 +121,43 @@ class MergeKeyedStore(ParquetKeyedStore):
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
 
+    def _latest_per_key(self, batch_df: DataFrame) -> DataFrame:
+        """Resolve duplicate keys inside one batch (MERGE requires a
+        unique source key): latest ts wins, like the log store."""
+        w = Window.partitionBy(self.key).orderBy(F.col(self.ts_col).desc())
+        return (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _first_epoch(self, src: DataFrame) -> DataFrame:
+        """What to write when no prior state exists."""
+        return src
+
+    def _merge(self, target: DataFrame, src: DataFrame) -> DataFrame:
+        """MERGE one deduped batch onto the pre-state: batch rows win
+        via coalesce (UPDATE), unmatched batch rows INSERT, unmatched
+        target rows pass through."""
+        cols = [c for c in target.columns]
+        src = src.select(*cols)
+        t, s = target.alias("t"), src.alias("s")
+        return t.join(
+            s, F.col(f"t.{self.key}") == F.col(f"s.{self.key}"), "full_outer"
+        ).select(
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+
     def upsert_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch hook — MERGE semantics, idempotent per epoch."""
         import os
 
         spark = batch_df.sparkSession
-        # resolve duplicate keys inside one batch first (MERGE requires
-        # a unique source key): latest ts wins, like the log store
-        w = Window.partitionBy(self.key).orderBy(F.col(self.ts_col).desc())
-        src = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .withColumn("_bucket", self._bucket())
+        src = self._latest_per_key(batch_df).withColumn(
+            "_bucket", self._bucket()
         )
         target = None
         # existence check is explicit (first epoch ⇒ nothing to merge
@@ -141,8 +165,9 @@ class MergeKeyedStore(ParquetKeyedStore):
         # fails and retries instead of silently dropping merged state
         # (a bare catch here turned transient read errors into state
         # loss). Local-FS check is the container seam; at scale this
-        # is a catalog/table-exists call.
-        if os.path.isdir(self.path):
+        # is a catalog/table-exists call. An EMPTY directory counts as
+        # no prior state (callers may pre-create the store path).
+        if os.path.isdir(self.path) and any(os.scandir(self.path)):
             # driver-side list of touched buckets: bounded by
             # n_buckets values, and it turns the pre-state read into
             # a statically partition-pruned scan
@@ -156,20 +181,11 @@ class MergeKeyedStore(ParquetKeyedStore):
                 log.filter(F.col("_bucket").isin(touched))
                 .localCheckpoint(eager=True)
             )
-        if target is not None:
-            cols = [c for c in target.columns]
-            src = src.select(*cols)
-            t, s = target.alias("t"), src.alias("s")
-            merged = t.join(
-                s, F.col(f"t.{self.key}") == F.col(f"s.{self.key}"), "full_outer"
-            ).select(
-                *[
-                    F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
-                    for c in cols
-                ]
-            )
-        else:
-            merged = src
+        merged = (
+            self._merge(target, src)
+            if target is not None
+            else self._first_epoch(src)
+        )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # dynamic overwrite rewrites exactly the _bucket partitions
         # present in `merged` = the touched buckets
@@ -182,3 +198,68 @@ class MergeKeyedStore(ParquetKeyedStore):
     def current(self, spark: SparkSession) -> DataFrame:
         """The merged table state: union of all bucket partitions."""
         return spark.read.parquet(self.path).drop("_bucket")
+
+
+class CdcKeyedStore(MergeKeyedStore):
+    """CDC-aware MERGE sink: batches carry an ``op`` column and the
+    merge honors deletes — ``MERGE ... WHEN MATCHED AND s.op = 'D'
+    THEN DELETE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED AND s.op <>
+    'D' THEN INSERT`` — the standard changelog-apply shape (Debezium →
+    lakehouse). Within a batch the LATEST op per key wins (ts +
+    event_id tie-break, so replay order is deterministic); across
+    batches the store converges on the last op per key: a delete
+    removes the key, a later upsert resurrects it.
+
+    Deletes persist as TOMBSTONES (``_deleted`` flag), not physical
+    removals: dynamic partition overwrite cannot erase a bucket whose
+    post-state is empty (nothing would be written to it), so a delete
+    writes a flagged row that ``current()`` filters — exactly how
+    log-structured stores and table formats (delete files) express
+    row deletion; compaction would drop old tombstones offline. Epoch
+    idempotence is inherited unchanged: replaying a delete overwrites
+    its own tombstone.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key: str = "user_id",
+        ts_col: str = "ts",
+        n_buckets: int = 16,
+        op_col: str = "op",
+    ):
+        super().__init__(path, key=key, ts_col=ts_col, n_buckets=n_buckets)
+        self.op_col = op_col
+
+    def _latest_per_key(self, batch_df: DataFrame) -> DataFrame:
+        order = [F.col(self.ts_col).desc()]
+        if "event_id" in batch_df.columns:
+            order.append(F.col("event_id").desc())
+        w = Window.partitionBy(self.key).orderBy(*order)
+        return (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _tombstoned(self, src: DataFrame) -> DataFrame:
+        return src.withColumn(
+            "_deleted", (F.col(self.op_col) == "D").cast("boolean")
+        ).drop(self.op_col)
+
+    def _first_epoch(self, src: DataFrame) -> DataFrame:
+        return self._tombstoned(src)
+
+    def _merge(self, target: DataFrame, src: DataFrame) -> DataFrame:
+        # batch rows (tombstones included) win over target via the
+        # inherited coalesce — a delete lands as _deleted=true, a
+        # later upsert resurrects the key by overwriting the flag
+        return super()._merge(target, self._tombstoned(src))
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        return (
+            super()
+            .current(spark)
+            .filter(~F.col("_deleted"))
+            .drop("_deleted")
+        )

@@ -233,3 +233,52 @@ def test_merge_replay_after_partial_bucket_write(spark, tmp_path):
     want = {k: float(k) for k in range(1, 40)}
     want[k1], want[k2] = 111.0, 222.0
     assert got == want
+
+
+def test_cdc_store_delete_resurrect_replay(spark, tmp_path):
+    """CdcKeyedStore semantics across epochs: a delete tombstones the
+    key, a later upsert resurrects it, and replaying an epoch onto its
+    own post-state is a no-op (exactly-once effect). Within one batch
+    the LATEST op per key wins via the (ts, event_id) tie-break."""
+    import datetime as dt
+
+    from eventstream_notify_spark.streaming.sinks import CdcKeyedStore
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string, op string"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(eid, sec, uid, op):
+        return (
+            eid,
+            t0 + dt.timedelta(seconds=sec),
+            uid,
+            "error" if op == "D" else "view",
+            float(eid),
+            "{}",
+            op,
+        )
+
+    store = CdcKeyedStore(str(tmp_path / "cdc"), key="user_id")
+    # u1: upsert then delete (delete wins in-batch); u2: upsert
+    store.upsert_batch(
+        spark.createDataFrame(
+            [row(1, 0, 1, "U"), row(2, 1, 1, "D"), row(3, 2, 2, "U")],
+            schema,
+        ),
+        0,
+    )
+    cur = lambda: sorted(  # noqa: E731
+        (r.user_id, r.event_id) for r in store.current(spark).collect()
+    )
+    assert cur() == [(2, 3)]
+    # u2 deleted, u1 resurrected
+    b2 = spark.createDataFrame(
+        [row(4, 60, 2, "D"), row(5, 61, 1, "U")], schema
+    )
+    store.upsert_batch(b2, 1)
+    assert cur() == [(1, 5)]
+    store.upsert_batch(b2, 1)  # epoch replay
+    assert cur() == [(1, 5)]
