@@ -1664,3 +1664,122 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
         .drop("_h")
     )
+
+
+# ------------------------------------------------------ spatial join
+
+
+_GEO_GRID = 10_000  # integer coordinate space side
+_GEO_R = 150        # radius in grid units; cell size == R
+
+
+@register(
+    "geo_radius_join",
+    extra=True,
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(CAST(('0x' || substring(
+                 md5('gx:' || CAST(user_id AS STRING)),
+                 1, 15)) AS UBIGINT) % {_GEO_GRID} AS BIGINT) AS x,
+             CAST(CAST(('0x' || substring(
+                 md5('gy:' || CAST(user_id AS STRING)),
+                 1, 15)) AS UBIGINT) % {_GEO_GRID} AS BIGINT) AS y
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+    FROM pts a JOIN pts b
+      ON a.user_id < b.user_id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {_GEO_R} * {_GEO_R}
+    """,
+)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join — find all point pairs within distance
+    R — via GRID-CELL BLOCKING (the geohash/S2 pattern): points land
+    in cells of side R, so any pair within R sits in the same or an
+    adjacent cell; one side explodes into its 3x3 neighborhood and the
+    candidate join is a plain EQUI-join on cell id, with the exact
+    integer distance² predicate as a post-filter. Each qualifying
+    pair is found exactly once (the probe side's cell is unexploded).
+    The oracle states the same result as the O(n²) theta join —
+    equality proves the blocking loses nothing.
+
+    Coordinates are deterministic md5-derived grid integers (the
+    testdata has no geo columns); everything is exact int64 —
+    cross-engine float-free.
+
+    Scale: candidate volume = density x 9 cells, independent of total
+    point count spread over more cells; the all-pairs product never
+    exists. Skewed cells (urban hot spots) get the same salting
+    treatment as any hot equi-join key.
+    """
+    e = table(spark, sf_dir, "events")
+
+    def coord(prefix: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _GEO_GRID
+        )
+
+    pts = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            coord("gx:").alias("x"),
+            coord("gy:").alias("y"),
+        )
+        .withColumn("cx", F.expr(f"x div {_GEO_R}"))
+        .withColumn("cy", F.expr(f"y div {_GEO_R}"))
+    )
+    nbr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("cx") + dx).alias("ncx"),
+                    (F.col("cy") + dy).alias("ncy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    probe = pts.select(
+        F.col("user_id").alias("user_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        nbr.alias("n"),
+    ).select("user_a", "ax", "ay", "n.ncx", "n.ncy")
+    build = pts.select(
+        F.col("user_id").alias("user_b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        probe.join(build, ["ncx", "ncy"])
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (d2 <= _GEO_R * _GEO_R)
+        )
+        .select("user_a", "user_b", d2.cast("bigint").alias("d2"))
+    )
