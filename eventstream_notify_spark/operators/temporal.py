@@ -739,3 +739,93 @@ def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(closed)
         .unionByName(inserts)
     )
+
+
+# ---------------------------------------------- changefeed producer
+
+
+@register(
+    "cdc_changefeed_diff",
+    extra=True,
+    oracle="""
+    WITH snap AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             CAST(round(value * 1000) AS BIGINT) AS value_mv,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn,
+             epoch_us(ts) < (SELECT (MAX(epoch_us(ts)) // 86400000000)
+                             * 86400000000 FROM events) AS is_old
+      FROM events
+    ),
+    old AS (SELECT * FROM (
+        SELECT user_id, event_id, value_mv,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn2,
+               event_type
+        FROM snap WHERE is_old) WHERE rn2 = 1 AND event_type <> 'error'
+    ),
+    new AS (SELECT user_id, event_id, value_mv FROM snap
+            WHERE rn = 1 AND event_type <> 'error')
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'I'
+                WHEN n.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           n.event_id AS new_event_id,
+           n.value_mv AS new_value_mv
+    FROM old o FULL OUTER JOIN new n ON n.user_id = o.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.event_id <> n.event_id OR o.value_mv <> n.value_mv
+    """,
+)
+def cdc_changefeed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed PRODUCER — the inverse of zx_stream_cdc_apply: diff
+    two keyed snapshots (state as of the last-day cutoff vs state
+    now, presence rule: a user whose latest event is an error is
+    absent) into the minimal changelog — INSERT for newly present
+    keys, DELETE for newly absent, UPDATE only when the row actually
+    changed. Apply(diff(A, B)) onto A reproduces B — the table-format
+    change-data-feed contract.
+
+    Scale: both snapshots collapse to one row per user at the first
+    exchange (arg-max compaction); the diff is ONE full-outer join on
+    the key with change predicates — no history re-scan, no window
+    over the fact.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("value_mv"),
+    )
+    cutoff_us = ev.agg(
+        F.max(F.expr("ts_us div 86400000000"))
+    ).first()[0] * 86_400_000_000
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", "event_id", "value_mv")
+        )
+
+    old = snapshot(ev.filter(F.col("ts_us") < cutoff_us)).alias("o")
+    new = snapshot(ev).alias("n")
+    joined = old.join(new, F.col("o.user_id") == F.col("n.user_id"), "full_outer")
+    return joined.filter(
+        F.col("o.user_id").isNull()
+        | F.col("n.user_id").isNull()
+        | (F.col("o.event_id") != F.col("n.event_id"))
+        | (F.col("o.value_mv") != F.col("n.value_mv"))
+    ).select(
+        F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+        F.when(F.col("o.user_id").isNull(), "I")
+        .when(F.col("n.user_id").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("n.event_id").alias("new_event_id"),
+        F.col("n.value_mv").alias("new_value_mv"),
+    )
