@@ -83,3 +83,45 @@ def test_pipeline_counts_invariant_under_permutation(spark, rows):
     out1 = sorted(map(tuple, ops.events_pipeline(df1, window_s=60).collect()))
     out2 = sorted(map(tuple, ops.events_pipeline(df2, window_s=60).collect()))
     assert out1 == out2
+
+
+def test_global_rank_and_ntile_match_single_window(spark):
+    """functions/ranking.py must be BIT-IDENTICAL to the single-
+    partition window forms it replaces, including duplicate keys,
+    negative keys (DESC via negation), skewed bucket occupancy, and
+    n not divisible by k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.functions.ranking import (
+        global_ntile,
+        global_row_number,
+    )
+
+    # 997 rows, heavily skewed into few distinct keys + a long tail
+    df = spark.range(997).select(
+        F.col("id"),
+        (
+            F.when(F.col("id") % 3 == 0, F.lit(5))
+            .when(F.col("id") % 7 == 0, -(F.col("id") % 11))
+            .otherwise(F.col("id") % 251)
+        ).alias("k"),
+    )
+    ranked, n = global_row_number(df, "k", ["id"], out="pos", buckets=8)
+    assert n == 997
+    want = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy("k", "id"))
+        .alias("pos"),
+    )
+    got = {(r.id, r.pos) for r in ranked.select("id", "pos").collect()}
+    assert got == {(r.id, r.pos) for r in want.collect()}
+
+    for k in (5, 10, 997, 2000):
+        tiled = global_ntile(df, k, "k", ["id"], out="t", buckets=8)
+        wantn = df.select(
+            "id", F.ntile(k).over(Window.orderBy("k", "id")).alias("t")
+        )
+        gotn = {(r.id, r.t) for r in tiled.select("id", "t").collect()}
+        assert gotn == {(r.id, r.t) for r in wantn.collect()}, f"k={k}"
