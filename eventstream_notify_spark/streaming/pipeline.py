@@ -1006,3 +1006,75 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.round(F.col("value") * 1000).cast("bigint").alias("value_mv"),
     )
+
+
+@register(
+    "store_time_travel",
+    extra=True,
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts) // 86400000000) AS d0,
+             MAX(epoch_us(ts) // 86400000000) AS d1
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 1000) AS BIGINT) AS value_mv,
+             LEAST(2, ((epoch_us(ts) // 86400000000) - b.d0) * 3
+                       // (b.d1 - b.d0 + 1)) AS epoch
+      FROM events, bounds b
+    )
+    SELECT user_id, event_id, ts_us, value_mv
+    FROM tagged
+    WHERE epoch <= 1
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY ts_us DESC, epoch DESC, event_id DESC) = 1
+    """,
+)
+def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the keyed store's epoch log: events land in
+    three chronological epochs (terciles of the day range — three
+    'days of ingestion'), and the query reads the state AS OF epoch 1
+    — the lakehouse `VERSION AS OF` read, expressed as a
+    partition-pruned filter over the immutable epoch partitions (no
+    snapshot copies, no extra storage; exactly how table formats
+    resolve historical reads from their log). The oracle recomputes
+    the same snapshot declaratively: latest row per user among the
+    first two epochs' events.
+
+    Scale: the as-of read prunes epoch partitions at the scan; the
+    compaction arg-max is the usual one keyed shuffle.
+    """
+    import tempfile
+
+    from eventstream_notify_spark.catalog import table as _table
+    from eventstream_notify_spark.streaming.sinks import ParquetKeyedStore
+
+    batch = _table(spark, sf_dir, "events")
+    bounds = batch.agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("d0"),
+        F.max(F.expr("unix_micros(ts) div 86400000000")).alias("d1"),
+    ).first()
+    d0, d1 = int(bounds["d0"]), int(bounds["d1"])
+    tagged = batch.withColumn(
+        "_ep",
+        F.least(
+            F.lit(2),
+            F.expr(
+                f"((unix_micros(ts) div 86400000000) - {d0}) * 3 "
+                f"div {d1 - d0 + 1}"
+            ),
+        ),
+    )
+    store = ParquetKeyedStore(
+        tempfile.mkdtemp(prefix="tt_store_"), key="user_id"
+    )
+    for ep in (0, 1, 2):
+        store.upsert_batch(tagged.filter(F.col("_ep") == ep).drop("_ep"), ep)
+    asof = store.compacted(spark, as_of_epoch=1)
+    return asof.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("value_mv"),
+    )

@@ -64,13 +64,23 @@ class ParquetKeyedStore:
         shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 
-    def compacted(self, spark: SparkSession) -> DataFrame:
+    def compacted(
+        self, spark: SparkSession, as_of_epoch: int | None = None
+    ) -> DataFrame:
         """The KV view: latest write per key wins (ties broken by the
-        later epoch — replay order, mirroring 'latest SET wins')."""
+        later epoch — replay order, mirroring 'latest SET wins').
+        ``as_of_epoch`` reads the state as it stood AFTER that epoch
+        committed (lakehouse time travel over the epoch log: epochs
+        are immutable partitions, so a historical snapshot is a
+        partition-pruned filter, no extra storage). Within-epoch ties
+        break on event_id when present — deterministic snapshots."""
         log = self.log(spark)
-        w = Window.partitionBy(self.key).orderBy(
-            F.col(self.ts_col).desc(), F.col("_epoch").desc()
-        )
+        if as_of_epoch is not None:
+            log = log.filter(F.col("_epoch") <= as_of_epoch)
+        order = [F.col(self.ts_col).desc(), F.col("_epoch").desc()]
+        if "event_id" in log.columns and self.key != "event_id":
+            order.append(F.col("event_id").desc())
+        w = Window.partitionBy(self.key).orderBy(*order)
         return (
             log.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
