@@ -2539,10 +2539,15 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count + global transitivity over the exact near-dup
-    graph — the standard cohesion readout before choosing a clustering
+    """GLOBAL triangle count + transitivity over the exact near-dup
+    graph — the one-row cohesion readout before choosing a clustering
     strategy (high transitivity ⇒ near-cliques ⇒ min-label CC
-    converges in ~2 hops; low ⇒ chains ⇒ budget diameter). Each
+    converges in ~2 hops; low ⇒ chains ⇒ budget diameter).
+    Complements zx_graph_triangles' PER-NODE counts by a different
+    algorithm: that one exploits token-set equivalence classes for a
+    closed form; this one is the general oriented-edge ENUMERATION
+    that works on any edge list — two independently-derived,
+    independently-oracle-checked answers over the same graph. Each
     triangle a<b<c is counted exactly once by orienting every edge
     low→high and joining e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — the classic
     distributed triangle enumeration: two EQUI-joins on the oriented
@@ -2590,86 +2595,3 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
-
-
-def _pagerank_oracle(iters: int = 10) -> str:
-    """Unrolled-iteration PageRank oracle: DuckDB disallows
-    aggregation in a recursive CTE term, so the fixed iteration count
-    is generated as chained CTEs pr0..prN — same integer update both
-    engines: r' = 150_000_000 + (85 * Σ incoming(r div deg)) div 100
-    (integer division makes every iteration bit-exact cross-engine;
-    the tiny mass leak is identical on both sides)."""
-    steps = []
-    for i in range(1, iters + 1):
-        steps.append(
-            f"""pr{i} AS (
-        SELECT e.d AS node,
-               150000000 + (85 * SUM(p.r // d.deg)) // 100 AS r
-        FROM pr{i - 1} p
-        JOIN deg d ON d.node = p.node
-        JOIN edges e ON e.s = p.node
-        GROUP BY e.d
-    )"""
-        )
-    chained = ",\n    ".join(steps)
-    return f"""
-    WITH {_PAIRS_CTE},
-    edges AS (
-        SELECT doc_a AS s, doc_b AS d FROM pairs
-        UNION ALL
-        SELECT doc_b AS s, doc_a AS d FROM pairs
-    ),
-    deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
-    pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg),
-    {chained}
-    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_e9
-    FROM pr{iters}
-    """
-
-
-_PAGERANK_ITERS = 10
-
-
-@register("graph_pagerank", extra=True, oracle=_pagerank_oracle(_PAGERANK_ITERS))
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the exact near-dup graph in FULLY INTEGER
-    arithmetic — the repo's third iterative algorithm (k-means,
-    min-label CC): damping 0.85 as the exact update
-    r' = 150e6 + (85·Σ r div deg) div 100 on a 1e9 scale, so every
-    iteration is deterministic on both engines (float PageRank would
-    drift in the last ulp under Spark's unordered summation). Fixed
-    10 iterations; the oracle unrolls them as chained CTEs.
-
-    Scale: one edge-list shuffle per iteration (join on source, group
-    by destination — Pregel's shape in DataFrame ops);
-    localCheckpoint every few hops truncates lineage exactly like
-    dedup_cluster's label propagation.
-    """
-    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
-        )
-    )
-    deg = edges.groupBy(F.col("s").alias("node")).agg(
-        F.count("*").alias("deg")
-    )
-    edges = edges.localCheckpoint(eager=False)
-    deg = deg.localCheckpoint(eager=False)
-    ranks = deg.select("node", F.lit(1_000_000_000).cast("bigint").alias("r"))
-    for i in range(_PAGERANK_ITERS):
-        contrib = (
-            ranks.join(deg, "node")
-            .select("node", F.expr("r div deg").alias("c"))
-            .join(edges, F.col("node") == F.col("s"))
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.sum("c").alias("inc"))
-        )
-        ranks = contrib.select(
-            "node",
-            (F.lit(150_000_000) + F.expr("(85 * inc) div 100")).alias("r"),
-        )
-        if i % 3 == 2:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_e9"))
