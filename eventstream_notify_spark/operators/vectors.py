@@ -795,3 +795,113 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return cand.groupBy("query_id").applyInPandas(mmr, out_schema)
+
+
+# ------------------------------------------- matryoshka truncation
+
+
+TRUNC_DIM = 16   # prefix dims kept in the truncated index
+TRUNC_K = 10     # recall@k
+
+
+@register(
+    "sim_truncate_recall",
+    extra=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe,
+               embedding[1:{TRUNC_DIM}] AS qt
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    e AS (
+        SELECT vec_id, embedding AS fe,
+               embedding[1:{TRUNC_DIM}] AS te
+        FROM embeddings
+    ),
+    full_k AS (
+        SELECT q.query_id, e.vec_id
+        FROM q JOIN e ON e.vec_id <> q.query_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY ROUND({cosine_sql('q.qe', 'e.fe')}, 6) DESC, e.vec_id
+        ) <= {TRUNC_K}
+    ),
+    trunc_k AS (
+        SELECT q.query_id, e.vec_id
+        FROM q JOIN e ON e.vec_id <> q.query_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY ROUND({cosine_sql('q.qt', 'e.te')}, 6) DESC, e.vec_id
+        ) <= {TRUNC_K}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(t.vec_id) / {TRUNC_K}.0, 6) AS recall_at_k
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def sim_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much retrieval quality
+    survives keeping only the first {TRUNC_DIM} of 64 dims — recall@k
+    of the truncated index against full-dim exact top-k, per query.
+    The go/no-go measurement before shipping prefix-truncated
+    embeddings (MRL) to cut index memory 4x.
+
+    Both rankings use the repo's cross-engine discipline (6-d.p.
+    rounded cosine + vec_id tie-break) so the whole audit — including
+    the recall numbers — is oracle-exact, not approximate.
+
+    Scale: two broadcast-query passes over the corpus (the truncated
+    pass reads {TRUNC_DIM}/64 of the vector bytes — the actual MRL
+    saving) + one join of two k-row-per-query sets.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("fe"),
+        F.slice("embedding", 1, TRUNC_DIM).alias("te"),
+    )
+    e = e.withColumn("fn", l2_norm("fe")).withColumn("tn", l2_norm("te"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("fe").alias("qe"),
+            F.col("te").alias("qt"),
+            F.col("fn").alias("qfn"),
+            F.col("tn").alias("qtn"),
+        )
+    )
+
+    def topk(score_col: F.Column) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id")
+        )
+        return (
+            e.join(q, F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", score_col.alias("score"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TRUNC_K)
+            .select("query_id", "vec_id")
+        )
+
+    full_k = topk(
+        F.round(dot("qe", "fe") / (F.col("qfn") * F.col("fn")), 6)
+    )
+    trunc_k = topk(
+        F.round(dot("qt", "te") / (F.col("qtn") * F.col("tn")), 6)
+    ).withColumnRenamed("vec_id", "t_vec_id")
+    return (
+        full_k.join(
+            trunc_k,
+            (full_k.query_id == trunc_k.query_id)
+            & (full_k.vec_id == trunc_k.t_vec_id),
+            "left",
+        )
+        .groupBy(full_k.query_id)
+        .agg(
+            F.count("t_vec_id").alias("n_hits"),
+            F.round(F.count("t_vec_id") / TRUNC_K, 6).alias("recall_at_k"),
+        )
+    )
