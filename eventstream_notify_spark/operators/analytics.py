@@ -1783,3 +1783,101 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_a", "user_b", d2.cast("bigint").alias("d2"))
     )
+
+
+# ---------------------------------------------------- z-order layout
+
+
+_Z_BITS = 16
+_Z_FILE_ROWS = 4096
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    """Bit-interleave two {_Z_BITS}-bit ints into a Morton z-value —
+    identical integer expression in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout",
+    extra=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 65536 AS BIGINT) AS x,
+             CAST(epoch_us(o_orderdate) // 86400000000
+                  - (SELECT MIN(epoch_us(o_orderdate) // 86400000000)
+                     FROM orders) AS BIGINT) AS y
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, x, y,
+             {_interleave_sql('x', 'y')} AS zval
+      FROM base
+    ),
+    ranked AS (
+      SELECT x, y,
+             (ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1)
+                 // {_Z_FILE_ROWS} AS file_id
+      FROM z
+    )
+    SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS min_cust, MAX(x) AS max_cust,
+           MIN(y) AS min_day, MAX(y) AS max_day
+    FROM ranked GROUP BY 1
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data layout (Delta/Iceberg ``OPTIMIZE ZORDER BY``):
+    interleave the bits of two filter dimensions (customer, order
+    day) into a Morton curve value, pack rows into fixed-size files
+    in z order, and emit each file's per-dimension min/max — the
+    skipping-index stats that make a point/range query on EITHER
+    dimension prune most files (a single-column sort clusters one
+    dimension perfectly and the other not at all; the z curve trades
+    a little of each — THE data-layout lever at 100 TB).
+
+    The global z rank rides `global_row_number` (bucket-partitioned,
+    no single-task sort); the interleave is pure integer bit math,
+    identical in both engines.
+    """
+    from eventstream_notify_spark.functions.ranking import (
+        global_row_number,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    d0 = o.agg(
+        F.min(
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        )
+    ).first()[0]
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).cast("bigint").alias("x"),
+        (
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+            )
+            - int(d0)
+        ).cast("bigint").alias("y"),
+    ).withColumn("zval", F.expr(_interleave_sql("x", "y")))
+    ranked, _n = global_row_number(
+        base, "zval", ["o_orderkey"], out="pos"
+    )
+    return (
+        ranked.withColumn(
+            "file_id", F.expr(f"(pos - 1) div {_Z_FILE_ROWS}")
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+        )
+    )
