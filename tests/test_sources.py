@@ -93,3 +93,32 @@ def test_wire_roundtrip_inverse(spark):
     wire = to_wire(events).collect()
     assert any('"value":"event-123"' in r.value for r in wire)
     assert any('"value":"click-9"' in r.value for r in wire)
+
+
+def test_wire_stream_drops_corrupt_payloads_explicitly(spark, tmp_path):
+    """The pipeline-facing wire view must drop undecodable messages
+    (the reference drops them silently; we drop them at a named seam)
+    while parse_wire_events keeps them observable in _corrupt_record
+    for batch consumers."""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.sources.events import (
+        parse_wire_events,
+        wire_file_stream,
+    )
+    from eventstream_notify_spark.streaming.pipeline import run_bounded
+
+    topic = str(tmp_path / "topic")
+    good = '{"id": 1, "value": "event-7", "user_id": "user3", "timestamp": 1704067200.0}'
+    rows = [("1", good), ("2", "not json at all"), ("3", "{}")]
+    spark.createDataFrame(rows, "key string, value string").write.parquet(
+        topic
+    )
+    # batch view: corrupt rows visible
+    batch = parse_wire_events(spark.read.parquet(topic))
+    corrupt = batch.filter(F.col("_corrupt_record").isNotNull()).count()
+    assert corrupt == 2
+    # stream view: only the decodable row reaches the pipeline
+    out = run_bounded(wire_file_stream(spark, topic))
+    got = [(r.event_id, r.user_id, r.value) for r in out.collect()]
+    assert got == [(1, 3, 7.0)]

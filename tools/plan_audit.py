@@ -52,7 +52,10 @@ def audit(plan: str) -> list[str]:
 
 
 def main() -> None:
-    from eventstream_notify_spark.plans.explain import plan_str
+    from eventstream_notify_spark.plans.explain import (
+        plan_str,
+        unpartitioned_windows,
+    )
     from eventstream_notify_spark.registry import lookup, queries
     from eventstream_notify_spark.session import get_spark
 
@@ -68,7 +71,11 @@ def main() -> None:
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         print(plan_str(df, "formatted"))
         combined = plan_str(df, "simple") + plan_str(df, "codegen")
-        print("AUDIT:", "; ".join(audit(combined)))
+        flags = audit(combined)
+        # same detector the test gate uses (tree walk, not strings)
+        for w in unpartitioned_windows(df):
+            flags.insert(0, f"!! unpartitioned window: {w[:90]}")
+        print("AUDIT:", "; ".join(flags))
 
 
 if __name__ == "__main__":
