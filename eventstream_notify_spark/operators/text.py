@@ -2595,3 +2595,142 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+# ------------------------------------------------- BPE merge loop
+
+
+_BPE_ROUNDS = 8
+
+
+def bpe_reference_merges(word_freqs: dict, rounds: int) -> list:
+    """Pure-python BPE trainer (the exact reference the distributed
+    loop must reproduce): greedy highest-count pair per round,
+    lexicographic tie-break, merges applied left-to-right."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    out = []
+    for _ in range(rounds):
+        counts: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # deterministic: max count, then lexicographically SMALLEST pair
+        best_cnt = max(counts.values())
+        best = min(p for p, c in counts.items() if c == best_cnt)
+        out.append(("".join(best), best_cnt))
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            merged = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + f
+        vocab = new_vocab
+    return out
+
+
+@register("llm_bpe_train", extra=True)  # rows-only: iterative kernel loop
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING LOOP (zx_llm_bpe_pair_counts is one counting
+    round of it): 8 greedy merge rounds over the corpus vocabulary —
+    per round, count adjacent symbol pairs weighted by word frequency
+    (explode + sum — distributed), pick the max-count pair
+    (lexicographic tie-break; 1-row argmax), apply the merge to every
+    word's symbol sequence (Arrow ``applyInPandas`` kernel over the
+    vocab — the inherently sequential left-to-right scan), repeat.
+    Emits (round, merge, pair_count).
+
+    Rows-only by design (an 8-round greedy loop is not one SQL
+    query); the kernel+loop is pinned EXACTLY by a pure-python
+    reference test over literal corpora.
+
+    Scale: everything after the first DISTINCT runs on the VOCAB
+    table (size = distinct words, independent of corpus row count);
+    pair counting shuffles (symbol, symbol) pairs, never text.
+    """
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr(rf"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(F.expr("transform(split(w, ''), x -> x)").alias("syms"), "f")
+        .select(F.filter("syms", lambda x: x != "").alias("syms"), "f")
+        .localCheckpoint(eager=True)
+    )
+    results = []
+    vocab = words
+    for rnd in range(_BPE_ROUNDS):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(x, i) -> struct(x AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        results.append((rnd + 1, a + b, cnt))
+
+        def make_merger(ma: str, mb: str):
+            def merge_batches(batches):
+                for pdf in batches:
+                    out_syms = []
+                    for syms in pdf["syms"]:
+                        merged = []
+                        i = 0
+                        n = len(syms)
+                        while i < n:
+                            if (
+                                i + 1 < n
+                                and syms[i] == ma
+                                and syms[i + 1] == mb
+                            ):
+                                merged.append(ma + mb)
+                                i += 2
+                            else:
+                                merged.append(syms[i])
+                                i += 1
+                        out_syms.append(merged)
+                    yield pd.DataFrame({"syms": out_syms, "f": pdf["f"]})
+
+            return merge_batches
+
+        # mapInPandas: per-row kernel, partition-local — zero shuffle
+        vocab = vocab.mapInPandas(
+            make_merger(a, b), "syms array<string>, f bigint"
+        )
+        if rnd % 3 == 2:
+            vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        results, "round int, merge string, pair_count bigint"
+    )

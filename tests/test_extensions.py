@@ -708,3 +708,37 @@ def test_decompose_additive_identity(spark):
     ).count()
     assert bad == 0
     assert df.count() > 0
+
+
+def test_bpe_train_matches_python_reference(spark, monkeypatch):
+    """The distributed 8-round BPE loop must reproduce the pure-python
+    greedy trainer EXACTLY (same merges, same counts, same order) —
+    including tie-breaks and overlapping-pair left-to-right scans."""
+    from eventstream_notify_spark.operators import text as tx
+
+    d = docs(
+        spark,
+        [
+            (1, "hello hello hello help"),
+            (2, "yellow mellow help hello"),
+            (3, "lull lull hull"),
+        ],
+    )
+    monkeypatch.setattr(tx, "table", lambda spark, sf_dir, name: d)
+    got = [
+        (r["round"], r.merge, r.pair_count)
+        for r in tx.llm_bpe_train(spark, "ignored").collect()
+    ]
+    # reference: word frequencies over the same corpus
+    words: dict = {}
+    for _, t in [(1, "hello hello hello help"), (2, "yellow mellow help hello"), (3, "lull lull hull")]:
+        for w in t.split():
+            if len(w) >= 2:
+                words[w] = words.get(w, 0) + 1
+    want = [
+        (i + 1, m, c)
+        for i, (m, c) in enumerate(
+            tx.bpe_reference_merges(words, tx._BPE_ROUNDS)
+        )
+    ]
+    assert got == want
