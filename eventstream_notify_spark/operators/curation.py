@@ -363,3 +363,110 @@ def fuzzy_typo_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_names"),
         F.min("dist").alias("min_dist"),
     )
+
+
+# -------------------------------------------------- URL canonical
+
+
+@register(
+    "dedup_url_canonical",
+    extra=True,
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTP://WWW.' || upper(source) || '.COM:80/p/'
+             || CAST(doc_id % 100 AS STRING)
+             || '?utm_source=feed&b=' || CAST(doc_id % 3 AS STRING)
+             || '&a=1&utm_campaign=x' AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(host, '^www\\.', ''),
+                            ':80$', '')
+             || CASE WHEN path = '' THEN '/' ELSE path END
+             || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS curl
+      FROM (
+        SELECT doc_id, host, path,
+               array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   kv -> NOT starts_with(kv, 'utm_'))), '&') AS cq
+        FROM parts
+      )
+    )
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_doc
+    FROM canon
+    GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first dedup a crawl pipeline
+    runs (before any content hashing): lowercase the host, strip the
+    `www.` prefix and default `:80` port, drop `utm_*` tracking
+    params, SORT the remaining query params (param order is not
+    identity), then group by the canonical form. The corpus has no
+    URL column, so a deterministic messy URL is synthesized per doc
+    (mixed case, www, default port, tracking params, shuffled params)
+    and the oracle must reproduce the full normalization pipeline.
+
+    Everything is built-in string/array functions — canonicalization
+    stays in whole-stage codegen, and the dedup shuffles only the
+    canonical strings (dedup_exact's scale shape).
+    """
+    d = table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW."),
+            F.upper("source"),
+            F.lit(".COM:80/p/"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("?utm_source=feed&b="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("&a=1&utm_campaign=x"),
+        ).alias("url"),
+    )
+    parts = raw.select(
+        "doc_id",
+        F.lower(
+            F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+        ).alias("host"),
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1).alias(
+            "path"
+        ),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query"),
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("query", "&"),
+                lambda kv: ~kv.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = parts.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(
+                F.regexp_replace("host", r"^www\.", ""), r":80$", ""
+            ),
+            F.when(F.col("path") == "", F.lit("/")).otherwise(
+                F.col("path")
+            ),
+            F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+        ).alias("curl"),
+    )
+    return canon.groupBy(F.col("curl").alias("canonical_url")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
