@@ -95,6 +95,39 @@ def _make_handler(hub: ServingHub):
 
         def do_GET(self):  # noqa: N802 — http.server API
             parsed = urlparse(self.path)
+            if parsed.path == "/stats":
+                # the dashboard's data feeds (C1-C4: total, per-user,
+                # distinct users, rate/min) computed over the hub
+                # store — the serving-side mirror of the distributed
+                # agg_* queries, sized by state not by history
+                events = [json.loads(p) for p in hub.snapshot()]
+                per_user: dict[str, int] = {}
+                per_min: dict[int, int] = {}
+                for e in events:
+                    u = str(e.get("user_id"))
+                    per_user[u] = per_user.get(u, 0) + 1
+                    m = int(float(e.get("timestamp", 0)) // 60)
+                    per_min[m] = per_min.get(m, 0) + 1
+                body = json.dumps(
+                    {
+                        "total_events": len(events),
+                        "distinct_users": len(per_user),
+                        "events_per_user": dict(
+                            sorted(per_user.items())
+                        ),
+                        "events_per_minute": {
+                            str(k * 60): v
+                            for k, v in sorted(per_min.items())
+                        },
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if parsed.path == "/events":
                 body = json.dumps(
                     [json.loads(p) for p in hub.snapshot()]

@@ -108,3 +108,35 @@ def test_pipeline_to_serving_end_to_end(spark, sf_dir, tmp_path):
         assert sample["user_id"].startswith("user")
     finally:
         srv.stop()
+
+
+def test_stats_endpoint_matches_payloads():
+    """/stats = the dashboard aggregates (C1-C4 shapes) over the hub."""
+    hub = ServingHub()
+    hub.publish(
+        [
+            (
+                str(i),
+                json.dumps(
+                    {
+                        "id": i,
+                        "value": f"event-{i}",
+                        "user_id": f"user{i % 3}",
+                        "timestamp": 1_704_067_200.0 + i * 30,
+                    }
+                ),
+            )
+            for i in range(12)
+        ]
+    )
+    srv = EventsHttpServer(hub)
+    port = srv.start()
+    try:
+        stats = _get_json(port, "/stats")
+        assert stats["total_events"] == 12
+        assert stats["distinct_users"] == 3
+        assert stats["events_per_user"] == {"user0": 4, "user1": 4, "user2": 4}
+        # 12 events at 30 s spacing = 2 per minute over 6 minutes
+        assert list(stats["events_per_minute"].values()) == [2] * 6
+    finally:
+        srv.stop()
