@@ -470,3 +470,52 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),
     )
+
+
+# --------------------------------------------- compressibility gate
+
+
+def compress_ratio_batches(batches):
+    """mapInPandas kernel: zlib-level-6 compression ratio per doc —
+    the classic near-duplicate/boilerplate/low-entropy text signal
+    (highly repetitive text compresses far below natural prose)."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        ratios = []
+        for t in pdf["text"]:
+            raw = t.encode("utf-8")
+            ratios.append(
+                round(len(zlib.compress(raw, 6)) / max(1, len(raw)), 6)
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "compress_ratio": ratios}
+        )
+
+
+@register("text_compress_ratio", extra=True)  # rows-only: zlib kernel
+def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate (the Gopher/C4-family signal
+    text_quality's length/punct/stopword ratios don't capture):
+    zlib-compress each doc and flag the tails — too-low ratio means
+    machine-generated repetition, too-high means high-entropy noise
+    (base64 blobs, minified code). Rows-only (no SQL engine exposes
+    zlib), pinned by a python parity test over the same corpus.
+
+    Scale: per-doc kernel over Arrow batches, embarrassingly
+    parallel; output is (doc_id, ratio, keep) — text never shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "text").mapInPandas(
+        compress_ratio_batches, "doc_id long, compress_ratio double"
+    )
+    return scored.select(
+        "doc_id",
+        "compress_ratio",
+        (
+            (F.col("compress_ratio") >= 0.25)
+            & (F.col("compress_ratio") <= 0.9)
+        ).cast("int").alias("keep"),
+    )

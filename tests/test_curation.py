@@ -184,3 +184,26 @@ def test_curation_ops_edge_case_parity_vs_duckdb(spark, tmp_path):
         sdf = reg.fn(spark, str(tmp_path)).toPandas()
         ddf = con.sql(reg.oracle).df()
         assert fingerprint(sdf) == fingerprint(ddf), name
+
+
+def test_compress_ratio_matches_python_reference(spark, sf_dir):
+    """Rows-only op: the Arrow kernel must agree exactly with direct
+    python zlib over the same docs (same level, same rounding)."""
+    import zlib
+
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.curation import (
+        text_compress_ratio,
+    )
+
+    got = {
+        r.doc_id: (r.compress_ratio, r.keep)
+        for r in text_compress_ratio(spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs[:50]:
+        raw = r.text.encode("utf-8")
+        ratio = round(len(zlib.compress(raw, 6)) / max(1, len(raw)), 6)
+        keep = int(0.25 <= ratio <= 0.9)
+        assert got[r.doc_id] == (ratio, keep)
