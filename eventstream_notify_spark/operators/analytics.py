@@ -2013,3 +2013,86 @@ def zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(n_files), "layout").select(
         "layout", "n_files", "cust_files_admitted", "day_files_admitted"
     )
+
+
+@register(
+    "cep_pattern_match",
+    extra=True,
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               substr(event_type, 1, 1) AS ch
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id,
+               string_agg(ch, '' ORDER BY ts_us, event_id) AS seq
+        FROM ch GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(length(regexp_extract_all(seq, 'eee+'))
+                AS BIGINT) AS n_error_burst,
+           CAST(length(regexp_extract_all(seq, 's[cev]*p'))
+                AS BIGINT) AS n_signup_to_purchase,
+           CAST(length(regexp_extract_all(seq, 'e[csv]{0,3}p'))
+                AS BIGINT) AS n_quick_recovery
+    FROM seq
+    """,
+)
+def cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern detection (the MATCH_RECOGNIZE
+    / Flink-CEP shape) over each user's event timeline: encode the
+    per-user event-type sequence as a character string (the 5 types
+    have distinct initials: c/e/p/s/v), then count non-overlapping
+    regex matches of three behavioral patterns — error bursts
+    (``eee+``: 3+ consecutive errors, greedy = maximal runs),
+    signup-to-purchase journeys (``s[cev]*p``: a signup reaching its
+    first purchase with no intervening signup), and quick recoveries
+    (``e[csv]{0,3}p``: an error followed by a purchase within 3
+    steps). Left-to-right non-overlapping greedy scan semantics are
+    identical in Java regex (Spark) and RE2 (DuckDB) for these
+    backtracking-free patterns — counts are exact integers.
+
+    Shape: one user_id shuffle builds each ordered sequence
+    (array_sort over collected (ts, id, ch) structs — no window, no
+    second shuffle), then the regex counting is per-row JVM-side
+    codegen. Per-user state is the user's own history — the same
+    boundedness contract as sessionize/funnel; a pathological
+    mega-user would be capped by splitting timelines at session
+    boundaries first. At 100 TB the plan is unchanged: sequences
+    build in one exchange and patterns evaluate embarrassingly
+    parallel. Reference tie-in: this is the engine-side version of
+    the notify rules the reference's dashboard implies (alert when a
+    user hits an error streak — auto_kafka_redis.py's event_type
+    field is exactly this alphabet's source)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_us", "event_id", "ch"))
+                ),
+                lambda s: s.ch,
+            ),
+            "",
+        ).alias("seq")
+    )
+
+    def n_matches(pat: str):
+        return F.size(
+            F.expr(f"regexp_extract_all(seq, '{pat}', 0)")
+        ).cast("bigint")
+
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        n_matches("eee+").alias("n_error_burst"),
+        n_matches("s[cev]*p").alias("n_signup_to_purchase"),
+        n_matches("e[csv]{0,3}p").alias("n_quick_recovery"),
+    )

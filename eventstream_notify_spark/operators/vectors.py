@@ -26,6 +26,7 @@ from eventstream_notify_spark.functions.vector import (
     dot,
     l2_norm,
     l2_norm_sql,
+    sq_norm,
 )
 from eventstream_notify_spark.registry import register
 
@@ -904,4 +905,174 @@ def sim_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_vec_id").alias("n_hits"),
             F.round(F.count("t_vec_id") / TRUNC_K, 6).alias("recall_at_k"),
         )
+    )
+
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_SUBDIM = 8
+PQ_SEED_MOD = 13  # vec_id % 13 == 0 -> codebook seeds (~N/13 per subspace)
+PQ_ITERS = 3
+PQ_SHORTLIST = 50  # ADC shortlist size; exact re-rank picks TOP_K from it
+
+
+def _l2sq(a, b) -> F.Column:
+    """Squared L2 distance between two float arrays, double fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register("sim_search_pq", extra=True)  # rows-only: iterative codebook training
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #4 — product quantization (PQ) with asymmetric
+    distance computation (Jégou et al., TPAMI'11; FAISS's IndexPQ):
+    split each 64-d vector into 8 contiguous 8-d subvectors, train a
+    small k-means codebook per subspace, encode every vector as 8
+    code ids, and score query→vector as a LOOKUP-TABLE sum — the
+    query's exact per-(subspace, centroid) partial dot products are a
+    Q x m x k broadcast frame, so each database vector's approximate
+    dot product is m table lookups instead of d multiplies, and the
+    corpus resides as m small ints per vector (64x smaller than
+    float32 here). This is the bytes-per-candidate lever at 100 TB:
+    compose with IVF (cut candidates) and this (cut bytes/candidate)
+    exactly as FAISS IVFPQ does.
+
+    Shape, all DataFrame ops / zero UDFs: subspace explode is a
+    sequence+slice projection (no shuffle); codebook training is the
+    ivf_kmeans Lloyd loop restricted to (sub, seed) groups — assign =
+    broadcast join + min_by hash-agg (never a sort window), update =
+    positional mean via posexplode; encoding reuses the final assign;
+    ADC = codes ⋈ broadcast LUT on (sub, code) then a (query, vec)
+    hash-agg whose partial aggregation shrinks the pair frame
+    map-side. Approximate norms come free as Σ‖centroid‖² per code
+    word. The ADC pass emits a 50-deep shortlist per query and an
+    EXACT cosine re-rank picks the final top-5 from it — the standard
+    two-stage deployment (compressed-domain recall, exact precision);
+    only shortlisted vectors are ever re-read at full width. Rows-only:
+    codebooks are iterative float refinement (same class as
+    sim_search_ivf_kmeans); recall@5 vs the exact search is pinned in
+    tests."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(f"slice(embedding, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
+        .alias("sv"),
+    )
+    book = sub.filter(F.col("vec_id") % PQ_SEED_MOD == 0).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("ce")
+    )
+
+    def assign(points: DataFrame, codebook: DataFrame) -> DataFrame:
+        # argmin centroid per (vec_id, sub): hash-agg min_by with a
+        # (dist, cid) struct tie-break — partial agg shrinks the
+        # N*m*k pair frame map-side, one candidate per partition
+        return (
+            points.join(F.broadcast(codebook), "sub")
+            .withColumn("dist", _l2sq(F.col("sv"), F.col("ce")))
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.first("sv").alias("sv"),
+                F.min_by(
+                    F.col("cid"), F.struct(F.col("dist"), F.col("cid"))
+                ).alias("code"),
+            )
+        )
+
+    for it in range(PQ_ITERS):
+        assigned = assign(sub, book)
+        book = (
+            assigned.select(
+                "sub", F.col("code").alias("cid"),
+                F.posexplode("sv").alias("pos", "x"),
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("ce")
+            )
+        )
+        if it == PQ_ITERS - 1:
+            book = book.withColumn("cn2", sq_norm("ce")).localCheckpoint(
+                eager=True
+            )
+
+    codes = assign(sub, book).select("vec_id", "sub", "code")
+
+    # asymmetric LUT: the query keeps EXACT subvectors; one row per
+    # (query, subspace, centroid) with the partial dot product and the
+    # centroid's squared norm (for the reconstructed-vector norm)
+    qsub = sub.filter(F.col("vec_id") % QUERY_MOD == 0)
+    qn = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), l2_norm("embedding").alias("qnrm")
+    )
+    lut = F.broadcast(
+        qsub.join(F.broadcast(book), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            F.col("cid").alias("code"),
+            dot("sv", "ce").alias("part"),
+            "cn2",
+        )
+        .join(F.broadcast(qn), "query_id")
+    )
+    scored = (
+        codes.join(lut, ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum("part")
+                / (F.first("qnrm") * F.sqrt(F.sum("cn2"))),
+                6,
+            ).alias("score")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank of the shortlist (the FAISS deployment shape:
+    # compressed-domain shortlist, exact final scores). The shortlist
+    # is Q x PQ_SHORTLIST rows -> broadcast side of the corpus join;
+    # only shortlisted full vectors are ever touched again.
+    ec = e.withColumn("nrm", l2_norm("embedding"))
+    qv = F.broadcast(
+        ec.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    rer = (
+        ec.join(F.broadcast(shortlist), "vec_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("score"),
+        )
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
     )

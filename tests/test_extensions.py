@@ -742,3 +742,29 @@ def test_bpe_train_matches_python_reference(spark, monkeypatch):
         )
     ]
     assert got == want
+
+
+def test_pq_recall_vs_exact(spark):
+    """PQ + exact re-rank must recover most of the exact top-5: the
+    ADC shortlist (50 of the corpus) bounds what re-rank can recover,
+    and with ~N/13 centroids per subspace measured recall@5 is 0.9 at
+    sf0.01; 0.7 is the regression floor (float-summation order in the
+    Lloyd means can flip marginal assignments between runs)."""
+    from collections import defaultdict
+
+    from eventstream_notify_spark.operators.vectors import (
+        sim_search_cosine,
+        sim_search_pq,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ex_top, pq_top = defaultdict(set), defaultdict(set)
+    for r in sim_search_cosine(spark, sf).collect():
+        ex_top[r.query_id].add(r.vec_id)
+    for r in sim_search_pq(spark, sf).collect():
+        pq_top[r.query_id].add(r.vec_id)
+    assert ex_top.keys() == pq_top.keys()
+    overlap = sum(
+        len(ex_top[q] & pq_top[q]) / 5.0 for q in ex_top
+    ) / len(ex_top)
+    assert overlap >= 0.7
