@@ -2640,8 +2640,7 @@ def bpe_reference_merges(word_freqs: dict, rounds: int) -> list:
     return out
 
 
-@register("llm_bpe_train", extra=True)  # rows-only: iterative kernel loop
-def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train_pairs(spark: SparkSession, sf_dir: str) -> list:
     """The BPE TRAINING LOOP (zx_llm_bpe_pair_counts is one counting
     round of it): 8 greedy merge rounds over the corpus vocabulary —
     per round, count adjacent symbol pairs weighted by word frequency
@@ -2699,7 +2698,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-        results.append((rnd + 1, a + b, cnt))
+        results.append((rnd + 1, a, b, cnt))
 
         def make_merger(ma: str, mb: str):
             def merge_batches(batches):
@@ -2731,6 +2730,110 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if rnd % 3 == 2:
             vocab = vocab.localCheckpoint(eager=True)
+    return results
+
+
+@register("llm_bpe_train", extra=True)  # rows-only: iterative kernel loop
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training surface: the distributed merge loop
+    (``_bpe_train_pairs``) as (round, merge, pair_count) rows; pinned
+    EXACTLY by the pure-python reference test."""
+    rows = [(r, a + b, c) for r, a, b, c in _bpe_train_pairs(spark, sf_dir)]
     return spark.createDataFrame(
-        results, "round int, merge string, pair_count bigint"
+        rows, "round int, merge string, pair_count bigint"
+    )
+
+
+def bpe_reference_encode(word: str, merges: list) -> list:
+    """Canonical BPE encode (Sennrich '16 / GPT-2 ``bpe()``): start
+    from characters; repeatedly find the LOWEST-RANK merge whose pair
+    is present and apply it to every occurrence left-to-right, until
+    no ranked pair remains. Shared by the Spark kernel and its test
+    reference — rank-iterated, so merges that only become applicable
+    after a later merge creates one of their operands are still
+    taken (a single in-order pass would miss those)."""
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@register("llm_bpe_encode", extra=True)  # rows-only: ranked-merge encode kernel
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the other half of the tokenizer lifecycle
+    (llm_bpe_train learns merges; this applies them): encode every
+    document with the corpus-trained merge table and emit per-doc
+    token accounting (word count, BPE token count, chars-per-token
+    compression) — the cost model behind every 'how many tokens is my
+    corpus' question in LLM data work.
+
+    Shape: the merge table is driver-sized (8 rounds here, ~30k in
+    production — always broadcastable); encoding runs ONCE PER
+    DISTINCT WORD (the vocab table, independent of corpus row count),
+    as an Arrow ``mapInPandas`` kernel over the vocab — the canonical
+    rank-iterated encode (see ``bpe_reference_encode``); per-doc
+    totals are then one broadcast join of (word -> n_tokens) onto the
+    exploded doc-words frame plus a doc-keyed hash agg. Text bodies
+    never shuffle. Rows-only: the encode recurrence is not one SQL
+    query; the kernel is pinned exactly by the python reference
+    test."""
+    import pandas as pd
+
+    merges = [(a, b) for _, a, b, _ in _bpe_train_pairs(spark, sf_dir)]
+    d = table(spark, sf_dir, "documents")
+    doc_words = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(rf"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("w"),
+    )
+    vocab = doc_words.select("w").distinct()
+
+    def encode_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_tok": [
+                        len(bpe_reference_encode(w, merges))
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    enc = vocab.mapInPandas(encode_batches, "w string, n_tok int")
+    return (
+        doc_words.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_chars") / F.col("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
     )

@@ -768,3 +768,64 @@ def test_pq_recall_vs_exact(spark):
         len(ex_top[q] & pq_top[q]) / 5.0 for q in ex_top
     ) / len(ex_top)
     assert overlap >= 0.7
+
+
+def test_bpe_encode_matches_python_reference(spark, monkeypatch):
+    """Per-doc BPE token accounting must equal a pure-python pipeline
+    (train merges -> rank-iterated encode -> per-doc sums) over the
+    same literal corpus. The corpus is built so 'hel'+'lo' style late
+    merges exercise the rank iteration."""
+    import re
+
+    from eventstream_notify_spark.operators import text as tx
+
+    corpus = [
+        (1, "hello hello hello help lo lo"),
+        (2, "yellow mellow help hello shell"),
+        (3, "lull lull hull hell hello"),
+    ]
+    d = docs(spark, corpus)
+    monkeypatch.setattr(tx, "table", lambda spark, sf_dir, name: d)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.chars_per_token)
+        for r in tx.llm_bpe_encode(spark, "ignored").collect()
+    }
+    # pure-python twin
+    freqs: dict = {}
+    for _, t in corpus:
+        for w in re.findall(tx.TOKEN_RE, t.lower()):
+            if len(w) >= 2:
+                freqs[w] = freqs.get(w, 0) + 1
+    # rebuild the pair list exactly as the trainer does
+    vocab = {tuple(w): f for w, f in freqs.items()}
+    merges = []
+    for _ in range(tx._BPE_ROUNDS):
+        counts: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best_cnt = max(counts.values())
+        best = min(p for p, c in counts.items() if c == best_cnt)
+        merges.append(best)
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + f
+        vocab = new_vocab
+    want = {}
+    for doc_id, t in corpus:
+        ws = re.findall(tx.TOKEN_RE, t.lower())
+        n_tok = sum(len(tx.bpe_reference_encode(w, merges)) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        want[doc_id] = (len(ws), n_tok, round(n_chars / n_tok, 6))
+    assert got == want
