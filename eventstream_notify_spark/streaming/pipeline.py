@@ -1078,3 +1078,56 @@ def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.round(F.col("value") * 1000).cast("bigint").alias("value_mv"),
     )
+
+
+@register(
+    "stream_cep_burst",
+    extra=True,
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    err AS (
+        SELECT user_id, event_id, ts_us, rn,
+               rn - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY rn
+               ) AS grp
+        FROM ev WHERE event_type = 'error'
+    )
+    SELECT user_id, event_id, ts_us
+    FROM (
+        SELECT user_id, event_id, ts_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, grp ORDER BY rn
+               ) AS pos_in_run
+        FROM err
+    )
+    WHERE pos_in_run = 3
+    """,
+)
+def stream_cep_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COMPLEX EVENT PROCESSING (the Flink-CEP shape; third
+    member of the batch-oracle-shared stateful family after ewma and
+    rolling-median): detect per-user bursts of 3+ consecutive errors
+    and alert exactly once per burst, on its 3rd error, WHILE THE
+    STREAM RUNS — the notify-rule semantics the reference's dashboard
+    implies (auto_kafka_redis.py's event_type alphabet), but pushed
+    into the engine as a stateful operator instead of dashboard
+    polling. State is a single int per user (the run length at the
+    batch boundary), so a burst spanning micro-batches still fires
+    exactly once; idle users evict on a 1-day event-time timeout.
+
+    The oracle is the batch gaps-and-islands formulation (island id =
+    rn − rn-among-errors; alert = 3rd row of each island) — the
+    bounded replay hash-matching it end-to-end proves the streaming
+    state machinery reproduces the declarative batch semantics
+    exactly. The batch regex twin is zx_cep_pattern_match's
+    n_error_burst column; this is its row-level streaming dual."""
+    from eventstream_notify_spark.streaming.state import cep_burst_stream
+
+    src = file_events_stream(spark, sf_dir)
+    return run_bounded(cep_burst_stream(src))

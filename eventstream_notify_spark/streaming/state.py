@@ -293,3 +293,81 @@ def rolling_median_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+CEP_OUTPUT_SCHEMA = "user_id long, event_id long, ts_us long"
+CEP_STATE_SCHEMA = "run int"
+CEP_BURST_LEN = 3  # alert fires on the 3rd consecutive error
+
+
+def cep_burst_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful streaming CEP: per-user consecutive-error-run
+    detector. State is ONE int — the length of the error run in
+    progress at the batch boundary — so a burst spanning micro-batches
+    still fires exactly once, on its 3rd error. Emits the alert row
+    (the 3rd error's identity); runs longer than 3 fire no further
+    alerts until a non-error resets the run — i.e. one alert per
+    maximal burst, anchored at its 3rd element, which is what the
+    gaps-and-islands oracle counts."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (user_id,) = key
+    run = int(state.get[0]) if state.exists else 0
+    chunks = [c for c in pdfs if len(c)]
+    last_ts = None
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        out_ids, out_ts = [], []
+        for eid, ts_us, et in zip(
+            pdf["event_id"], pdf["ts_us"], pdf["event_type"]
+        ):
+            if et == "error":
+                run += 1
+                if run == CEP_BURST_LEN:
+                    out_ids.append(int(eid))
+                    out_ts.append(int(ts_us))
+            else:
+                run = 0
+        last_ts = int(pdf["ts_us"].iloc[-1])
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_ids),
+                "event_id": out_ids,
+                "ts_us": out_ts,
+            }
+        )
+    state.update((run,))
+    if last_ts is not None:
+        state.setTimeoutTimestamp(last_ts // 1000 + 86_400_000)
+
+
+def cep_burst_stream(
+    events: DataFrame, watermark: str | None = "60 seconds"
+) -> DataFrame:
+    """Streaming CEP over the event stream; emits one alert row per
+    per-user burst of 3+ consecutive errors (at the 3rd error)."""
+    from pyspark.sql import functions as F
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        cep_burst_fn,
+        CEP_OUTPUT_SCHEMA,
+        CEP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

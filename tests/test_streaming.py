@@ -236,3 +236,45 @@ def test_stream_ewma_kernel_multibatch_equals_whole_window():
     pd.testing.assert_frame_equal(one, three)
     # spot-check the first value: window of itself only
     assert one["ewma"].iloc[0] == rows["v_int"].iloc[0] / 1e6
+
+
+def test_stream_cep_kernel_burst_across_batches_fires_once():
+    """A 3+-error run split across micro-batches must alert exactly
+    once (on the 3rd error), wherever the split falls; a non-error
+    resets the run; out-of-order chunks within one batch are sorted
+    before the scan."""
+    import pandas as pd
+
+    from eventstream_notify_spark.streaming.state import cep_burst_fn
+
+    types = ["error", "error", "error", "error", "view",
+             "error", "error", "error", "click"]
+    rows = pd.DataFrame(
+        {
+            "user_id": [7] * len(types),
+            "event_id": list(range(len(types))),
+            "ts_us": [1_000_000 * (i + 1) for i in range(len(types))],
+            "event_type": types,
+        }
+    )
+
+    def run(splits):
+        state = _FakeState()
+        outs = []
+        for part in splits:
+            outs.extend(cep_burst_fn((7,), iter([part]), state))
+        return pd.concat(outs, ignore_index=True)
+
+    want_ids = [2, 7]  # 3rd error of each maximal burst
+    for splits in (
+        [rows],
+        [rows.iloc[:1], rows.iloc[1:2], rows.iloc[2:]],
+        [rows.iloc[:4], rows.iloc[4:]],
+        [rows.iloc[:6], rows.iloc[6:]],
+    ):
+        got = run(splits)
+        assert list(got["event_id"]) == want_ids, splits
+    # chunk-interleave within one batch: kernel must sort first
+    shuffled = rows.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    got = run([shuffled])
+    assert list(got["event_id"]) == want_ids
