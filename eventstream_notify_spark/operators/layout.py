@@ -1,0 +1,183 @@
+"""Storage-layout / source-evolution operators — the lakehouse
+ingestion realities at 100 TB: schemas drift across ingestion epochs,
+and tables are laid out as hive-partitioned directory trees so scans
+can prune whole partitions before touching a row.
+
+Both operators materialize their layout ONCE per sf_dir into a
+session-cached temp dir (the incremental_rollup pattern: lazy
+populate, atexit cleanup) — the layout is the fixture under test, the
+query over it is the registered operator. Nothing under /root/testdata
+is ever written.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstream_notify_spark.catalog import table
+from eventstream_notify_spark.registry import register
+
+# layout fixture dirs, keyed by (kind, sf_dir); removed at exit
+_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
+@atexit.register
+def _cleanup_layouts() -> None:
+    for d in _LAYOUT_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _LAYOUT_CACHE.clear()
+
+
+def _epoch_dirs(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet 'ingestion epochs' of orders with DIFFERENT
+    schemas: epoch 1 (even orderkeys) predates the o_orderpriority
+    column; epoch 2 (odd orderkeys) carries it."""
+    key = ("schema_epochs", sf_dir)
+    base = _LAYOUT_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="schema_epochs_")
+        o = table(spark, sf_dir, "orders")
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{base}/epoch=1")
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(f"{base}/epoch=2")
+        _LAYOUT_CACHE[key] = base
+    return base
+
+
+@register(
+    "schema_evolution",
+    extra=True,
+    oracle="""
+    WITH unified AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                   AS o_orderpriority
+        FROM orders
+    )
+    SELECT COALESCE(o_orderpriority, 'PRE-SCHEMA') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM unified
+    GROUP BY 1
+    """,
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion: two parquet epochs of the same table
+    where the newer epoch ADDED a column (o_orderpriority), read as
+    one DataFrame via ``mergeSchema`` — Spark unions the footers'
+    schemas and null-fills the missing column for old files, which is
+    exactly how a 100 TB lakehouse absorbs upstream schema evolution
+    without rewriting history. The query then treats null-filled rows
+    as their own 'PRE-SCHEMA' class and aggregates across the seam.
+
+    The oracle reconstructs the same unified view declaratively from
+    the source table (even keys = old epoch, column nulled), so the
+    hash match proves merge-read semantics, not just row counts.
+    Scale: mergeSchema is a FOOTER-ONLY planning cost (per file, on
+    the driver/executors, no data scan); the aggregation is one
+    hash-agg over a 6-value group domain."""
+    base = _epoch_dirs(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/epoch=1", f"{base}/epoch=2"
+    )
+    return (
+        df.select(
+            F.coalesce("o_orderpriority", F.lit("PRE-SCHEMA")).alias(
+                "priority"
+            ),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned copy of events: dir tree keyed by event_type
+    (stands in for the date/type partitioning of a production event
+    lake)."""
+    key = ("events_by_type", sf_dir)
+    d = _LAYOUT_CACHE.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="events_by_type_")
+        (
+            table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                F.round(F.col("value") * 1000).cast("bigint").alias(
+                    "value_mv"
+                ),
+                "event_type",
+            )
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(d)
+        )
+        _LAYOUT_CACHE[key] = d
+    return d
+
+
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned read behind zx_partition_prune, exposed for the
+    plan test (which asserts PartitionFilters carry the predicate and
+    non-matching partitions never enter the scan)."""
+    d = _partitioned_events(spark, sf_dir)
+    return spark.read.parquet(d).filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+
+
+@register(
+    "partition_prune",
+    extra=True,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_mv,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('error', 'purchase')
+    GROUP BY 1
+    """,
+)
+def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over a hive-partitioned event lake: the
+    events table laid out as event_type=<v>/ directories, queried
+    with a partition-column predicate — Spark resolves the predicate
+    against DIRECTORY NAMES at planning time (PartitionFilters), so
+    3 of 5 partitions are never listed into the scan, the dominant
+    cost lever on a date-partitioned 100 TB event lake (the plan test
+    pins this: the partition predicate must appear as a
+    PartitionFilter, not a post-scan Filter). The partition column
+    itself is VIRTUAL — encoded in the path, stored in zero data
+    pages, and rehydrated by the reader.
+
+    The oracle runs the same aggregate on the source table; the hash
+    match proves the partitioned round-trip (write partitionBy, read,
+    prune) loses and duplicates nothing."""
+    return (
+        partition_pruned_scan(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("value_mv").cast("bigint").alias("sum_mv"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

@@ -76,6 +76,7 @@ def _load_all() -> None:
         analytics,
         curation,
         events,
+        layout,
         modern,
         multimodal,
         relational,

@@ -358,3 +358,22 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
         spark.sql("DROP TABLE IF EXISTS bucketdemo.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS bucketdemo")
+
+
+def test_partition_prune_operator_plans_partition_filter(spark):
+    """zx_partition_prune's scan must carry its event_type predicate
+    as a PartitionFilter (directory-level pruning), not a post-scan
+    row filter, and the partition column must be virtual (absent from
+    ReadSchema)."""
+    from eventstream_notify_spark.operators.layout import (
+        partition_pruned_scan,
+    )
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    plan = plan_str(partition_pruned_scan(spark, SF))
+    assert "PartitionFilters" in plan
+    assert "error" in plan and "purchase" in plan
+    import re
+
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "event_type" not in rs.group(1)
