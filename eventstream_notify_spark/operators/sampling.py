@@ -225,3 +225,121 @@ def weighted_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_sampled")
         )
     )
+
+
+@register(
+    "split_group_aware",
+    extra=True,
+    oracle=f"""
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT user_id,
+               CASE WHEN {_BUCKET_SQL.format(col='user_id')} < 80
+                    THEN 'train'
+                    WHEN {_BUCKET_SQL.format(col='user_id')} < 90
+                    THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM events
+    )
+    GROUP BY split
+    """,
+)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/valid/test split: the split key is the
+    ENTITY (user_id), not the row — every event of a user lands in
+    the same split by construction, which is the leakage guard
+    row-level splits miss (a user's test events must not share a user
+    with training events, or per-user features leak the answer).
+    Same hash-bucket determinism as train_test_split; the
+    no-user-spans-two-splits invariant is pinned by a test."""
+    ev = table(spark, sf_dir, "events")
+    b = _bucket("user_id")
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.select(split.alias("split"), "user_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+_NEG_K = 5
+_NEG_QUERY_MOD = 50
+# pair-hash constants sized so every intermediate stays under 2^63 in
+# both engines: (pair % p) * m < 1e9 * 1.2e9
+_NEG_P = 1_000_000_007
+_NEG_M = 1_103_515_245
+
+
+@register(
+    "negative_sampling",
+    extra=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id AS query_id, source AS qsource
+        FROM documents WHERE doc_id % {_NEG_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, d.doc_id AS neg_id,
+               ((q.query_id * 1000003 + d.doc_id) % {_NEG_P})
+                   * {_NEG_M} % {_NEG_P} AS h
+        FROM q JOIN documents d
+          ON d.source <> q.qsource AND d.doc_id <> q.query_id
+    )
+    SELECT query_id, neg_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY h, neg_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_NEG_K}
+    """,
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training: for
+    each query document, draw k=5 pseudo-random negatives from a
+    different source (the cheap 'not obviously related' filter), with
+    the draw a pure function of the (query, candidate) pair — the
+    same multiplicative-hash discipline as the sampling family, so
+    backfills and re-runs emit identical training pairs and DuckDB
+    can replay the exact draw.
+
+    Shape: the query set (1/50 of docs) broadcasts against the corpus
+    with only (doc_id, source) projected — bodies never move; the
+    per-query top-5 is a window over the query key. At 100 TB you'd
+    pre-bucket candidates by hash range and only join the k nearest
+    buckets per query — same hash, candidate volume per query capped;
+    declared here, not needed at bench scale."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = F.broadcast(
+        d.filter(F.col("doc_id") % _NEG_QUERY_MOD == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("source").alias("qsource"),
+        )
+    )
+    scored = d.join(
+        q,
+        (F.col("source") != F.col("qsource"))
+        & (F.col("doc_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("neg_id"),
+        (
+            ((F.col("query_id") * 1000003 + F.col("doc_id")) % _NEG_P)
+            * _NEG_M
+            % _NEG_P
+        ).alias("h"),
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _NEG_K)
+        .select("query_id", "neg_id", "rank")
+    )

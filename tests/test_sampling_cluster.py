@@ -79,3 +79,58 @@ def test_cluster_is_fixpoint_and_consistent(spark, sf_dir):
         .count()
     )
     assert bad_min == 0
+
+
+def test_group_split_no_user_spans_splits(spark, sf_dir):
+    """The leakage guard itself: assigning splits by user hash means
+    (user, split) pairs == distinct users, and the three splits
+    together cover every event exactly once."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.sampling import (
+        _bucket,
+        split_group_aware,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    b = _bucket("user_id")
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = ev.select("user_id", split.alias("split"))
+    assert (
+        assigned.select("user_id", "split").distinct().count()
+        == assigned.select("user_id").distinct().count()
+    )
+    agg = {r.split: r.n_events for r in split_group_aware(spark, sf_dir).collect()}
+    assert sum(agg.values()) == ev.count()
+
+
+def test_negative_sampling_shape_and_separation(spark, sf_dir):
+    """Exactly k negatives per query, none sharing the query's source,
+    none equal to the query, ranks dense 1..k."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.sampling import (
+        _NEG_K,
+        negative_sampling,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    res = negative_sampling(spark, sf_dir)
+    per_q = res.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx"),
+        F.min("rank").alias("mn"),
+    )
+    bad = per_q.filter(
+        (F.col("n") != _NEG_K) | (F.col("mx") != _NEG_K) | (F.col("mn") != 1)
+    ).count()
+    assert bad == 0
+    qsrc = d.select(F.col("doc_id").alias("query_id"), F.col("source").alias("qs"))
+    nsrc = d.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("ns"))
+    leaks = (
+        res.join(qsrc, "query_id").join(nsrc, "neg_id")
+        .filter((F.col("qs") == F.col("ns")) | (F.col("neg_id") == F.col("query_id")))
+        .count()
+    )
+    assert leaks == 0
