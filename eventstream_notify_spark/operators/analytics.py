@@ -2096,3 +2096,74 @@ def cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matches("s[cev]*p").alias("n_signup_to_purchase"),
         n_matches("e[csv]{0,3}p").alias("n_quick_recovery"),
     )
+
+
+_QTILES = ((50, "p50_mv"), (90, "p90_mv"), (99, "p99_mv"))
+
+
+@register(
+    "quantile_exact_grouped",
+    extra=True,
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(round(value * 1000) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS total
+        FROM q
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n,
+           MIN(CASE WHEN cum * 100 >= 50 * total THEN v END) AS p50_mv,
+           MIN(CASE WHEN cum * 100 >= 90 * total THEN v END) AS p90_mv,
+           MIN(CASE WHEN cum * 100 >= 99 * total THEN v END) AS p99_mv
+    FROM cum
+    GROUP BY event_type
+    """,
+)
+def quantile_exact_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p50/p90/p99 of the milli-quantized
+    value per event_type) without sorting the fact table: aggregate to
+    (group, value) counts first — the window then runs over the VALUE
+    DOMAIN (≤ ~1e6 quantized values per group, invariant to corpus
+    row count), not over rows, and the percentile is the smallest
+    value whose cumulative count clears ⌈q·n⌉ (discrete/lower
+    quantile, the integer-exact convention; the comparison is the
+    cross-multiplied cum*100 >= q*total so no division ever happens).
+    This is the exact-percentile companion to zx_agg_percentiles'
+    sketched approx_percentile and global_median_exact's single
+    global median: grouped, multi-quantile, and domain-windowed.
+
+    Scale: one fact shuffle (the group-by), then all window work on
+    the bounded counts table; group partitions keep the window
+    parallel across event types and the domain bound keeps each
+    partition constant-sized as the corpus grows."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    cnt = ev.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = cnt.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(wt)
+    )
+    aggs = [F.sum("c").cast("bigint").alias("n")] + [
+        F.min(
+            F.when(F.col("cum") * 100 >= q * F.col("total"), F.col("v"))
+        ).alias(name)
+        for q, name in _QTILES
+    ]
+    return cum.groupBy("event_type").agg(*aggs)

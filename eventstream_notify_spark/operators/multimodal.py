@@ -680,3 +680,112 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(
         wav_roundtrip_batches, MM_AUDIO_SCHEMA
     )
+
+
+MM_AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("max_frame_energy", T.LongType()),
+    ]
+)
+
+_AF_FRAME = 32  # feature frame length in samples (full frames only)
+
+
+def wav_feature_batches(batches: Iterator) -> Iterator:
+    """mapInPandas kernel: synthesize → encode → DECODE (the same
+    byte-real round trip as mm_audio_decode), then compute the
+    classic integer-exact audio descriptors from the decoded int16
+    samples: zero-crossing count (sign-change scan — the cheap
+    voiced/unvoiced + noisiness cue), total energy (Σx², the loudness
+    integral), and the framewise energy envelope's maximum over
+    32-sample frames (the attack/transient detector's input). All
+    integer arithmetic in int64 — no floats anywhere, so the oracle
+    can reproduce every value exactly."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        recs = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            n = 64 + did % 64
+            samples = (
+                ((did * 31 + np.arange(n) * 7) % 65536) - 32768
+            ).astype(np.int16)
+            _, dec = decode_wav(encode_wav(samples, 8000))
+            x = dec.astype(np.int64)
+            neg = x < 0
+            zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+            energy = int((x * x).sum())
+            nf = n // _AF_FRAME
+            fe = (
+                (x[: nf * _AF_FRAME] ** 2)
+                .reshape(nf, _AF_FRAME)
+                .sum(axis=1)
+            )
+            recs.append(
+                (did, n, zc, energy, nf, int(fe.max()) if nf else 0)
+            )
+        yield pd.DataFrame(
+            recs,
+            columns=[
+                "doc_id",
+                "n_samples",
+                "zero_crossings",
+                "energy",
+                "n_frames",
+                "max_frame_energy",
+            ],
+        )
+
+
+@register(
+    "mm_audio_features",
+    extra=True,
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+             list_transform(range(0, 64 + doc_id % 64),
+                 i -> ((doc_id * 31 + i * 7) % 65536) - 32768) AS xs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(1, n),
+               i -> CASE WHEN (xs[i] < 0) <> (xs[i + 1] < 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+           CAST(list_sum(list_transform(xs,
+               x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy,
+           CAST(n // {_AF_FRAME} AS BIGINT) AS n_frames,
+           CAST(COALESCE(list_max(list_transform(
+               range(0, n // {_AF_FRAME}),
+               f -> list_sum(list_transform(range(1, {_AF_FRAME} + 1),
+                   i -> CAST(xs[f * {_AF_FRAME} + i] AS BIGINT)
+                        * xs[f * {_AF_FRAME} + i])))), 0) AS BIGINT)
+               AS max_frame_energy
+    FROM s
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over decoded waveforms (the next
+    pipeline stage after mm_audio_decode's parsing): zero-crossing
+    rate, total energy, and the 32-sample framewise energy envelope's
+    max — the descriptors an audio-curation pipeline uses to drop
+    silence/clipped/noise clips before training. Features are
+    integer-exact (int64 sums of int16 samples), so the DuckDB oracle
+    recomputes them from the generating formula and the hash match
+    proves the whole synthesize → RIFF-encode → chunk-walk-decode →
+    featurize path sample-exactly.
+
+    Scale: same shape as every mm_ kernel — Arrow-batched per-blob
+    work, only doc_id crosses into Python, blobs never shuffle;
+    framewise energies are a reshape+sum, O(n) per clip."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        wav_feature_batches, MM_AUDIO_FEAT_SCHEMA
+    )

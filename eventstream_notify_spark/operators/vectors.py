@@ -910,8 +910,11 @@ def sim_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 8  # subspaces (64 dims -> 8 x 8)
 PQ_SUBDIM = 8
-PQ_SEED_MOD = 13  # vec_id % 13 == 0 -> codebook seeds (~N/13 per subspace)
-PQ_ITERS = 3
+PQ_SEED_MOD = 13  # every 13th vec_id seeds the codebook...
+PQ_KCODES = 32  # ...capped at 32 centroids per subspace (k is a codec
+# property — FAISS uses 256 — NOT a function of corpus size; an uncapped
+# seed rule made codebook training scale superlinearly with N)
+PQ_ITERS = 2
 PQ_SHORTLIST = 50  # ADC shortlist size; exact re-rank picks TOP_K from it
 
 
@@ -966,7 +969,10 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"slice(embedding, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
         .alias("sv"),
     )
-    book = sub.filter(F.col("vec_id") % PQ_SEED_MOD == 0).select(
+    book = sub.filter(
+        (F.col("vec_id") % PQ_SEED_MOD == 0)
+        & (F.col("vec_id") < PQ_SEED_MOD * PQ_KCODES)
+    ).select(
         "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("ce")
     )
 

@@ -377,3 +377,36 @@ def test_partition_prune_operator_plans_partition_filter(spark):
 
     rs = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert rs and "event_type" not in rs.group(1)
+
+
+def test_bloom_prune_filters_before_join(spark):
+    """The bloom pre-filter must (a) admit every true key (no false
+    negatives: pruned ⊇ matching fact rows), (b) actually prune (at
+    ~2% dim selectivity and 64 Kibits the admitted fraction stays
+    under 15%), and (c) compile into the fact scan as arithmetic
+    (xxhash64/shift/mask in the plan), not a join."""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.relational import (
+        bloom_pruned_fact,
+    )
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    pruned, dim = bloom_pruned_fact(spark, SF)
+    plan = plan_str(pruned)
+    assert "xxhash64" in plan and "& 1" in plan
+    assert "Join" not in plan  # membership test is scan-local
+    n_fact = table(spark, SF, "lineitem").count()
+    n_pruned = pruned.count()
+    assert n_pruned < 0.15 * n_fact
+    # no false negatives: every fact row whose key IS in the dim
+    # survives the pre-filter
+    truth = table(spark, SF, "lineitem").join(
+        dim, F.col("l_partkey") == F.col("p_partkey")
+    )
+    n_true = truth.count()
+    n_joined = pruned.join(
+        dim, pruned.l_partkey == dim.p_partkey
+    ).count()
+    assert n_joined == n_true
