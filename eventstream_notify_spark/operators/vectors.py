@@ -1082,3 +1082,88 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+LOGREG_ITERS = 10
+LOGREG_LR = 2.0  # full-batch step on the mean gradient
+
+
+@register("logreg_train", extra=True)  # rows-only: iterative GD refinement
+def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOGISTIC-REGRESSION training (full-batch gradient
+    descent, the one-machine-of-math / cluster-of-data shape every
+    data-parallel trainer reduces to): learn w for P(label is even |
+    embedding) over the embeddings table in 10 GD steps. Per step the
+    model (64 weights + bias — driver-sized, like every linear model
+    head) folds into the scan as a LITERAL array: margins and
+    per-row residuals are higher-order-function expressions (no UDF),
+    and the gradient is one posexplode + groupBy(dim) aggregation —
+    64 rows back to the driver per step. The corpus is read N_ITERS
+    times but never shuffled on rows: the only exchange is the
+    64-group gradient agg, which partial-aggregates map-side to
+    (partitions x 64) rows. This is conceptually allreduce-SGD with
+    the reduce expressed as a hash-agg.
+
+    Emits (pos, weight) for the 64 dims plus pos=-1 for the bias and
+    a final pos=-2 row carrying training accuracy — rows-only
+    (iterative float refinement), pinned against a numpy reference
+    implementation of the identical recurrence in tests."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "embedding", (1 - F.col("label") % 2).cast("double").alias("y")
+    )
+    n = e.count()
+    dim = 64
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(LOGREG_ITERS):
+        w_lit = F.array(*[F.lit(x) for x in w])
+        margin = (
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    w_lit,
+                    lambda x, wj: x.cast("double") * wj,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            + F.lit(b)
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        scored = e.select("embedding", (p - F.col("y")).alias("r"))
+        grad = (
+            scored.select("r", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("r") * F.col("x").cast("double")).alias("g"))
+            .collect()
+        )
+        gb = scored.agg(F.sum("r").alias("gb")).collect()[0]["gb"]
+        for row in grad:
+            w[row.pos] -= LOGREG_LR * row.g / n
+        b -= LOGREG_LR * gb / n
+    # final pass: training accuracy under the learned weights
+    w_lit = F.array(*[F.lit(x) for x in w])
+    margin = (
+        F.aggregate(
+            F.zip_with(
+                "embedding", w_lit, lambda x, wj: x.cast("double") * wj
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        + F.lit(b)
+    )
+    acc = (
+        e.select(
+            ((margin > 0).cast("double") == F.col("y"))
+            .cast("double")
+            .alias("ok")
+        )
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    rows = (
+        [(int(i), round(float(x), 6)) for i, x in enumerate(w)]
+        + [(-1, round(float(b), 6)), (-2, round(float(acc), 6))]
+    )
+    return spark.createDataFrame(rows, "pos int, weight double")

@@ -829,3 +829,40 @@ def test_bpe_encode_matches_python_reference(spark, monkeypatch):
         n_chars = sum(len(w) for w in ws)
         want[doc_id] = (len(ws), n_tok, round(n_chars / n_tok, 6))
     assert got == want
+
+
+def test_logreg_train_matches_numpy_reference(spark):
+    """The distributed GD loop must track a numpy implementation of
+    the identical recurrence (same init, lr, iteration count) to
+    float-sum reordering tolerance, and must actually fit: training
+    accuracy above the majority-class rate."""
+    import duckdb
+    import numpy as np
+
+    from eventstream_notify_spark.operators.vectors import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+        logreg_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.pos: r.weight for r in logreg_train(spark, sf).collect()}
+
+    emb, lab = duckdb.sql(
+        f"SELECT embedding, label FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy().values()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+    y = (1 - np.asarray(lab) % 2).astype(np.float64)
+    n, dim = X.shape
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(LOGREG_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        r = p - y
+        w -= LOGREG_LR * (X.T @ r) / n
+        b -= LOGREG_LR * r.sum() / n
+    acc = float((((X @ w + b) > 0).astype(np.float64) == y).mean())
+    diffs = [abs(got[i] - w[i]) for i in range(dim)] + [abs(got[-1] - b)]
+    assert max(diffs) < 5e-6
+    assert abs(got[-2] - acc) < 1e-6
+    assert got[-2] > max(y.mean(), 1 - y.mean()) - 1e-9
