@@ -519,3 +519,60 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("compress_ratio") <= 0.9)
         ).cast("int").alias("keep"),
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity",
+    extra=True,
+    oracle=f"""
+    WITH qi AS (
+        SELECT user_id % 100 AS user_bucket,
+               event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS grp_size
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_size < {_KANON_K} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violating,
+           CAST(SUM(CASE WHEN grp_size < {_KANON_K} THEN grp_size
+                    ELSE 0 END) AS BIGINT) AS rows_to_suppress,
+           CAST(MIN(grp_size) AS BIGINT) AS min_group
+    FROM qi
+    GROUP BY event_type
+    """,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over a quasi-identifier tuple — the release
+    gate a privacy review runs before sharing an event extract: with
+    QI = (coarsened user bucket, event_type, day), a row is k-anonymous
+    iff its QI group has ≥ k members; groups under k must be
+    suppressed or generalized further. Emits per event_type the group
+    count, violating-group count, rows that suppression would drop,
+    and the minimum group size (the achieved k). Companion to
+    zx_text_pii_redact (which scrubs direct identifiers; this audits
+    the indirect ones).
+
+    Shape: one hash-agg to QI-group sizes, one 5-group rollup — the
+    fact shuffles once on the QI key; at 100 TB the QI-group table is
+    bounded by the QI domain, not the corpus."""
+    ev = table(spark, sf_dir, "events")
+    qi = ev.groupBy(
+        (F.col("user_id") % 100).alias("user_bucket"),
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("grp_size"))
+    under = F.col("grp_size") < _KANON_K
+    return qi.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(under.cast("bigint")).cast("bigint").alias("n_violating"),
+        F.sum(F.when(under, F.col("grp_size")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_to_suppress"),
+        F.min("grp_size").cast("bigint").alias("min_group"),
+    )
