@@ -410,3 +410,17 @@ def test_bloom_prune_filters_before_join(spark):
         dim, pruned.l_partkey == dim.p_partkey
     ).count()
     assert n_joined == n_true
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed+sorted on the join key => the SortMergeJoin
+    reads bucket files pairwise: zero Exchange in the join plan (the
+    amortized-layout lever for recurring 100 TB joins)."""
+    from eventstream_notify_spark.operators.layout import (
+        bucketed_join_frame,
+    )
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    plan = plan_str(bucketed_join_frame(spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
