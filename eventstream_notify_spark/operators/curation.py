@@ -576,3 +576,108 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_to_suppress"),
         F.min("grp_size").cast("bigint").alias("min_group"),
     )
+
+
+
+_DP_EPS = 1.0
+_DP_CAP = 30  # two-sided geometric support truncated to [-30, 30]
+# engine-neutral group hash: Lehmer step over a 2^26-bucketed mix —
+# every intermediate fits a bigint in both engines, and the final
+# division by the SAME literal is one correctly-rounded IEEE op, so
+# u is bit-identical cross-engine.
+_DP_M1, _DP_M2, _DP_P = 1_000_003, 7_919, 2_147_483_647
+
+
+def _dp_thresholds() -> list:
+    """CDF thresholds of the truncated two-sided geometric (discrete
+    Laplace) mechanism with alpha = exp(-eps): noise k = (number of
+    thresholds <= u) - cap. Computed once in python floats and
+    embedded as LITERALS on both engines, so every comparison is an
+    exact IEEE operation on identical doubles and the mechanism
+    branches identically everywhere."""
+    import math
+
+    a = math.exp(-_DP_EPS)
+    weights = [a ** abs(k) for k in range(-_DP_CAP, _DP_CAP + 1)]
+    tot = sum(weights)
+    acc, out = 0.0, []
+    for w in weights[:-1]:  # last threshold is 1.0 — never compared
+        acc += w / tot
+        out.append(acc)
+    return out
+
+
+def _dp_oracle() -> str:
+    ths = _dp_thresholds()
+    noise_terms = " + ".join(
+        f"CASE WHEN u >= {t!r} THEN 1 ELSE 0 END" for t in ths
+    )
+    return f"""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events GROUP BY 1, 2
+    ),
+    h AS (
+        SELECT *,
+               (((ascii(event_type) * {_DP_M1} + day * {_DP_M2} + 42)
+                 % 67108864) * 48271) % {_DP_P} AS hv
+        FROM g
+    ),
+    un AS (SELECT *, hv / {float(_DP_P)!r} AS u FROM h)
+    SELECT event_type, day,
+           CAST(GREATEST(true_n + ({noise_terms}) - {_DP_CAP}, 0)
+               AS BIGINT) AS released_n
+    FROM un
+    """
+
+
+@register("dp_noisy_counts", extra=True, oracle=_dp_oracle())
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE release of per-(event_type, day) event
+    counts: the two-sided geometric (discrete Laplace) mechanism at
+    eps=1 — the integer-valued mechanism of choice for count queries
+    — with noise drawn from a KEYED HASH of the group (consistent
+    re-release: re-querying the same group must not spend fresh
+    privacy budget, so the draw is a pure function of the group key).
+    The inverse-CDF evaluates as a monotone threshold count against
+    literals embedded in BOTH the Spark expression and the DuckDB
+    oracle; every comparison is an exact IEEE op on identical
+    doubles, so the noisy counts hash-match exactly — a DP mechanism
+    under differential test, which is how release pipelines should be
+    validated (mechanism bugs are silent privacy/accuracy bugs).
+    Released counts clamp at 0.
+
+    Shape: one hash-agg to group counts, then scan-local arithmetic
+    (60 branch-free comparisons inside codegen). k_anonymity
+    suppresses; this perturbs — the two standard disclosure-control
+    levers side by side."""
+    ths = _dp_thresholds()
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("true_n"))
+    hv = (
+        (
+            (
+                F.ascii("event_type") * _DP_M1
+                + F.col("day") * _DP_M2
+                + 42
+            )
+            % 67108864
+        )
+        * 48271
+    ) % _DP_P
+    u = hv / F.lit(float(_DP_P))
+    noise = sum(
+        (u >= F.lit(t)).cast("bigint") for t in ths
+    ) - F.lit(_DP_CAP)
+    return g.select(
+        "event_type",
+        "day",
+        F.greatest(F.col("true_n") + noise, F.lit(0)).cast("bigint").alias(
+            "released_n"
+        ),
+    )
