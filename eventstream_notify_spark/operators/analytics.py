@@ -2167,3 +2167,116 @@ def quantile_exact_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q, name in _QTILES
     ]
     return cum.groupBy("event_type").agg(*aggs)
+
+
+_KMV_K = 256
+_KMV_P = 2_147_483_647  # Lehmer modulus; h uniform on [1, P)
+_KMV_A = 48_271
+
+
+@register(
+    "join_cardinality_est",
+    extra=True,
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    b AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    ha AS (SELECT k, (k % {_KMV_P}) * {_KMV_A} % {_KMV_P} AS h FROM a),
+    hb AS (SELECT k, (k % {_KMV_P}) * {_KMV_A} % {_KMV_P} AS h FROM b),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           ORDER BY h LIMIT {_KMV_K}),
+    theta AS (SELECT MAX(h) AS th, COUNT(*) AS ku FROM un),
+    common AS (
+        SELECT COUNT(*) AS c
+        FROM un WHERE h IN (SELECT h FROM ka)
+                  AND h IN (SELECT h FROM kb)
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS inter
+        FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    )
+    SELECT CAST((SELECT ku FROM theta) AS BIGINT) AS k_used,
+           CAST((SELECT c FROM common) AS BIGINT) AS k_common,
+           ROUND(((SELECT ku FROM theta) - 1) * {float(_KMV_P)!r}
+                 / (SELECT th FROM theta), 6) AS est_union,
+           ROUND((SELECT c FROM common)
+                 * (((SELECT ku FROM theta) - 1) * {float(_KMV_P)!r}
+                    / (SELECT th FROM theta))
+                 / (SELECT ku FROM theta), 6) AS est_intersection,
+           (SELECT inter FROM exact) AS exact_intersection
+    """,
+)
+def join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY ESTIMATION via KMV/theta sketches — the
+    planner-side primitive behind join reordering and broadcast
+    decisions: estimate |keys(orders) ∩ keys(lineitem)| WITHOUT
+    running the join, from two 256-value sketches. Each side keeps
+    its K minimum hash values (deterministic Lehmer hash, so both
+    engines draw the identical sketch); the union's kth minimum sets
+    theta, est_union = (K-1)·P/theta (the KMV estimator), and the
+    intersection scales by the sketch-measured Jaccard — the theta-
+    sketch set-operation algebra (Dasgupta et al.). The exact
+    intersection rides along so the output itself quantifies the
+    estimator's error. Everything is deterministic, so even the
+    ESTIMATES hash-match the oracle.
+
+    Scale: per-side cost is a distinct + TakeOrdered(K) — partial
+    per-partition heaps, K rows to the driver-side merge, never a
+    global sort; sketches are mergeable, so per-partition/per-day
+    sketches roll up the same way (the same property sliding_dau_hll
+    exploits for HLL)."""
+    K, P, A = _KMV_K, _KMV_P, _KMV_A
+
+    def kmin(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(F.col(col).alias("k"))
+            .distinct()
+            .select(
+                (((F.col("k") % P) * A % P) * A % P * A % P).alias("h")
+            )
+            .orderBy("h")
+            .limit(K)
+        )
+
+    ka = kmin(table(spark, sf_dir, "orders"), "o_orderkey")
+    kb = kmin(table(spark, sf_dir, "lineitem"), "l_orderkey")
+    un = ka.union(kb).distinct().orderBy("h").limit(K)
+    theta = un.agg(
+        F.max("h").alias("th"), F.count("*").alias("ku")
+    )
+    common = (
+        un.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .join(
+            table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("k"))
+            .distinct(),
+            "k",
+            "left_semi",
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    est_union = F.round((F.col("ku") - 1) * float(P) / F.col("th"), 6)
+    return (
+        theta.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("ku").cast("bigint").alias("k_used"),
+            F.col("c").cast("bigint").alias("k_common"),
+            est_union.alias("est_union"),
+            F.round(
+                F.col("c")
+                * ((F.col("ku") - 1) * float(P) / F.col("th"))
+                / F.col("ku"),
+                6,
+            ).alias("est_intersection"),
+            F.col("inter").alias("exact_intersection"),
+        )
+    )

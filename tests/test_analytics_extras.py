@@ -442,3 +442,21 @@ def test_rolling_median_kernel_batch_split_invariant():
     whole = run([pdf])
     split = run([pdf.iloc[:33], pdf.iloc[33:66], pdf.iloc[66:]])
     pd.testing.assert_frame_equal(whole, split)
+
+
+def test_join_cardinality_estimate_accuracy(spark, sf_dir):
+    """The KMV/theta intersection estimate must land within the
+    sketch's statistical error of the exact intersection (~1/sqrt(K)
+    = 6% at K=256; 15% is the regression floor), and the sketch
+    bookkeeping must be consistent (k_common <= k_used <= K)."""
+    from eventstream_notify_spark.operators.analytics import (
+        _KMV_K,
+        join_cardinality_est,
+    )
+
+    r = join_cardinality_est(spark, sf_dir).first()
+    assert 0 < r.k_common <= r.k_used <= _KMV_K
+    assert r.exact_intersection > 0
+    rel = abs(r.est_intersection - r.exact_intersection) / r.exact_intersection
+    assert rel < 0.15, (r.est_intersection, r.exact_intersection)
+    assert r.est_union >= r.est_intersection
