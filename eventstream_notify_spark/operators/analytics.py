@@ -2180,8 +2180,12 @@ _KMV_A = 48_271
     oracle=f"""
     WITH a AS (SELECT DISTINCT o_orderkey AS k FROM orders),
     b AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
-    ha AS (SELECT k, (k % {_KMV_P}) * {_KMV_A} % {_KMV_P} AS h FROM a),
-    hb AS (SELECT k, (k % {_KMV_P}) * {_KMV_A} % {_KMV_P} AS h FROM b),
+    ha AS (SELECT k, (k % {_KMV_P}) * {_KMV_A} % {_KMV_P}
+                     * {_KMV_A} % {_KMV_P} * {_KMV_A} % {_KMV_P} AS h
+           FROM a),
+    hb AS (SELECT k, (k % {_KMV_P}) * {_KMV_A} % {_KMV_P}
+                     * {_KMV_A} % {_KMV_P} * {_KMV_A} % {_KMV_P} AS h
+           FROM b),
     ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
     kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
     un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)

@@ -125,6 +125,9 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
                 ),
                 "event_type",
             )
+            # one task per partition value -> exactly one file per
+            # event_type=… dir (footer_stats_skipping relies on this)
+            .repartition("event_type")
             .write.mode("overwrite")
             .partitionBy("event_type")
             .parquet(d)
@@ -266,4 +269,99 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_items"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+def _footer_batches(batches):
+    """mapInPandas kernel: read REAL parquet footers (pyarrow, no data
+    pages) and emit per-file column statistics."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for path in pdf["path"]:
+            local = path[7:] if path.startswith("file:") else path
+            etype = next(
+                seg.split("=", 1)[1]
+                for seg in local.split("/")
+                if seg.startswith("event_type=")
+            )
+            md = pq.ParquetFile(local).metadata
+            mins: dict = {}
+            maxs: dict = {}
+            n = 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                n += g.num_rows
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in ("ts_us", "value_mv") and col.statistics:
+                        st = col.statistics
+                        mins[name] = min(mins.get(name, st.min), st.min)
+                        maxs[name] = max(maxs.get(name, st.max), st.max)
+            rows.append(
+                (
+                    etype,
+                    n,
+                    int(mins["ts_us"]),
+                    int(maxs["ts_us"]),
+                    int(mins["value_mv"]),
+                    int(maxs["value_mv"]),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_type",
+                "n_rows",
+                "min_ts_us",
+                "max_ts_us",
+                "min_value_mv",
+                "max_value_mv",
+            ],
+        )
+
+
+@register(
+    "footer_stats_skipping",
+    extra=True,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(epoch_us(ts)) AS min_ts_us,
+           MAX(epoch_us(ts)) AS max_ts_us,
+           MIN(CAST(round(value * 1000) AS BIGINT)) AS min_value_mv,
+           MAX(CAST(round(value * 1000) AS BIGINT)) AS max_value_mv
+    FROM events
+    GROUP BY 1
+    """,
+)
+def footer_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-PLANE statistics harvesting — the foundation of every
+    data-skipping decision: read the partitioned event lake's REAL
+    parquet footers (pyarrow metadata decode, zero data pages) and
+    emit per-file row counts and (ts_us, value_mv) min/max — the
+    file-pruning index a lakehouse table format (Delta/Iceberg
+    add-file stats) maintains. The oracle recomputes the same stats
+    FROM THE DATA; the hash match proves the footers' statistics are
+    exact over the whole write path (partitioned layout → parquet
+    writer stats → footer decode), i.e. that pruning on these stats
+    can never drop a matching row.
+
+    Shape: file listing is the driver-side file index (bounded by
+    file count — the thing that is ALWAYS driver-sized in a lakehouse
+    planner); footer decodes distribute via mapInPandas over paths,
+    ~KBs per file regardless of data volume. At 100 TB this exact
+    plan reads a few MB of footers to plan a PB of skipping."""
+    d = _partitioned_events(spark, sf_dir)
+    paths = sorted(spark.read.parquet(d).inputFiles())
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    out_schema = (
+        "event_type string, n_rows bigint, min_ts_us bigint, "
+        "max_ts_us bigint, min_value_mv bigint, max_value_mv bigint"
+    )
+    return pdf.repartition(len(paths)).mapInPandas(
+        _footer_batches, out_schema
     )

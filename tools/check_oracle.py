@@ -53,7 +53,18 @@ def frame_fingerprint(df: pd.DataFrame) -> tuple[int, tuple, int]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept bare names for zx_-prefixed extras; reject unknown names
+    # loudly (a typo'd subset used to match nothing and print ALL OK)
+    only = set()
+    known = set(entrymod.queries())
+    for arg in sys.argv[2:]:
+        if arg in known:
+            only.add(arg)
+        elif f"zx_{arg}" in known:
+            only.add(f"zx_{arg}")
+        else:
+            print(f"unknown query: {arg}")
+            return 2
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
