@@ -104,3 +104,15 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
         for i in range(ch.size()):
             stack.append(ch.apply(i))
     return bad
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchanges in the physical plan (broadcast
+    exchanges excluded — those move dims, not facts). The per-query
+    shuffle budget: every Exchange is a full materialize-and-
+    redistribute of its input, the unit of cost that dominates at
+    100 TB."""
+    import re
+
+    plan = plan_str(df, mode="simple")
+    return len(re.findall(r"(?<!Broadcast)Exchange", plan))
