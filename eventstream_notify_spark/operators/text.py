@@ -2837,3 +2837,85 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# ------------------------------------------------- phrase search
+
+
+_PHRASES = ("table value", "fast spark", "agg row scan")
+
+
+def _phrase_oracle() -> str:
+    parts = []
+    for ph in _PHRASES:
+        ws = ph.split()
+        conds = " AND ".join(
+            f"ts[i + {j}] = '{w}'" for j, w in enumerate(ws)
+        )
+        parts.append(f"""
+        SELECT '{ph}' AS phrase,
+               CAST(COUNT(CASE WHEN cnt > 0 THEN 1 END) AS BIGINT)
+                   AS n_docs,
+               CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_matches
+        FROM (
+            SELECT doc_id,
+                   list_sum(list_transform(
+                       range(1, len(ts) - {len(ws) - 2}),
+                       i -> CASE WHEN {conds} THEN 1 ELSE 0 END
+                   )) AS cnt
+            FROM (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                FROM documents
+            )
+        )""")
+    return " UNION ALL ".join(parts)
+
+
+@register("fts_phrase_search", extra=True, oracle=_phrase_oracle())
+def fts_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL PHRASE SEARCH — the inverted-index plan every
+    full-text engine runs for quoted queries: tokenize to positional
+    postings (doc_id, term, pos), then a phrase of k words is k-1
+    EQUI-JOINS on (doc_id, pos − offset) between term-filtered
+    postings — adjacency becomes a join key, so the intersection is
+    hash-join shaped and scales with the RAREST term's posting list,
+    never with the corpus (the term filters push into the postings
+    scan; the standard rarest-first optimization would reorder the
+    join chain by df(term) — declared, not needed at bench scale).
+    Counts are per-position, so overlapping occurrences of
+    self-repeating phrases count correctly (which is exactly what the
+    oracle's positional list-scan computes; a regex oracle could not
+    — RE2 has no lookahead for overlaps). Complements zx_text_bm25
+    (bag-of-words ranking) with exact-phrase semantics.
+
+    Emits (phrase, n_docs, n_matches) for three fixed query phrases
+    of lengths 2, 2, 3."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(rf"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("pos", "term"),
+    )
+    outs = []
+    for ph in _PHRASES:
+        ws = ph.split()
+        m = toks.filter(F.col("term") == ws[0]).select("doc_id", "pos")
+        for i, w in enumerate(ws[1:], 1):
+            nxt = toks.filter(F.col("term") == w).select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            m = m.join(nxt, ["doc_id", "pos"])
+        outs.append(
+            m.groupBy()
+            .agg(
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.count("*").cast("bigint").alias("n_matches"),
+            )
+            .select(F.lit(ph).alias("phrase"), "n_docs", "n_matches")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
