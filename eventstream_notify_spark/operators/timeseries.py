@@ -895,3 +895,83 @@ def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+# ------------------------------------------------- Holt-Winters
+
+
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.3, 0.1, 0.2
+HW_SEASON = 7  # weekly seasonality on daily counts
+HW_HORIZON = 7
+
+
+def holt_winters_reference(ys: list) -> list:
+    """Pure-python additive Holt-Winters (the exact recurrence the
+    Spark kernel must reproduce): classical init (first-season mean
+    level, season-mean-difference trend, first-season deviations),
+    then the standard three-equation update; returns the HW_HORIZON
+    out-of-sample forecasts."""
+    m = HW_SEASON
+    if len(ys) < 2 * m:
+        return []
+    l0 = sum(ys[:m]) / m
+    b0 = (sum(ys[m : 2 * m]) / m - l0) / m
+    seas = [ys[i] - l0 for i in range(m)]
+    lev, tr = l0, b0
+    for t in range(len(ys)):
+        s_prev = seas[t % m]
+        lev_new = HW_ALPHA * (ys[t] - s_prev) + (1 - HW_ALPHA) * (lev + tr)
+        tr = HW_BETA * (lev_new - lev) + (1 - HW_BETA) * tr
+        seas[t % m] = HW_GAMMA * (ys[t] - lev_new) + (1 - HW_GAMMA) * s_prev
+        lev = lev_new
+    n = len(ys)
+    return [
+        lev + (h + 1) * tr + seas[(n + h) % m] for h in range(HW_HORIZON)
+    ]
+
+
+@register("ts_holt_winters", extra=True)  # rows-only: sequential recurrence
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECASTING — additive Holt-Winters (level + trend + weekly
+    seasonality) over each event type's daily count series, emitting
+    a 7-day-ahead forecast per type: the capacity-planning /
+    anomaly-baseline primitive (zx_ts_decompose explains the past,
+    this extrapolates it; zx_anomaly_mad flags deviations from it).
+
+    Shape: the fact table collapses to (type, day, count) in one
+    hash-agg — series length is the DAY RANGE, invariant to corpus
+    row count — and the inherently sequential triple recurrence runs
+    as an applyInPandas kernel per type (the distributed-cut /
+    sequential-core split every trainer here uses; thousands of
+    series would run in parallel, one task each). Rows-only: the
+    recurrence is not one SQL query; the kernel is pinned EXACTLY
+    (same float ops, same order) by holt_winters_reference in tests."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        # gap-fill missing days with 0 so seasonality indexes stay
+        # aligned to the calendar
+        days = pdf["day"].tolist()
+        cnt = dict(zip(days, pdf["n"]))
+        full = list(range(int(min(days)), int(max(days)) + 1))
+        ys = [float(cnt.get(d, 0)) for d in full]
+        fc = holt_winters_reference(ys)
+        et = pdf["event_type"].iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [et] * len(fc),
+                "h": list(range(1, len(fc) + 1)),
+                "forecast": [round(v, 6) for v in fc],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        hw, "event_type string, h int, forecast double"
+    )

@@ -866,3 +866,36 @@ def test_logreg_train_matches_numpy_reference(spark):
     assert max(diffs) < 5e-6
     assert abs(got[-2] - acc) < 1e-6
     assert got[-2] > max(y.mean(), 1 - y.mean()) - 1e-9
+
+
+def test_holt_winters_matches_reference(spark, sf_dir):
+    """The distributed per-series kernel must reproduce the pure-python
+    recurrence EXACTLY (same float ops, same order), on the same
+    gap-filled daily series."""
+    import duckdb
+
+    from eventstream_notify_spark.operators.timeseries import (
+        HW_HORIZON,
+        holt_winters_reference,
+        ts_holt_winters,
+    )
+
+    got = {
+        (r.event_type, r.h): r.forecast
+        for r in ts_holt_winters(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""SELECT event_type, epoch_us(ts)//86400000000 AS day, COUNT(*) n
+        FROM '{sf_dir}/events.parquet' GROUP BY 1,2 ORDER BY 1,2"""
+    ).fetchall()
+    series: dict = {}
+    for et, day, n in rows:
+        series.setdefault(et, {})[day] = n
+    want = {}
+    for et, cnt in series.items():
+        full = list(range(min(cnt), max(cnt) + 1))
+        ys = [float(cnt.get(d, 0)) for d in full]
+        for h, v in enumerate(holt_winters_reference(ys), 1):
+            want[(et, h)] = round(v, 6)
+    assert got == want
+    assert len(got) == len(series) * HW_HORIZON
