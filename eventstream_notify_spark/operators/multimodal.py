@@ -789,3 +789,121 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(
         wav_feature_batches, MM_AUDIO_FEAT_SCHEMA
     )
+
+
+MM_SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("first_cut_frame", T.IntegerType()),
+        T.StructField("total_motion", T.LongType()),
+    ]
+)
+
+_SC_PIX = 64  # 8x8 grayscale frames
+_SC_THRESHOLD = 1000  # L1 frame-difference cut threshold
+
+
+def scene_cut_batches(batches: Iterator) -> Iterator:
+    """mapInPandas kernel: synthesize each doc's deterministic 'video'
+    (16..31 frames of 8x8 grayscale; scene id jumps every 4..6 frames,
+    in-scene pixels drift by 1/frame), compute consecutive-frame L1
+    differences in int64, and threshold them into scene cuts — the
+    shot-boundary-detection pass of a video curation pipeline, on
+    decoded frames."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        recs = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            nf = 16 + d % 16
+            scene_len = 4 + d % 3
+            f = np.arange(nf)
+            i = np.arange(_SC_PIX)
+            scene = f // scene_len
+            px = (
+                d * 13
+                + scene[:, None] * 997
+                + i[None, :] * 7
+                + f[:, None]
+            ) % 256
+            diffs = np.abs(px[1:].astype(np.int64) - px[:-1].astype(np.int64)).sum(
+                axis=1
+            )
+            cuts = diffs > _SC_THRESHOLD
+            first = int(np.argmax(cuts)) + 1 if cuts.any() else -1
+            recs.append(
+                (
+                    d,
+                    nf,
+                    int(cuts.sum()),
+                    first,
+                    int(diffs.sum()),
+                )
+            )
+        yield pd.DataFrame(
+            recs,
+            columns=[
+                "doc_id",
+                "n_frames",
+                "n_cuts",
+                "first_cut_frame",
+                "total_motion",
+            ],
+        )
+
+
+@register(
+    "mm_video_scene_cut",
+    extra=True,
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               16 + doc_id % 16 AS nf,
+               4 + doc_id % 3 AS slen
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, nf,
+               list_transform(range(1, nf), f ->
+                   list_sum(list_transform(range(0, {_SC_PIX}), i ->
+                       abs(CAST((doc_id * 13 + (f // slen) * 997
+                                 + i * 7 + f) % 256 AS BIGINT)
+                           - CAST((doc_id * 13 + ((f - 1) // slen) * 997
+                                   + i * 7 + f - 1) % 256 AS BIGINT))
+                   ))) AS diffs
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(len(list_filter(diffs, x -> x > {_SC_THRESHOLD}))
+               AS BIGINT) AS n_cuts,
+           CAST(COALESCE(list_position(
+               list_transform(diffs, x -> x > {_SC_THRESHOLD}), true
+           ), -1) AS INTEGER) AS first_cut_frame,
+           CAST(list_sum(diffs) AS BIGINT) AS total_motion
+    FROM d
+    """,
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO temporal analysis — scene-cut (shot boundary) detection:
+    consecutive-frame L1 pixel differences over each doc's synthetic
+    16–31-frame clip, thresholded into cuts; emits frame count, cut
+    count, first cut index, and the total-motion integral (the
+    features a video curation pipeline keys sampling and dedup on —
+    mm_frame_sample picks frames, this tells you WHERE scenes change
+    so you sample one per shot). All arithmetic is int64-exact, so
+    the DuckDB oracle replays the full decode+diff from the
+    generating formula (the audio/image siblings' discipline extended
+    to the temporal axis).
+
+    Shape: per-clip kernel over Arrow batches; only doc_id enters
+    Python; frame tensors live and die inside one task — at 100 TB
+    the plan is embarrassingly parallel with zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        scene_cut_batches, MM_SCENE_SCHEMA
+    )
