@@ -2284,3 +2284,98 @@ def join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inter").alias("exact_intersection"),
         )
     )
+
+
+_CF_TOPK = 3
+
+
+@register(
+    "recsys_item_cf",
+    extra=True,
+    oracle=f"""
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS item
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_u FROM ui GROUP BY 1),
+    co AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM ui a JOIN ui b
+          ON a.cust = b.cust AND a.item <> b.item
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b,
+           ROUND(n_ab / sqrt(na.n_u * nb.n_u), 6) AS sim,
+           rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY item_a
+                   ORDER BY n_ab / sqrt(
+                       (SELECT n_u FROM n WHERE item = co.item_a)
+                       * (SELECT n_u FROM n WHERE item = co.item_b)
+                   ) DESC, item_b) AS BIGINT) AS rank
+        FROM co
+    ) r
+    JOIN n na ON na.item = r.item_a
+    JOIN n nb ON nb.item = r.item_b
+    WHERE rank <= {_CF_TOPK}
+    """,
+)
+def recsys_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item COLLABORATIVE FILTERING (the 'customers who bought X
+    also bought Y' recommender): cosine similarity between items'
+    customer sets — co(a,b)/√(n_a·n_b) over distinct (customer, brand)
+    interactions — with the top-3 neighbors per item. The similarity
+    normalization is what separates this from zx_assoc_rules' lift:
+    cosine discounts blockbuster items symmetrically, the standard
+    item-CF scoring (Sarwar et al., WWW'01).
+
+    Shape: interactions dedupe scan-side; the co-occurrence self-join
+    shuffles ONCE on the customer key (per-customer fan-out bounded
+    by the 25-brand catalog — at real catalog sizes you cap per-user
+    history and block by item popularity, declared); item counts ride
+    back as broadcasts; top-k per item is a window over a 25x24
+    frame. Exact integer counts; one exactly-rounded sqrt/division
+    per pair evaluated identically on both engines."""
+    ui = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "part")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = ui.groupBy("item").agg(F.count("*").cast("bigint").alias("n_u"))
+    a = ui.select("cust", F.col("item").alias("item_a"))
+    b = ui.select("cust", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "cust")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    sim = (
+        co.join(
+            F.broadcast(n.select(F.col("item").alias("item_a"), F.col("n_u").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(n.select(F.col("item").alias("item_b"), F.col("n_u").alias("nb"))),
+            "item_b",
+        )
+        .withColumn("s", F.col("n_ab") / F.sqrt(F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("item_a").orderBy(F.col("s").desc(), "item_b")
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _CF_TOPK)
+        .select("item_a", "item_b", F.round("s", 6).alias("sim"), "rank")
+    )
