@@ -1131,3 +1131,72 @@ def stream_cep_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = file_events_stream(spark, sf_dir)
     return run_bounded(cep_burst_stream(src))
+
+
+@register(
+    "stream_observe_metrics",
+    extra=True,
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_mv,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+               AS BIGINT) AS n_errors
+    FROM events
+    """,
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY — the ``Dataset.observe()`` metrics
+    API: named aggregates (row count, value sum, error count) ride
+    the streaming query itself and surface per micro-batch in
+    StreamingQueryProgress.observedMetrics, with NO second scan and
+    no separate metrics job — this is how a production pipeline
+    exports throughput/quality counters to its monitoring bus (the
+    engine-side answer to the reference dashboard's live counters,
+    auto_kafka_redis.py's processed/dropped tallies). The per-batch
+    metrics fold driver-side into stream totals, and the oracle
+    recomputes them from the table — the hash match proves observed
+    metrics are EXACT and lossless across batch boundaries, i.e.
+    monitoring you can reconcile against the data.
+
+    Scale: observe() aggregates are partial-agg'd inside each batch's
+    existing plan (metric cost ~ a map-side combine); the driver sees
+    one tiny row per batch regardless of data volume."""
+    import json
+    import tempfile
+
+    from eventstream_notify_spark.sources.events import file_events_stream
+
+    src = file_events_stream(spark, sf_dir)
+    obs = src.select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("mv"),
+    ).observe(
+        "pipe_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("mv").alias("sum_mv"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias(
+            "n_errors"
+        ),
+    )
+    q = (
+        obs.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_observe_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    totals = {"n_rows": 0, "sum_mv": 0, "n_errors": 0}
+    for p in q.recentProgress:
+        om = json.loads(p.json).get("observedMetrics", {}).get(
+            "pipe_metrics"
+        )
+        if om:
+            for k in totals:
+                totals[k] += int(om[k] or 0)
+    return spark.createDataFrame(
+        [(totals["n_rows"], totals["sum_mv"], totals["n_errors"])],
+        "n_rows bigint, sum_mv bigint, n_errors bigint",
+    )
