@@ -2606,3 +2606,157 @@ def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+# ---------------------------------------------- Markov attribution
+
+
+def markov_removal_effects(trans: dict) -> dict:
+    """Driver-side absorption math on the BOUNDED state graph (states
+    = channels + START/CONV/NULL, never more than a handful):
+    conversion probability from START via iterative absorption, then
+    the removal effect of each channel — recompute with the channel's
+    outgoing mass redirected to NULL, the drop in conversion is the
+    channel's causal credit (Anderl et al. 2014, the 'Markov chain
+    attribution' standard). Pure python on a <=7x7 dict matrix."""
+    states = sorted({s for s, _ in trans} | {d for _, d in trans})
+    channels = [s for s in states if s not in ("START", "CONV", "NULL")]
+
+    def conv_prob(removed: str | None) -> float:
+        # row-stochastic transition probs, with `removed`'s outgoing
+        # (and incoming) edges redirected to NULL
+        probs: dict = {}
+        for (s, d), n in trans.items():
+            if s == removed:
+                continue
+            d2 = "NULL" if d == removed else d
+            probs.setdefault(s, {})
+            probs[s][d2] = probs[s].get(d2, 0) + n
+        for s, outs in probs.items():
+            tot = sum(outs.values())
+            probs[s] = {d: n / tot for d, n in outs.items()}
+        # iterate absorption: p[s] = P(absorb at CONV | at s)
+        p = {s: 0.0 for s in probs}
+        p["CONV"], p["NULL"] = 1.0, 0.0
+        for _ in range(200):
+            nxt = dict(p)
+            for s, outs in probs.items():
+                nxt[s] = sum(
+                    w * p.get(d, 1.0 if d == "CONV" else 0.0)
+                    for d, w in outs.items()
+                )
+            if max(abs(nxt[s] - p[s]) for s in p) < 1e-12:
+                p = nxt
+                break
+            p = nxt
+        return p.get("START", 0.0)
+
+    base = conv_prob(None)
+    rem = {
+        c: (base - conv_prob(c)) / base if base > 0 else 0.0
+        for c in channels
+    }
+    tot = sum(rem.values())
+    return {
+        c: (rem[c], rem[c] / tot if tot > 0 else 0.0, base)
+        for c in channels
+    }
+
+
+@register("attribution_markov", extra=True)  # rows-only: absorption iteration
+def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION by Markov-chain removal effects — the
+    data-driven answer to zx_attribution_last_touch's heuristic:
+    sessionize each user's timeline (30-min gap), read each session
+    as a START → touchpoints → CONV/NULL journey (truncated at the
+    first purchase), count state transitions DISTRIBUTED (one
+    user-key shuffle + one tiny hash-agg), then compute each
+    channel's removal effect on the absorbed conversion probability
+    driver-side — the state space is the CHANNEL ALPHABET (bounded,
+    ~7 states), the canonical distributed-count / driver-solve split.
+    Emits (channel, removal_effect, attribution_share, base_cvr).
+
+    Rows-only: the absorption fixpoint is iterative; the math is
+    pinned by a hand-computable constructed-corpus unit test (a
+    corpus where one channel provably carries all conversions must
+    attribute 1.0 removal to it)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts_us") - F.col("prev_ts") > SESSION_GAP_US)
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sw = Window.partitionBy("user_id", "sess_id").orderBy(
+        "ts_us", "event_id"
+    )
+    # truncate each session at its first purchase (events after the
+    # conversion belong to no journey)
+    jour = (
+        sess.withColumn(
+            "purch_seen",
+            F.sum((F.col("event_type") == "purchase").cast("int")).over(
+                sw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(
+            (F.col("purch_seen") == 0)
+            | (
+                (F.col("purch_seen") == 1)
+                & (F.col("event_type") == "purchase")
+            )
+        )
+        .withColumn(
+            "state",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type")),
+        )
+    )
+    trans_df = (
+        jour.withColumn("src", F.lag("state").over(sw))
+        .withColumn("src", F.coalesce("src", F.lit("START")))
+        .select(F.col("src"), F.col("state").alias("dst"))
+    )
+    # journeys with no conversion also emit last-touch -> NULL
+    last = (
+        jour.groupBy("user_id", "sess_id")
+        .agg(
+            F.max_by("state", F.struct("ts_us", "event_id")).alias("src"),
+            F.max((F.col("state") == "CONV").cast("int")).alias("conv"),
+        )
+        .filter(F.col("conv") == 0)
+        .select("src", F.lit("NULL").alias("dst"))
+    )
+    counts = (
+        trans_df.unionByName(last)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    trans = {(r.src, r.dst): int(r.n) for r in counts}
+    eff = markov_removal_effects(trans)
+    rows = [
+        (c, round(v[0], 6), round(v[1], 6), round(v[2], 6))
+        for c, v in sorted(eff.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, removal_effect double, "
+        "attribution_share double, base_cvr double",
+    )

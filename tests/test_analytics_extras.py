@@ -475,3 +475,54 @@ def test_hilbert_beats_morton_locality(spark, sf_dir):
     assert hb.n_files == mo.n_files
     assert hb.cust_files_admitted <= mo.cust_files_admitted
     assert hb.day_files_admitted <= mo.day_files_admitted
+
+
+def test_markov_attribution_constructed_corpus(spark, monkeypatch):
+    """Hand-computable journeys: u1 view->click->purchase (converts),
+    u2 view->error (no conversion). Removing view or click kills the
+    only converting path (removal effect 1.0 each -> share 0.5);
+    error carries nothing (0.0). Base CVR = 1/2 journeys."""
+    import datetime as dt
+
+    from eventstream_notify_spark.operators import analytics as an
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts(0), 1, "view", 1.0, "{}"),
+            (2, ts(1), 1, "click", 1.0, "{}"),
+            (3, ts(2), 1, "purchase", 1.0, "{}"),
+            (4, ts(0), 2, "view", 1.0, "{}"),
+            (5, ts(1), 2, "error", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(an, "table", lambda spark, sf_dir, name: ev)
+    got = {
+        r.channel: (r.removal_effect, r.attribution_share, r.base_cvr)
+        for r in an.attribution_markov(spark, "ignored").collect()
+    }
+    assert got["view"] == (1.0, 0.5, 0.5)
+    assert got["click"] == (1.0, 0.5, 0.5)
+    assert got["error"] == (0.0, 0.0, 0.5)
+
+
+def test_markov_attribution_invariants(spark, sf_dir):
+    """On real data: removal effects in [0,1], shares sum to 1, one
+    row per non-purchase channel present, base CVR in (0,1)."""
+    from eventstream_notify_spark.operators.analytics import (
+        attribution_markov,
+    )
+
+    rows = attribution_markov(spark, sf_dir).collect()
+    assert rows
+    shares = sum(r.attribution_share for r in rows)
+    assert abs(shares - 1.0) < 1e-6
+    for r in rows:
+        assert 0.0 <= r.removal_effect <= 1.0
+        assert 0.0 < r.base_cvr < 1.0
