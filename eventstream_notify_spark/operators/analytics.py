@@ -2760,3 +2760,110 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, removal_effect double, "
         "attribution_share double, base_cvr double",
     )
+
+
+def _mi_block(xcol_sql: str, label_sql: str, feat_name: str) -> str:
+    return f"""
+    SELECT '{feat_name}' AS feature,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((n / tot) * LN((n * tot) / (nx * ny))), 6)
+               AS mi_nats,
+           ROUND(SUM((n - nx * ny / tot)
+                     * (n - nx * ny / tot) / (nx * ny / tot)), 6)
+               AS chi2
+    FROM (
+        SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(COUNT(*)) OVER (PARTITION BY x) AS nx,
+               SUM(COUNT(*)) OVER (PARTITION BY y) AS ny,
+               SUM(COUNT(*)) OVER () AS tot
+        FROM (SELECT {xcol_sql} AS x, {label_sql} AS y FROM events)
+        GROUP BY x, y
+    )
+    """
+
+
+@register(
+    "feature_mutual_info",
+    extra=True,
+    oracle=(
+        _mi_block(
+            "CAST(round(value * 1000) AS BIGINT) * 5"
+            " // ((SELECT MAX(CAST(round(value * 1000) AS BIGINT))"
+            "      FROM events) + 1)",
+            "event_type",
+            "value_quintile",
+        )
+        + " UNION ALL "
+        + _mi_block("dayofweek(ts)", "event_type", "day_of_week")
+    ),
+)
+def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE RELEVANCE audit — mutual information and chi-square
+    between candidate features and the event-type label (the filter
+    step of feature selection for a training pipeline: near-zero MI
+    features carry no signal and should not burn model capacity).
+    Computed for two features (value quintile, day of week) from ONE
+    contingency-table shape: (x, y) counts plus windowed marginals
+    over the CELL table (bounded by the feature x label domain, never
+    by corpus size), then MI = Σ p·ln(p/(px·py)) and the chi-square
+    statistic with exactly the same expression on both engines
+    (integer counts in; the only floats are the final ln/divisions,
+    6-d.p.-rounded — the PMI precedent).
+
+    Shape: one fact shuffle per feature to (x, y) counts; marginals
+    are windows over the tiny cell table; the chi2/MI fold is a
+    single-row agg per feature."""
+    ev = table(spark, sf_dir, "events")
+    maxv = int(
+        ev.agg(
+            F.max(F.round(F.col("value") * 1000).cast("bigint"))
+        ).first()[0]
+    )
+    feats = {
+        "value_quintile": (
+            F.round(F.col("value") * 1000).cast("bigint") * 5 / (maxv + 1)
+        ).cast("bigint"),
+        "day_of_week": F.dayofweek("ts").cast("bigint"),
+    }
+    outs = []
+    for name, xcol in feats.items():
+        cells = (
+            ev.select(xcol.alias("x"), F.col("event_type").alias("y"))
+            .groupBy("x", "y")
+            .agg(F.count("*").cast("double").alias("n"))
+        )
+        wx = Window.partitionBy("x")
+        wy = Window.partitionBy("y")
+        wt = Window.partitionBy()
+        c = (
+            cells.withColumn("nx", F.sum("n").over(wx))
+            .withColumn("ny", F.sum("n").over(wy))
+            .withColumn("tot", F.sum("n").over(wt))
+        )
+        exp = F.col("nx") * F.col("ny") / F.col("tot")
+        outs.append(
+            c.agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.count("*").cast("bigint").alias("n_cells"),
+                F.round(
+                    F.sum(
+                        (F.col("n") / F.col("tot"))
+                        * F.log(
+                            F.col("n") * F.col("tot")
+                            / (F.col("nx") * F.col("ny"))
+                        )
+                    ),
+                    6,
+                ).alias("mi_nats"),
+                F.round(
+                    F.sum(
+                        (F.col("n") - exp) * (F.col("n") - exp) / exp
+                    ),
+                    6,
+                ).alias("chi2"),
+            ).select(
+                F.lit(name).alias("feature"), "n", "n_cells", "mi_nats", "chi2"
+            )
+        )
+    return outs[0].unionByName(outs[1])

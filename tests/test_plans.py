@@ -91,6 +91,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "zx_ks_drift_test",
     # ratio-to-report over the 25-row nation grid
     "zx_revenue_share",
+    # contingency-cell marginals: bounded by feature x label domain
+    # (<= ~35 cells), never by corpus size
+    "zx_feature_mutual_info",
     # the DECLARED single-window exact baseline; the scale path is
     # zx_skyline_pareto_bucketed (zero unpartitioned windows)
     "zx_skyline_pareto",
