@@ -2795,7 +2795,7 @@ def _mi_block(xcol_sql: str, label_sql: str, feat_name: str) -> str:
             "value_quintile",
         )
         + " UNION ALL "
-        + _mi_block("dayofweek(ts)", "event_type", "day_of_week")
+        + _mi_block("dayofweek(ts) + 1", "event_type", "day_of_week")
     ),
 )
 def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2867,3 +2867,228 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+# ---------------------------------------------- decision tree
+
+
+_DT_CANDS = (
+    [("user_bucket", v) for v in range(7)]
+    + [("dow", v) for v in range(1, 7)]
+    + [("vq", v) for v in range(4)]
+)
+
+
+def _dt_best_split(cells: list) -> tuple | None:
+    """Argmax-Gini split over the candidate grid, on exact integer
+    cell counts; score = sum_branch (pos^2+neg^2)/n_branch (maximize
+    == minimize weighted Gini), doubles only in the two divisions,
+    ties broken (score desc, feature, value) — the same rule the SQL
+    oracle evaluates."""
+    best = None
+    for feat, v in _DT_CANDS:
+        pl = nl = pr = nr = 0
+        for b, d, q, y, n in cells:
+            x = {"user_bucket": b, "dow": d, "vq": q}[feat]
+            if x <= v:
+                pl, nl = pl + y * n, nl + (1 - y) * n
+            else:
+                pr, nr = pr + y * n, nr + (1 - y) * n
+        tl, tr = pl + nl, pr + nr
+        if tl == 0 or tr == 0:
+            continue
+        score = (pl * pl + nl * nl) / float(tl) + (
+            pr * pr + nr * nr
+        ) / float(tr)
+        key = (-score, feat, v)
+        if best is None or key < best[0]:
+            best = (key, feat, v)
+    return (best[1], best[2]) if best else None
+
+
+_DT_ORACLE = """
+    WITH cells AS (
+        SELECT user_id % 8 AS b,
+               dayofweek(ts) + 1 AS d,
+               CAST(round(value * 1000) AS BIGINT) * 5
+                   // ((SELECT MAX(CAST(round(value * 1000) AS BIGINT))
+                        FROM events) + 1) AS q,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3, 4
+    ),
+    cand AS (SELECT * FROM (VALUES ('user_bucket', 0), ('user_bucket', 1), ('user_bucket', 2), ('user_bucket', 3), ('user_bucket', 4), ('user_bucket', 5), ('user_bucket', 6), ('dow', 1), ('dow', 2), ('dow', 3), ('dow', 4), ('dow', 5), ('dow', 6), ('vq', 0), ('vq', 1), ('vq', 2), ('vq', 3)) c(feat, v)),
+    scored0 AS (
+        SELECT feat, v,
+               SUM(CASE WHEN (CASE feat WHEN 'user_bucket' THEN b <= v
+                              WHEN 'dow' THEN d <= v ELSE q <= v END)
+                        THEN y * n ELSE 0 END) AS pl,
+               SUM(CASE WHEN (CASE feat WHEN 'user_bucket' THEN b <= v
+                              WHEN 'dow' THEN d <= v ELSE q <= v END)
+                        THEN (1 - y) * n ELSE 0 END) AS nl,
+               SUM(CASE WHEN (CASE feat WHEN 'user_bucket' THEN b <= v
+                              WHEN 'dow' THEN d <= v ELSE q <= v END)
+                        THEN 0 ELSE y * n END) AS pr,
+               SUM(CASE WHEN (CASE feat WHEN 'user_bucket' THEN b <= v
+                              WHEN 'dow' THEN d <= v ELSE q <= v END)
+                        THEN 0 ELSE (1 - y) * n END) AS nr
+        FROM cells, cand GROUP BY 1, 2
+    ),
+    root AS (
+        SELECT feat, v,
+               (pl * pl + nl * nl) / CAST(pl + nl AS DOUBLE)
+               + (pr * pr + nr * nr) / CAST(pr + nr AS DOUBLE) AS score
+        FROM scored0 WHERE pl + nl > 0 AND pr + nr > 0
+        ORDER BY score DESC, feat, v LIMIT 1
+    ),
+    cells1 AS (
+        SELECT cells.*,
+               CASE WHEN (CASE (SELECT feat FROM root)
+                          WHEN 'user_bucket' THEN b <= (SELECT v FROM root)
+                          WHEN 'dow' THEN d <= (SELECT v FROM root)
+                          ELSE q <= (SELECT v FROM root) END)
+                    THEN 1 ELSE 2 END AS node
+        FROM cells
+    ),
+    scored1 AS (
+        SELECT node, feat, v,
+               SUM(CASE WHEN (CASE feat WHEN 'user_bucket' THEN b <= v
+                              WHEN 'dow' THEN d <= v ELSE q <= v END)
+                        THEN y * n ELSE 0 END) AS pl,
+               SUM(CASE WHEN (CASE feat WHEN 'user_bucket' THEN b <= v
+                              WHEN 'dow' THEN d <= v ELSE q <= v END)
+                        THEN (1 - y) * n ELSE 0 END) AS nl,
+               SUM(CASE WHEN (CASE feat WHEN 'user_bucket' THEN b <= v
+                              WHEN 'dow' THEN d <= v ELSE q <= v END)
+                        THEN 0 ELSE y * n END) AS pr,
+               SUM(CASE WHEN (CASE feat WHEN 'user_bucket' THEN b <= v
+                              WHEN 'dow' THEN d <= v ELSE q <= v END)
+                        THEN 0 ELSE (1 - y) * n END) AS nr
+        FROM cells1, cand GROUP BY 1, 2, 3
+    ),
+    best1 AS (
+        SELECT node, feat, v FROM (
+            SELECT node, feat, v,
+                   (pl * pl + nl * nl) / CAST(pl + nl AS DOUBLE)
+                   + (pr * pr + nr * nr) / CAST(pr + nr AS DOUBLE)
+                       AS score
+            FROM scored1 WHERE pl + nl > 0 AND pr + nr > 0
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY score DESC, feat, v) = 1
+    ),
+    cells2 AS (
+        SELECT c1.*,
+               2 * c1.node + 1
+               + CASE WHEN (CASE b1.feat
+                            WHEN 'user_bucket' THEN c1.b <= b1.v
+                            WHEN 'dow' THEN c1.d <= b1.v
+                            ELSE c1.q <= b1.v END)
+                      THEN 0 ELSE 1 END AS leaf
+        FROM cells1 c1 JOIN best1 b1 ON b1.node = c1.node
+    ),
+    nodes AS (
+        SELECT 0 AS node_id,
+               (SELECT feat FROM root) AS split_feature,
+               CAST((SELECT v FROM root) AS BIGINT) AS split_value,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(y * n) AS BIGINT) AS n_pos
+        FROM cells
+        UNION ALL
+        SELECT c1.node, b1.feat, CAST(b1.v AS BIGINT),
+               CAST(SUM(c1.n) AS BIGINT), CAST(SUM(c1.y * c1.n) AS BIGINT)
+        FROM cells1 c1 JOIN best1 b1 ON b1.node = c1.node
+        GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT leaf, NULL, NULL, CAST(SUM(n) AS BIGINT),
+               CAST(SUM(y * n) AS BIGINT)
+        FROM cells2 GROUP BY 1
+    )
+    SELECT CAST(node_id AS INTEGER) AS node_id, split_feature,
+           split_value, n, n_pos,
+           ROUND(n_pos / CAST(n AS DOUBLE), 6) AS rate
+    FROM nodes
+    """
+
+
+@register("decision_tree_gini", extra=True, oracle=_DT_ORACLE)
+def decision_tree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-VERIFIED ML TRAINING — a depth-2 Gini decision tree
+    predicting 'is this event a purchase?' from three small-domain
+    features (user bucket, day of week, value quintile), where the
+    ENTIRE training computation is deterministic integer/IEEE math,
+    so DuckDB re-derives the SAME TREE (splits, counts, leaf rates)
+    declaratively and the hash match verifies the trainer itself —
+    split scoring, argmax selection, tie-breaks, recursion — not just
+    its outputs. (logreg/BPE are pinned by python references; this
+    one is pinned by the independent SQL engine.)
+
+    Shape: the fact table collapses ONCE to feature-cell counts
+    (domain-bounded: 8x7x5x2 = 560 cells max, invariant to corpus
+    size — the classic 'histogram' trick every distributed tree
+    learner from XGBoost to LightGBM uses); split search runs on the
+    cells driver-side (bounded fold, same discipline as the
+    bucket-offset patterns). Emits the 7-node tree (root, 2 internal,
+    4 leaves) with per-node counts and purchase rates."""
+    ev = table(spark, sf_dir, "events")
+    maxv = int(
+        ev.agg(
+            F.max(F.round(F.col("value") * 1000).cast("bigint"))
+        ).first()[0]
+    )
+    cells_df = (
+        ev.select(
+            (F.col("user_id") % 8).cast("bigint").alias("b"),
+            F.dayofweek("ts").cast("bigint").alias("d"),
+            (
+                F.round(F.col("value") * 1000).cast("bigint")
+                * 5
+                / (maxv + 1)
+            )
+            .cast("bigint")
+            .alias("q"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        .groupBy("b", "d", "q", "y")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    cells = [
+        (int(r.b), int(r.d), int(r.q), int(r.y), int(r.n))
+        for r in cells_df.collect()
+    ]
+
+    def stats(cs):
+        n = sum(c[4] for c in cs)
+        pos = sum(c[4] for c in cs if c[3] == 1)
+        return n, pos
+
+    def goes_left(c, feat, v):
+        return {"user_bucket": c[0], "dow": c[1], "vq": c[2]}[feat] <= v
+
+    rows = []
+    n0, p0 = stats(cells)
+    root = _dt_best_split(cells)
+    rows.append((0, root[0], root[1], n0, p0))
+    branches = {
+        1: [c for c in cells if goes_left(c, *root)],
+        2: [c for c in cells if not goes_left(c, *root)],
+    }
+    for node in (1, 2):
+        cs = branches[node]
+        n, p = stats(cs)
+        sp = _dt_best_split(cs)
+        rows.append((node, sp[0] if sp else None, sp[1] if sp else None, n, p))
+        for off, keep in ((0, True), (1, False)):
+            leaf = [
+                c for c in cs if sp and goes_left(c, *sp) == keep
+            ] if sp else ([] if off else cs)
+            ln, lp = stats(leaf)
+            rows.append((2 * node + 1 + off, None, None, ln, lp))
+    return spark.createDataFrame(
+        rows,
+        "node_id int, split_feature string, split_value bigint, "
+        "n bigint, n_pos bigint",
+    ).withColumn(
+        "rate",
+        F.round(F.col("n_pos") / F.col("n").cast("double"), 6),
+    )

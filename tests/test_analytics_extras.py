@@ -526,3 +526,23 @@ def test_markov_attribution_invariants(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.removal_effect <= 1.0
         assert 0.0 < r.base_cvr < 1.0
+
+
+def test_decision_tree_structure(spark, sf_dir):
+    """Tree invariants: 7 nodes, children partition their parent
+    (counts and positives add up exactly), internal nodes carry a
+    split, leaves don't, rates consistent."""
+    from eventstream_notify_spark.operators.analytics import (
+        decision_tree_gini,
+    )
+
+    nodes = {r.node_id: r for r in decision_tree_gini(spark, sf_dir).collect()}
+    assert set(nodes) == set(range(7))
+    for nid in (0, 1, 2):
+        l, r = nodes.get(2 * nid + 1), nodes.get(2 * nid + 2)
+        assert nodes[nid].split_feature is not None
+        assert l.n + r.n == nodes[nid].n
+        assert l.n_pos + r.n_pos == nodes[nid].n_pos
+    for nid in (3, 4, 5, 6):
+        assert nodes[nid].split_feature is None
+        assert 0.0 <= nodes[nid].rate <= 1.0
