@@ -1167,3 +1167,105 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [(-1, round(float(b), 6)), (-2, round(float(acc), 6))]
     )
     return spark.createDataFrame(rows, "pos int, weight double")
+
+
+KNN_K = 10
+
+
+@register(
+    "knn_classifier",
+    extra=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, q.true_label, e.label,
+               ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS score,
+               e.vec_id
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, true_label, label, score, vec_id
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id
+        ) <= {KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes,
+               ROUND(MAX(score), 6) AS best_score
+        FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label,
+           label AS predicted_label, n_votes,
+           CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END
+               AS INTEGER) AS correct
+    FROM votes
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY n_votes DESC, best_score DESC, label
+    ) = 1
+    """,
+)
+def knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NEAREST-NEIGHBOR CLASSIFICATION over the embedding corpus:
+    for each query vector, the majority label among its 10 nearest
+    neighbors by exact cosine (ties broken by best neighbor score,
+    then label — every step deterministic, so even the PREDICTIONS
+    hash-match the oracle). This stacks the classification head on
+    the sim-search family: the same broadcast-queries / corpus-
+    never-shuffles kernel, plus a per-query vote aggregation; swap
+    the exact scorer for the IVF/PQ path and the plan survives any
+    corpus size (the vote is always k rows per query).
+
+    Emits (query_id, true_label, predicted_label, n_votes, correct)
+    — the correct column makes the result its own accuracy report."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", l2_norm("embedding")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    scored = e.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "true_label",
+        "label",
+        F.round(
+            dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("score"),
+        "vec_id",
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= KNN_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").cast("bigint").alias("n_votes"),
+        F.round(F.max("score"), 6).alias("best_score"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("best_score").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
