@@ -2821,9 +2821,9 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()[0]
     )
     feats = {
-        "value_quintile": (
-            F.round(F.col("value") * 1000).cast("bigint") * 5 / (maxv + 1)
-        ).cast("bigint"),
+        "value_quintile": F.expr(
+            f"(cast(round(value * 1000) as bigint) * 5) div {maxv + 1}"
+        ),
         "day_of_week": F.dayofweek("ts").cast("bigint"),
     }
     outs = []
@@ -3040,13 +3040,10 @@ def decision_tree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             (F.col("user_id") % 8).cast("bigint").alias("b"),
             F.dayofweek("ts").cast("bigint").alias("d"),
-            (
-                F.round(F.col("value") * 1000).cast("bigint")
-                * 5
-                / (maxv + 1)
-            )
-            .cast("bigint")
-            .alias("q"),
+            F.expr(
+                f"(cast(round(value * 1000) as bigint) * 5)"
+                f" div {maxv + 1}"
+            ).alias("q"),
             (F.col("event_type") == "purchase").cast("int").alias("y"),
         )
         .groupBy("b", "d", "q", "y")
@@ -3091,4 +3088,200 @@ def decision_tree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rate",
         F.round(F.col("n_pos") / F.col("n").cast("double"), 6),
+    )
+
+
+# ---------------------------------------------- AdaBoost on cells
+
+
+_ADA_ROUNDS = 3
+_ADA_SCALE = 1_000_000  # weights & margins quantized to integers
+
+
+def _ada_left_sql(feat_src: str, pfx: str = "") -> str:
+    return (
+        f"(CASE {feat_src} WHEN 'user_bucket' THEN {pfx}b <= {feat_src.replace('feat', 'v')}"
+        f" WHEN 'dow' THEN {pfx}d <= {feat_src.replace('feat', 'v')}"
+        f" ELSE {pfx}q <= {feat_src.replace('feat', 'v')} END)"
+    )
+
+
+def _ada_oracle() -> str:
+    cand_values = ", ".join(
+        f"('{f}', {v}, {p})"
+        for f, v in _DT_CANDS
+        for p in (-1, 1)
+    )
+    sql = f"""
+    WITH cells AS MATERIALIZED (
+        SELECT user_id % 8 AS b,
+               dayofweek(ts) + 1 AS d,
+               CAST(round(value * 1000) AS BIGINT) * 5
+                   // ((SELECT MAX(CAST(round(value * 1000) AS BIGINT))
+                        FROM events) + 1) AS q,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS z,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3, 4
+    ),
+    cand AS MATERIALIZED (SELECT * FROM (VALUES {cand_values}) c(feat, v, pol)),
+    w1 AS MATERIALIZED (SELECT b, d, q, z, n, n * {_ADA_SCALE} AS w,
+                  CAST(0 AS BIGINT) AS m
+           FROM cells)"""
+    left_c = (
+        "(CASE feat WHEN 'user_bucket' THEN b <= v"
+        " WHEN 'dow' THEN d <= v ELSE q <= v END)"
+    )
+
+    def left_b(t: int) -> str:
+        return (
+            f"(CASE (SELECT feat FROM b{t}) WHEN 'user_bucket'"
+            f" THEN b <= (SELECT v FROM b{t})"
+            f" WHEN 'dow' THEN d <= (SELECT v FROM b{t})"
+            f" ELSE q <= (SELECT v FROM b{t}) END)"
+        )
+
+    for t in range(1, _ADA_ROUNDS + 1):
+        sql += f""",
+    s{t} AS MATERIALIZED (
+        SELECT feat, v, pol,
+               SUM(CASE WHEN pol * (CASE WHEN {left_c} THEN 1 ELSE -1 END)
+                        <> z THEN w ELSE 0 END) AS werr,
+               SUM(w) AS wtot
+        FROM w{t}, cand GROUP BY 1, 2, 3
+    ),
+    b{t} AS MATERIALIZED (
+        SELECT feat, v, pol,
+               werr / CAST(wtot AS DOUBLE) AS eps,
+               0.5 * LN((wtot - werr) / CAST(werr AS DOUBLE)) AS alpha
+        FROM s{t}
+        ORDER BY werr / CAST(wtot AS DOUBLE), feat, v, pol LIMIT 1
+    ),
+    w{t + 1} AS MATERIALIZED (
+        SELECT b, d, q, z, n,
+               CAST(FLOOR(w * EXP(-(SELECT alpha FROM b{t}) * z
+                    * (SELECT pol FROM b{t})
+                    * (CASE WHEN {left_b(t)} THEN 1 ELSE -1 END)) + 0.5)
+                    AS BIGINT) AS w,
+               m + CAST(FLOOR((SELECT alpha FROM b{t}) * {_ADA_SCALE} + 0.5)
+                        AS BIGINT)
+                   * (SELECT pol FROM b{t})
+                   * (CASE WHEN {left_b(t)} THEN 1 ELSE -1 END) AS m
+        FROM w{t}
+    ),
+    acc{t} AS MATERIALIZED (
+        SELECT SUM(CASE WHEN (CASE WHEN m > 0 THEN 1 ELSE -1 END) = z
+                        THEN n ELSE 0 END)
+               / CAST(SUM(n) AS DOUBLE) AS a
+        FROM w{t + 1}
+    )"""
+    rows = " UNION ALL ".join(
+        f"""
+    SELECT {t} AS round,
+           (SELECT feat FROM b{t}) AS split_feature,
+           CAST((SELECT v FROM b{t}) AS BIGINT) AS split_value,
+           CAST((SELECT pol FROM b{t}) AS INTEGER) AS polarity,
+           ROUND((SELECT eps FROM b{t}), 6) AS eps,
+           ROUND((SELECT alpha FROM b{t}), 6) AS alpha,
+           ROUND((SELECT a FROM acc{t}), 6) AS train_acc"""
+        for t in range(1, _ADA_ROUNDS + 1)
+    )
+    return sql + rows
+
+
+@register("adaboost_stumps", extra=True, oracle=_ada_oracle())
+def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-VERIFIED BOOSTING — AdaBoost with decision stumps over
+    the same domain-bounded histogram cells as decision_tree_gini,
+    with every source of cross-engine drift engineered out so DuckDB
+    re-derives the identical 3-round ensemble (stumps, errors,
+    alphas, per-round training accuracy):
+
+    - weights live as INTEGERS (x1e6): weighted-error sums are exact
+      integer arithmetic, immune to float-summation order (the thing
+      that would otherwise differ between engines);
+    - the only floats are eps (one exact-integer division), alpha
+      (0.5·ln — both engines call the same system libm: the driver
+      side computes in CPython, not the JVM), and the per-cell weight
+      update, which re-quantizes through the SAME floor(x+0.5)
+      half-away rule on both sides;
+    - margins are integer-quantized alphas, so sign decisions and
+      accuracies are exact.
+
+    Shape: ONE fact aggregation to <=560 cells (the XGBoost/LightGBM
+    histogram trick), then the boosting loop is bounded driver math —
+    at any corpus size the distributed cost is one scan + one
+    domain-sized hash-agg. Emits (round, stump, polarity, eps, alpha,
+    cumulative train accuracy)."""
+    import math
+
+    ev = table(spark, sf_dir, "events")
+    maxv = int(
+        ev.agg(
+            F.max(F.round(F.col("value") * 1000).cast("bigint"))
+        ).first()[0]
+    )
+    cells_df = (
+        ev.select(
+            (F.col("user_id") % 8).cast("bigint").alias("b"),
+            F.dayofweek("ts").cast("bigint").alias("d"),
+            F.expr(
+                f"(cast(round(value * 1000) as bigint) * 5)"
+                f" div {maxv + 1}"
+            ).alias("q"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("z"),
+        )
+        .groupBy("b", "d", "q", "z")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    cells = [
+        [int(r.b), int(r.d), int(r.q), int(r.z), int(r.n),
+         int(r.n) * _ADA_SCALE, 0]
+        for r in cells_df.collect()
+    ]
+    cands = [
+        (f, v, p) for f, v in _DT_CANDS for p in (-1, 1)
+    ]
+
+    def h(c, feat, v, pol):
+        x = {"user_bucket": c[0], "dow": c[1], "vq": c[2]}[feat]
+        return pol * (1 if x <= v else -1)
+
+    rows = []
+    for t in range(1, _ADA_ROUNDS + 1):
+        wtot = sum(c[5] for c in cells)
+        best = None
+        for feat, v, pol in cands:
+            werr = sum(c[5] for c in cells if h(c, feat, v, pol) != c[3])
+            eps = werr / float(wtot)
+            key = (eps, feat, v, pol)
+            if best is None or key < best[0]:
+                best = (key, feat, v, pol, werr)
+        _, feat, v, pol, werr = best
+        eps = werr / float(wtot)
+        alpha = 0.5 * math.log((wtot - werr) / float(werr))
+        alpha_q = int(math.floor(alpha * _ADA_SCALE + 0.5))
+        for c in cells:
+            hv = h(c, feat, v, pol)
+            c[5] = int(math.floor(c[5] * math.exp(-alpha * c[3] * hv) + 0.5))
+            c[6] += alpha_q * hv
+        n_tot = sum(c[4] for c in cells)
+        n_ok = sum(
+            c[4] for c in cells if (1 if c[6] > 0 else -1) == c[3]
+        )
+        rows.append((t, feat, v, pol, eps, alpha, n_ok / float(n_tot)))
+    out = spark.createDataFrame(
+        rows,
+        "round int, split_feature string, split_value bigint, "
+        "polarity int, eps double, alpha double, train_acc double",
+    )
+    return out.select(
+        "round",
+        "split_feature",
+        "split_value",
+        "polarity",
+        F.round("eps", 6).alias("eps"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("train_acc", 6).alias("train_acc"),
     )

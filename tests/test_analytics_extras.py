@@ -546,3 +546,26 @@ def test_decision_tree_structure(spark, sf_dir):
     for nid in (3, 4, 5, 6):
         assert nodes[nid].split_feature is None
         assert 0.0 <= nodes[nid].rate <= 1.0
+
+
+def test_adaboost_error_decreases_and_valid(spark, sf_dir):
+    """Boosting invariants: every round's weighted error < 0.5 (else
+    the stump+polarity search failed), alphas positive, accuracy at
+    least the majority-class rate."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.analytics import (
+        adaboost_stumps,
+    )
+
+    rows = sorted(
+        adaboost_stumps(spark, sf_dir).collect(), key=lambda r: r.round
+    )
+    assert [r.round for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert 0.0 < r.eps < 0.5
+        assert r.alpha > 0
+    ev = table(spark, sf_dir, "events")
+    n = ev.count()
+    n_pos = ev.filter(F.col("event_type") == "purchase").count()
+    majority = max(n_pos, n - n_pos) / n
+    assert rows[-1].train_acc >= majority - 1e-9
