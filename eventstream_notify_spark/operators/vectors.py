@@ -1269,3 +1269,119 @@ def knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+NC_SCALE = 1_000_000  # embeddings quantized to integer micro-units
+
+
+@register(
+    "nearest_centroid_classifier",
+    extra=True,
+    oracle=f"""
+    WITH qe AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {NC_SCALE})
+                        AS BIGINT)) AS ei,
+               label
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS c_label,
+               list_transform(range(1, 65),
+                   i -> list_sum(list_transform(grp, g -> g[i]))) AS cs
+        FROM (SELECT label, list(ei) AS grp
+              FROM qe WHERE vec_id % {QUERY_MOD} <> 0 GROUP BY label)
+    ),
+    q AS (SELECT vec_id AS query_id, ei AS qv, label AS true_label
+          FROM qe WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+        SELECT q.query_id, q.true_label, cent.c_label,
+               ROUND(
+                   list_sum(list_transform(range(1, 65),
+                       i -> CAST(qv[i] AS DOUBLE) * cs[i]))
+                   / (sqrt(list_sum(list_transform(qv,
+                          x -> CAST(x AS DOUBLE) * x)))
+                      * sqrt(list_sum(list_transform(cent.cs,
+                          x -> CAST(x AS DOUBLE) * x)))),
+               6) AS score
+        FROM q, cent
+    )
+    SELECT query_id, true_label,
+           c_label AS predicted_label, score,
+           CAST(CASE WHEN c_label = true_label THEN 1 ELSE 0 END
+               AS INTEGER) AS correct
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, c_label
+    ) = 1
+    """,
+)
+def nearest_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-CENTROID (Rocchio) classification — the O(labels)
+    companion to knn_classifier's O(corpus): one mean vector per
+    label, queries classified by cosine to the nearest centroid.
+    Made ORACLE-EXACT by quantizing embeddings to integer micro-units
+    first: centroid sums are then EXACT INTEGER vectors (immune to
+    the float-summation-order divergence that makes naive float
+    centroids engine-dependent), and the only floats are the final
+    cosine's products/sqrt from identical exact integers — identical
+    IEEE results on both engines, 6-d.p.-rounded with a label
+    tie-break. Queries (vec_id % 50 = 0) are held out of their own
+    centroids (no self-leakage).
+
+    Shape: centroids = one posexplode + (label, dim) hash-agg (10x64
+    rows), folded to arrays and BROADCAST; scoring is a per-row HOF
+    dot against 10 centroids — no corpus pairing at all, the cheapest
+    classification plan that exists at 100 TB."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {NC_SCALE}) as bigint))"
+        ).alias("ei"),
+    )
+    train = e.filter(F.col("vec_id") % QUERY_MOD != 0)
+    cent = (
+        train.select("label", F.posexplode("ei").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda r: r["s"],
+            ).alias("cs")
+        )
+        .select(F.col("label").alias("c_label"), "cs")
+    )
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("ei").alias("qv"),
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "true_label",
+        "c_label",
+        F.round(
+            dot("qv", "cs") / (l2_norm("qv") * l2_norm("cs")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("c_label")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("c_label").alias("predicted_label"),
+            "score",
+            (F.col("c_label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )
