@@ -3285,3 +3285,83 @@ def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alpha", 6).alias("alpha"),
         F.round("train_acc", 6).alias("train_acc"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    extra=True,
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+        SELECT f.user_id, f.s_us, MIN(epoch_us(e.ts)) AS p_us
+        FROM first_signup f
+        LEFT JOIN events e
+          ON e.user_id = f.user_id
+         AND e.event_type = 'purchase'
+         AND epoch_us(e.ts) >= f.s_us
+        GROUP BY f.user_id, f.s_us
+    )
+    SELECT s_us // 604800000000 AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(p_us) AS BIGINT) AS n_converted,
+           ROUND(COUNT(p_us) / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate,
+           ROUND(SUM(p_us - s_us) / (COUNT(p_us) * 3600e6), 6)
+               AS avg_hours_to_convert
+    FROM first_purchase
+    GROUP BY 1
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT funnel velocity: for each weekly signup cohort
+    (first signup per user), the share of users who ever purchase ON
+    OR AFTER that signup and the average hours from signup to first
+    qualifying purchase — the 'how fast does the funnel move' metric
+    that zx_funnel_conversion's step counts and zx_retention_cohorts'
+    return rates both omit. All sums are exact epoch-µs integers; the
+    two divisions are the only floats, evaluated in one fixed order.
+
+    Shape: two user-keyed aggregations (first signup; earliest
+    qualifying purchase via a conditional min on the SAME user join
+    key) then a cohort-week rollup — the fact table shuffles on
+    user_id twice and nothing else; at 100 TB both aggregations
+    partial-combine map-side and the cohort table is calendar-sized."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    fs = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_us"))
+    )
+    fp = (
+        fs.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts_us").alias("pts")
+            ),
+            "user_id",
+            "left",
+        )
+        .groupBy("user_id", "s_us")
+        .agg(
+            F.min(
+                F.when(F.col("pts") >= F.col("s_us"), F.col("pts"))
+            ).alias("p_us")
+        )
+    )
+    return fp.groupBy(
+        F.expr("s_us div 604800000000").alias("cohort_week")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_signups"),
+        F.count("p_us").cast("bigint").alias("n_converted"),
+        F.round(
+            F.count("p_us") / F.count("*").cast("double"), 6
+        ).alias("conv_rate"),
+        F.round(
+            F.sum(F.col("p_us") - F.col("s_us"))
+            / (F.count("p_us") * F.lit(3600e6)),
+            6,
+        ).alias("avg_hours_to_convert"),
+    )
