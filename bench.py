@@ -33,37 +33,38 @@ HEADLINE = [
 ]
 
 
-def latency_mode(duration_s: float = 20.0, rate: int = 20) -> None:
-    """--latency: produce -> sink latency at the reference's configured
-    producer rate (20 ev/s, auto_kafka_redis.py:51 produce_interval_s
-    0.05), through the REAL streaming pipeline (watermark dedup ->
-    stateful rate limit -> foreachBatch sink). Each event's latency is
-    sink-wall-clock minus its rate-source event time; prints p50/p99.
-    Documents the sub-second parity claim in BASELINE.md (the
-    reference's observed consumer lag is its only latency surface)."""
+def _pcts(vals: list[float]) -> dict[str, float | None]:
+    vals = sorted(vals)
+    n = len(vals)
+    p = lambda q: round(vals[min(n - 1, int(q * n))], 3) if n else None  # noqa: E731
+    return {"p50": p(0.5), "p99": p(0.99), "max": p(1.0), "events": n}
+
+
+def _latency_run(spark, duration_s: float, rate: int) -> dict:
+    """One latency probe: start the REAL pipeline against a rate
+    source, BARRIER on the first committed non-empty micro-batch, then
+    measure a trailing steady window anchored at that first commit
+    (skipping a short post-commit warm tail). Raises on a zero-event
+    capture — a silent 0-event run is a harness failure, never data."""
     import tempfile
 
     from eventstream_notify_spark.sources.events import rate_events_stream
     from eventstream_notify_spark.streaming.pipeline import start_pipeline
 
-    spark = get_spark("bench-latency")
-    spark.sparkContext.setLogLevel("ERROR")
-    # latency-path sizing: state-store instance count == shuffle
-    # partitions, and each instance pays per-batch open/commit. 32 is
-    # the right THROUGHPUT shape; for a 20 ev/s latency probe it's 31
-    # idle RocksDB commits per trigger. The partition count is pinned
-    # per-checkpoint at first start, so this scopes to this run only.
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    latencies: list[float] = []
-
-    t_start = time.time()
+    warm_skip_s = 3.0  # first commits still pay codegen/state-open cost
+    latencies: list[tuple[float, float]] = []  # (sink wall clock, latency)
+    first_commit: list[float] = []
 
     def probe_sink(batch_df, epoch_id: int) -> None:
         now = time.time()
-        for r in batch_df.select("ts").collect():
-            latencies.append((now - t_start, now - r.ts.timestamp()))
+        rows = batch_df.select("ts").collect()
+        if rows and not first_commit:
+            first_commit.append(now)
+        for r in rows:
+            latencies.append((now, now - r.ts.timestamp()))
 
     with tempfile.TemporaryDirectory() as ckpt:
+        t0 = time.time()
         q = start_pipeline(
             rate_events_stream(spark, events_per_second=rate),
             checkpoint_dir=ckpt,
@@ -74,27 +75,89 @@ def latency_mode(duration_s: float = 20.0, rate: int = 20) -> None:
             rate_limit=rate,
         )
         try:
-            time.sleep(duration_s)
+            # barrier: the measurement clock starts at the first
+            # committed non-empty batch, not at query start — before
+            # that, everything is JVM/codegen/state-store warmup.
+            deadline = t0 + 90.0
+            while not first_commit and time.time() < deadline:
+                if q.exception() is not None:
+                    raise RuntimeError(f"pipeline died: {q.exception()}")
+                time.sleep(0.2)
+            if not first_commit:
+                raise RuntimeError("no committed batch within 90 s")
+            t_end = first_commit[0] + warm_skip_s + duration_s
+            while time.time() < t_end:
+                time.sleep(0.2)
         finally:
-            q.stop()
-    def pcts(vals: list[float]) -> dict[str, float | None]:
-        vals = sorted(vals)
-        n = len(vals)
-        p = lambda q: round(vals[min(n - 1, int(q * n))], 3) if n else None  # noqa: E731
-        return {"p50": p(0.5), "p99": p(0.99), "max": p(1.0), "events": n}
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — shutdown noise, run already captured
+                pass
+    steady_from = first_commit[0] + warm_skip_s
+    steady = [lat for t, lat in latencies if t >= steady_from]
+    if not steady:
+        raise RuntimeError(
+            f"zero steady-state events captured ({len(latencies)} total) — "
+            "harness failure, not a latency measurement"
+        )
+    return {
+        "first_commit_s": round(first_commit[0] - t0, 2),
+        "steady": _pcts(steady),
+        "all": _pcts([lat for _, lat in latencies]),
+    }
 
-    # steady state excludes the first half: JVM/codegen/RocksDB warmup
-    # dominates early triggers and isn't what a long-running pipeline
-    # pays (the reference's own batching adds batch_size/rate = 1.6 s
-    # buffering latency at its configured 20 ev/s / batch=32)
-    all_l = [lat for _, lat in latencies]
-    steady = [lat for t, lat in latencies if t >= duration_s / 2]
+
+def latency_mode(duration_s: float = 20.0, rate: int = 20, runs: int = 3) -> None:
+    """--latency: produce -> sink latency at the reference's configured
+    producer rate (20 ev/s, auto_kafka_redis.py:51 produce_interval_s
+    0.05), through the REAL streaming pipeline (watermark dedup ->
+    stateful rate limit -> foreachBatch sink). Each event's latency is
+    sink-wall-clock minus its rate-source event time.
+
+    Three consecutive probes in one process (median-of-3 is the
+    headline number; the per-run spread is reported so a noisy box is
+    visible instead of silently polluting the record). Exits nonzero
+    if any probe captures zero steady events or never commits."""
+    spark = get_spark("bench-latency")
+    spark.sparkContext.setLogLevel("ERROR")
+    # latency-path sizing: state-store instance count == shuffle
+    # partitions, and each instance pays per-batch open/commit. 32 is
+    # the right THROUGHPUT shape; for a 20 ev/s latency probe it's 31
+    # idle state-store commits per trigger. Pinned per-checkpoint at
+    # first start, so this scopes to this run only.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # tiny state (5 users + <=rate*TTL dedup ids): the heap-backed
+    # provider opens in milliseconds where RocksDB pays file-system
+    # setup per instance — right for a latency probe, wrong for the
+    # 100 TB throughput path (which keeps RocksDB, session.py).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    results: list[dict] = []
+    for i in range(runs):
+        try:
+            r = _latency_run(spark, duration_s, rate)
+        except RuntimeError as e:
+            print(
+                json.dumps(
+                    {"metric": "e2e_latency", "value": None,
+                     "error": str(e), "run": i + 1, "runs_ok": results}
+                )
+            )
+            sys.exit(1)
+        results.append(r)
+    p50s = sorted(r["steady"]["p50"] for r in results)
+    spread = round(p50s[-1] / max(p50s[0], 1e-9), 2)
     out = {
         "metric": "e2e_latency",
-        "value": pcts(steady)["p50"],
+        "value": p50s[len(p50s) // 2],
         "unit": "sec",
-        "steady": pcts(steady),
-        "all": pcts(all_l),
+        "runs": results,
+        "p50_spread": spread,
+        "stable": spread <= 2.0,
+        "first_commit_s": [r["first_commit_s"] for r in results],
         "rate_ev_s": rate,
         "duration_s": duration_s,
     }
@@ -115,8 +178,8 @@ def scaling_mode() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark)
     cleanup = make_cleanup(spark)
-    t_small = run_suite(spark, small, 1, cleanup)
-    t_big = run_suite(spark, big, 1, cleanup)
+    t_small, _ = run_suite(spark, small, 1, cleanup)
+    t_big, _ = run_suite(spark, big, 1, cleanup)
     ratios: dict[str, float] = {}
     flagged: dict[str, float] = {}
     for name, tb in t_big.items():
@@ -152,12 +215,161 @@ def scaling_mode() -> None:
     )
 
 
+def plan_fingerprint(df) -> str:
+    """Stable hash of the physical plan shape: expression ids, plan
+    ids, file paths and statistics are normalized out so the
+    fingerprint only moves when the PLAN moves. Used to classify a
+    round-over-round time delta as VARIANCE (same plan, noisy box) vs
+    PLAN_CHANGE (a real regression or improvement)."""
+    import hashlib
+    import re
+
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # noqa: BLE001 — fingerprint is best-effort metadata
+        return "na"
+    s = re.sub(r"#\d+[A-Z]*", "#x", s)
+    s = re.sub(r"\[id=#?\d+\]", "", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"(file|dbfs|s3a?|hdfs):[^\s,\)\]]+", "PATH", s)
+    s = re.sub(r"q_[0-9a-f]{12}", "q_x", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+PREV_PATH = Path(__file__).resolve().parent / "bench_prev.json"
+
+
+def compare_to_prev(timings: dict, fps: dict, sf: str) -> dict:
+    """Mechanical variance-vs-regression: load the previous committed
+    run (bench_prev.json), ratio every common query, and classify
+    >1.5x movers — same plan fingerprint => VARIANCE (box noise),
+    changed fingerprint => PLAN_CHANGE (inspect: regression or
+    deliberate rework). Sub-0.5s queries are jitter-dominated and
+    never flagged."""
+    if not PREV_PATH.exists():
+        return {"prev": None}
+    try:
+        prev = json.loads(PREV_PATH.read_text())
+    except Exception:  # noqa: BLE001
+        return {"prev": "unreadable"}
+    # the file is keyed by SF so a sf0.001 smoke run never pollutes
+    # (or reads as a regression against) the sf0.1 round record
+    prev = prev.get(str(sf)) or {}
+    if not prev:
+        return {"prev": f"no_record_at_sf{sf}"}
+    pq, pf = prev.get("queries", {}), prev.get("fingerprints", {})
+    movers: dict[str, dict] = {}
+    ratios: list[float] = []
+    for name, t in timings.items():
+        t_prev = pq.get(name, -1.0)
+        if t_prev is None or t_prev <= 0 or t is None or t <= 0:
+            continue
+        r = t / max(t_prev, 0.01)
+        ratios.append(r)
+        if (r > 1.5 or r < 1 / 1.5) and max(t, t_prev) > 0.5:
+            same_plan = name in pf and pf.get(name) == fps.get(name)
+            movers[name] = {
+                "ratio": round(r, 2),
+                "prev": t_prev,
+                "cur": t,
+                "class": "VARIANCE" if same_plan else "PLAN_CHANGE",
+            }
+    ratios.sort()
+    return {
+        "prev_n": len(pq),
+        "median_ratio_vs_prev": round(ratios[len(ratios) // 2], 2) if ratios else None,
+        "movers": movers,
+        "n_plan_change": sum(1 for m in movers.values() if m["class"] == "PLAN_CHANGE"),
+    }
+
+
+def recall_mode() -> None:
+    """--recall: ANN/near-dup recall at the bench SF (default sf0.1)
+    so scale-driven recall drift is visible per round, not only pinned
+    at sf0.01 in pytest. Exact baselines: sim_search_cosine (top-5
+    brute force) and zx_dedup_near_embedding (exact label-blocked NN).
+    Floors asserted where pytest pins them; exits nonzero on breach."""
+    from collections import defaultdict
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    def topk(name: str) -> dict:
+        top = defaultdict(set)
+        for r in qs[name](spark, sf_dir).collect():
+            top[r.query_id].add(r.vec_id)
+        return top
+
+    def overlap(exact: dict, approx: dict) -> float:
+        qids = set(exact) & set(approx)
+        if not qids:
+            return 0.0
+        return round(
+            sum(len(exact[q] & approx[q]) / max(len(exact[q]), 1) for q in qids)
+            / len(qids),
+            3,
+        )
+
+    exact5 = topk("sim_search_cosine")
+    # IVF variants emit top-3 of a cluster-restricted candidate set;
+    # measure them against the exact top-3 (subset of the exact top-5
+    # per query by score order is not recoverable from sets, so use
+    # their own exact twin: recall@5 against exact5 understates — we
+    # report overlap vs exact5 with each family's k noted).
+    table = {}
+    floors = {"sq8": 0.8, "pq": 0.7}  # pinned in tests/test_extensions.py
+    for key, qname in [
+        ("sq8", "zx_sim_search_sq8"),
+        ("pq", "zx_sim_search_pq"),
+        ("ivf", "zx_sim_search_ivf"),
+        ("ivf_kmeans", "zx_sim_search_ivf_kmeans"),
+    ]:
+        if qname in qs:
+            table[key] = overlap(exact5, topk(qname))
+    # embedding near-dup: same-NN agreement, floor 0.99 (test_scale_paths)
+    exact_nn = {
+        r.vec_id: r.nn_vec_id
+        for r in qs["zx_dedup_near_embedding"](spark, sf_dir).collect()
+    }
+    lsh_nn = {
+        r.vec_id: r.nn_vec_id
+        for r in qs["zx_dedup_near_embedding_lsh"](spark, sf_dir).collect()
+    }
+    common = set(exact_nn) & set(lsh_nn)
+    table["nn_lsh_same"] = round(
+        sum(1 for v in common if exact_nn[v] == lsh_nn[v]) / max(len(common), 1), 3
+    )
+    floors["nn_lsh_same"] = 0.99
+    breaches = {k: (table[k], floors[k]) for k in floors if k in table and table[k] < floors[k]}
+    print(
+        json.dumps(
+            {
+                "metric": "ann_recall",
+                "value": table.get("pq"),
+                "unit": "recall",
+                "recall": table,
+                "floors": floors,
+                "breaches": breaches,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+            }
+        )
+    )
+    if breaches:
+        sys.exit(1)
+
+
 def main() -> None:
     if "--latency" in sys.argv:
         latency_mode()
         return
     if "--scaling" in sys.argv:
         scaling_mode()
+        return
+    if "--recall" in sys.argv:
+        recall_mode()
         return
     # --n K: median-of-K per query. Default 1 (driver budget); medians
     # tame the ±60% single-shot jitter on sub-second queries.
@@ -170,9 +382,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark)
     cleanup = make_cleanup(spark)
-    timings = run_suite(spark, sf_dir, reps, cleanup)
+    timings, fps = run_suite(spark, sf_dir, reps, cleanup)
     total = round(sum(v for v in timings.values() if v >= 0), 2)
     headline = {n: timings[n] for n in HEADLINE if n in timings}
+    cmp_prev = compare_to_prev(timings, fps, sf)
+    try:
+        record = {}
+        if PREV_PATH.exists():
+            record = json.loads(PREV_PATH.read_text())
+            if "queries" in record:  # pre-keyed legacy layout
+                record = {}
+        record[str(sf)] = {
+            "queries": timings, "fingerprints": fps, "reps": reps,
+        }
+        PREV_PATH.write_text(json.dumps(record, separators=(",", ":")))
+    except Exception:  # noqa: BLE001 — recording must never fail the bench
+        pass
     # Two lines, deliberately: the full per-query map first (humans,
     # SURVEY tables), then a SHORT summary line LAST. The driver
     # captures a bounded tail of stdout and parses the last JSON line;
@@ -185,6 +410,7 @@ def main() -> None:
         "sf": sf,
         "unit": "sec",
         "value": total,
+        "comparison_vs_prev": cmp_prev,
         "metric": "suite_wall_clock_full",
     }
     print(json.dumps(full, separators=(",", ":")))
@@ -197,6 +423,17 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        # round-over-round: movers >1.5x with UNCHANGED plan = box
+        # variance; changed-plan movers are listed by name to inspect
+        "vs_prev": {
+            "median_ratio": cmp_prev.get("median_ratio_vs_prev"),
+            "n_movers": len(cmp_prev.get("movers", {}) or {}),
+            "plan_change": sorted(
+                n
+                for n, m in (cmp_prev.get("movers", {}) or {}).items()
+                if m["class"] == "PLAN_CHANGE"
+            )[:10],
+        },
     }
     print(json.dumps(summary, separators=(",", ":")))
 
@@ -323,12 +560,15 @@ def make_cleanup(spark):
     return cleanup
 
 
-def run_suite(spark, sf_dir: str, reps: int, cleanup) -> dict[str, float]:
+def run_suite(
+    spark, sf_dir: str, reps: int, cleanup
+) -> tuple[dict[str, float], dict[str, str]]:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
     timings: dict[str, float] = {}
+    fps: dict[str, str] = {}
     for name in names:
         fn = qs[name]
         # warm the plan (analysis) outside the timer? No — cold, honest.
@@ -338,6 +578,7 @@ def run_suite(spark, sf_dir: str, reps: int, cleanup) -> dict[str, float]:
         # at the budgeted rep count.
         q_reps = max(reps, 3) if name in HEADLINE else reps
         runs: list[float] = []
+        df = None
         for _ in range(q_reps):
             cleanup()
             t0 = time.time()
@@ -352,7 +593,10 @@ def run_suite(spark, sf_dir: str, reps: int, cleanup) -> dict[str, float]:
         timings[name] = (
             round(good[len(good) // 2], 2) if good else -1.0
         )
-    return timings
+        if df is not None and good:
+            # post-timing: analysis is already cached, costs ~nothing
+            fps[name] = plan_fingerprint(df)
+    return timings, fps
 
 
 if __name__ == "__main__":

@@ -3065,20 +3065,28 @@ def decision_tree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     n0, p0 = stats(cells)
     root = _dt_best_split(cells)
-    rows.append((0, root[0], root[1], n0, p0))
+    # the oracle's node-0 row always exists (scalar subquery over the
+    # root CTE -> NULL split when no candidate splits the corpus)
+    rows.append(
+        (0, root[0] if root else None, root[1] if root else None, n0, p0)
+    )
     branches = {
-        1: [c for c in cells if goes_left(c, *root)],
-        2: [c for c in cells if not goes_left(c, *root)],
+        1: [c for c in cells if root and goes_left(c, *root)],
+        2: [c for c in cells if root and not goes_left(c, *root)],
     }
     for node in (1, 2):
         cs = branches[node]
         n, p = stats(cs)
         sp = _dt_best_split(cs)
-        rows.append((node, sp[0] if sp else None, sp[1] if sp else None, n, p))
+        if sp is None:
+            # no valid split (degenerate/pure branch): the oracle's
+            # inner join on best1 emits neither the node row nor its
+            # leaves — mirror that exactly instead of inventing a
+            # pass-through leaf + empty sibling the SQL side drops
+            continue
+        rows.append((node, sp[0], sp[1], n, p))
         for off, keep in ((0, True), (1, False)):
-            leaf = [
-                c for c in cs if sp and goes_left(c, *sp) == keep
-            ] if sp else ([] if off else cs)
+            leaf = [c for c in cs if goes_left(c, *sp) == keep]
             ln, lp = stats(leaf)
             rows.append((2 * node + 1 + off, None, None, ln, lp))
     return spark.createDataFrame(

@@ -1450,8 +1450,15 @@ _BLOOM_K = 3
 def _bloom_positions(key: str, j: int) -> F.Column:
     """Bit position of hash j for a key column — xxhash64 salted by j
     (engine-internal determinism is all that's needed: the bloom is a
-    PRE-FILTER, never part of the result)."""
-    return F.pmod(F.xxhash64(F.col(key), F.lit(j)), F.lit(_BLOOM_WORDS * 64))
+    PRE-FILTER, never part of the result). The key is cast to bigint
+    first: xxhash64 is physical-type sensitive, so an int build side
+    vs a bigint probe side would hash the SAME key to DIFFERENT bits
+    and silently drop matching rows — type-stable hashing is a
+    correctness requirement, not a nicety."""
+    return F.pmod(
+        F.xxhash64(F.col(key).cast("bigint"), F.lit(j)),
+        F.lit(_BLOOM_WORDS * 64),
+    )
 
 
 @register(
@@ -1529,11 +1536,15 @@ def bloom_pruned_fact(spark: SparkSession, sf_dir: str):
     ).withColumn("bloom", bloom)
     test = None
     for j in range(_BLOOM_K):
+        # cast matches _bloom_positions' build-side cast: xxhash64 is
+        # physical-type sensitive, so probe and build MUST hash the
+        # same physical type or matching keys silently fail the test
+        h = f"xxhash64(cast(l_partkey as bigint), {j})"
         cond = (
             F.expr(
-                f"(element_at(bloom, int(pmod(xxhash64(l_partkey, {j}), "
+                f"(element_at(bloom, int(pmod({h}, "
                 f"{_BLOOM_WORDS * 64}) div 64) + 1) >> "
-                f"int(pmod(xxhash64(l_partkey, {j}), {_BLOOM_WORDS * 64}) % 64))"
+                f"int(pmod({h}, {_BLOOM_WORDS * 64}) % 64))"
                 " & 1L = 1L"
             )
         )

@@ -115,4 +115,8 @@ def exchange_count(df: DataFrame) -> int:
     import re
 
     plan = plan_str(df, mode="simple")
-    return len(re.findall(r"(?<!Broadcast)Exchange", plan))
+    # whole-node match: a bare "Exchange <partitioning>" node only.
+    # BroadcastExchange (moves dims, not facts) and ReusedExchange
+    # (re-reads an exchange already counted — including reuses of a
+    # broadcast) both carry letters before "Exchange" and are excluded.
+    return len(re.findall(r"(?<![A-Za-z])Exchange\b", plan))

@@ -1179,6 +1179,15 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_errors"
         ),
     )
+    # recentProgress is a RING BUFFER capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    # multi-part source + maxFilesPerTrigger could run more batches
+    # than that, silently dropping early batches from the fold and
+    # breaking the exact-and-lossless claim. Raise the retention far
+    # past any bounded replay's batch count before the query starts
+    # (production: a StreamingQueryListener accumulating onQueryProgress
+    # has no cap at all — the conf keeps this bounded harness simple).
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     q = (
         obs.writeStream.format("noop")
         .trigger(availableNow=True)

@@ -352,7 +352,18 @@ def cep_burst_stream(
     events: DataFrame, watermark: str | None = "60 seconds"
 ) -> DataFrame:
     """Streaming CEP over the event stream; emits one alert row per
-    per-user burst of 3+ consecutive errors (at the 3rd error)."""
+    per-user burst of 3+ consecutive errors (at the 3rd error).
+
+    ORDERED-REPLAY CONTRACT: the run counter carried across batch
+    boundaries assumes batches deliver each user's events in event-time
+    order (true for the bounded file replay and any log-ordered source,
+    e.g. a per-user-keyed Kafka partition — the reference's layout).
+    An in-watermark late event arriving in a LATER batch is folded
+    after newer events, so on a genuinely out-of-order source alerts
+    can diverge from the batch gaps-and-islands oracle. Handling that
+    source class needs a buffer-until-watermark variant (hold rows in
+    state until ts <= watermark, then fold in ts order) — a deliberate
+    state-size trade this operator does not pay."""
     from pyspark.sql import functions as F
 
     if watermark is not None:
