@@ -915,7 +915,19 @@ PQ_KCODES = 32  # ...capped at 32 centroids per subspace (k is a codec
 # property — FAISS uses 256 — NOT a function of corpus size; an uncapped
 # seed rule made codebook training scale superlinearly with N)
 PQ_ITERS = 2
-PQ_SHORTLIST = 50  # ADC shortlist size; exact re-rank picks TOP_K from it
+# ADC shortlist: exact re-rank picks TOP_K from it. Recall tracks
+# shortlist/corpus coverage (a FIXED 50 covered 10% at sf0.01 but 2.5%
+# at sf0.1 and recall@5 dropped 0.84 -> 0.62 — caught by bench
+# --recall), so the floor scales to ~10% of the corpus, CAPPED: at
+# production scale the shortlist is an absolute knob (FAISS nprobe x
+# list-len shape, composed with IVF so ADC never scans the full
+# corpus), never a corpus fraction.
+PQ_SHORTLIST_MIN = 50
+PQ_SHORTLIST_CAP = 1000
+
+
+def pq_shortlist_size(n_corpus: int) -> int:
+    return min(PQ_SHORTLIST_CAP, max(PQ_SHORTLIST_MIN, n_corpus // 10))
 
 
 def _l2sq(a, b) -> F.Column:
@@ -1049,9 +1061,10 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )
+    shortlist_k = pq_shortlist_size(e.count())
     shortlist = (
         scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .filter(F.col("rn") <= shortlist_k)
         .select("query_id", "vec_id")
     )
     # exact re-rank of the shortlist (the FAISS deployment shape:
