@@ -2010,7 +2010,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is THE shape: near-dup graphs are union-of-near-
     cliques, and class compression turns O(triangles) into O(class-
     graph triangles). All arithmetic is exact bigints, so the
-    brute-force SQL oracle still hash-matches."""
+    brute-force SQL oracle still hash-matches.
+
+    Pair-growth bound: the only super-linear stage left is the edge
+    list itself, inherited from dedup_near's prefix-filter candidate
+    join — bounded per block by the deletion-neighborhood/prefix
+    blocking, and EXACT by contract (this oracle needs every >=0.95
+    edge). The measured sf0.01->sf0.1 growth (~4.6x per 10x data) is
+    genuine duplicate-pair volume, not a plan defect; when exactness
+    can be traded, the budget lever is the approximate family's
+    per-bucket candidate cap (vectors._embedding_nn bucket_cap /
+    NN_BUCKET_CAP) or minhash banding, both of which bound pairs per
+    bucket regardless of skew."""
     e = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     d = table(spark, sf_dir, "documents")
     cmap = d.select(

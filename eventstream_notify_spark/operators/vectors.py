@@ -386,7 +386,24 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------ embedding near-dup (X2/X3)
 
 
-def _embedding_nn(spark: SparkSession, sf_dir: str, banded: bool) -> DataFrame:
+# Per-bucket candidate budget for the banded near-dup path: a bucket
+# with more than this many members is truncated (deterministic
+# hash-order sample) on the CANDIDATE side only, bounding pairs per
+# bucket at probe_count x cap instead of s^2 — the knob that keeps a
+# skewed bucket (one giant near-dup class) from quadratic pair growth
+# at 100 TB. The probe side is never capped, so every vector still
+# probes all its buckets and full coverage (everyone keeps a
+# neighbor) holds as long as any of its 12 probe buckets retains a
+# true neighbor; recall effect measured in tests/test_scale_paths.py.
+NN_BUCKET_CAP = 256
+
+
+def _embedding_nn(
+    spark: SparkSession,
+    sf_dir: str,
+    banded: bool,
+    bucket_cap: int | None = NN_BUCKET_CAP,
+) -> DataFrame:
     """Shared kernel for the embedding-cosine near-dup pair: candidate
     generation (label-blocked exact, or banded-LSH with multiprobe),
     then exact rescoring and a windowed per-vector top-1. Both
@@ -433,13 +450,30 @@ def _embedding_nn(spark: SparkSession, sf_dir: str, banded: bool) -> DataFrame:
         # ids, never vectors; a pair colliding in several bands dedups
         # while rows are still narrow, and only surviving pairs pay the
         # dim-length cosine fold after re-attaching embeddings
-        sig = e.select(
+        sig_full = e.select(
             "vec_id", "label", F.posexplode(bands).alias("band_idx", "band_key")
         )
+        sig = sig_full
+        if bucket_cap is not None:
+            # pair budget: cap CANDIDATE-side bucket membership at
+            # bucket_cap in deterministic hash order (a pseudo-random,
+            # input-stable sample — not lowest-id, which would bias
+            # which vectors are ever findable). Narrow id rows only.
+            # The PROBE side below stays uncapped: every vector still
+            # probes all 12 of its buckets, so full coverage only needs
+            # one probe bucket to retain a true neighbor.
+            wb = Window.partitionBy("label", "band_idx", "band_key").orderBy(
+                F.xxhash64("vec_id"), F.col("vec_id")
+            )
+            sig = (
+                sig_full.withColumn("__bn", F.row_number().over(wb))
+                .filter(F.col("__bn") <= bucket_cap)
+                .drop("__bn")
+            )
         # multiprobe side: own key ∪ both Hamming-1 neighbor keys.
         # One-sided expansion suffices — probe(a) ∩ own(b) ≠ ∅ iff the
         # band keys differ in ≤1 bit, and that predicate is symmetric.
-        probe = sig.select(
+        probe = sig_full.select(
             "vec_id",
             "label",
             "band_idx",

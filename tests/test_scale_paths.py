@@ -169,3 +169,32 @@ def test_lsh_embedding_nn_recall(spark, sf_dir):
     close = sum(1 for v in both if lsh[v][1] >= exact[v][1] - 0.05)
     assert same_nn / len(both) >= 0.99, same_nn
     assert close / len(both) >= 0.99, close
+
+
+def test_nn_bucket_cap_pair_budget(spark):
+    """The per-bucket candidate budget (NN_BUCKET_CAP) must trade
+    recall for a bounded pair count WITHOUT breaking coverage: the
+    probe side is never capped, so every vector keeps a neighbor at
+    ANY cap. Measured curve at sf0.01 (labels ~50-59 members, so
+    per-(band,key) buckets ~8-16): cap=16 is near-lossless (same-NN
+    0.990 vs 0.994 uncapped), cap=4 heavily bites (0.43) — i.e. the
+    knob is real, and the default 256 never bites until a bucket is
+    genuinely skewed."""
+    from eventstream_notify_spark.operators.vectors import _embedding_nn
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r.vec_id: r.nn_vec_id
+        for r in _embedding_nn(spark, sf, banded=False).collect()
+    }
+    for cap, floor in ((16, 0.97), (4, 0.35)):
+        lsh = {
+            r.vec_id: r.nn_vec_id
+            for r in _embedding_nn(
+                spark, sf, banded=True, bucket_cap=cap
+            ).collect()
+        }
+        # coverage invariant: capping candidates never silences a vector
+        assert set(lsh) == set(exact), f"cap={cap} lost coverage"
+        same = sum(1 for v in lsh if exact[v] == lsh[v]) / len(exact)
+        assert same >= floor, f"cap={cap}: same-NN {same:.3f} < {floor}"
