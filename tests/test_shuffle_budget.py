@@ -1,10 +1,12 @@
-"""Shuffle budgets: pin the Exchange count of headline queries so a
-refactor that silently adds a shuffle (the dominant cost at 100 TB)
-fails CI, not the cluster bill.
+"""Shuffle budgets: pin the Exchange count of every contract query
+(plus the heaviest extras) so a refactor that silently adds a shuffle
+(the dominant cost at 100 TB) fails CI, not the cluster bill.
 
 Budgets are CEILINGS observed from the current (reviewed) plans —
 equality isn't required, a plan improvement that removes a shuffle
-passes; adding one fails.
+passes; adding one fails. Counts use plans/explain.exchange_count:
+bare shuffle Exchange nodes only (BroadcastExchange and
+ReusedExchange — including reused broadcasts — excluded).
 """
 
 import pytest
@@ -14,22 +16,83 @@ from eventstream_notify_spark.registry import lookup
 
 SF = "/root/testdata/sf0.001"
 
-# query -> max allowed shuffle Exchanges in its physical plan
+# query -> max allowed shuffle Exchanges in its physical plan.
+# Observed at sf0.001 on the reviewed plans (2026-08 sweep).
 BUDGETS = {
-    "project_filter": 0,      # pure scan+filter: any shuffle is a bug
-    "join_broadcast": 1,      # dims broadcast; only the final agg moves
-    "join_shuffle": 3,        # two shuffled sides + agg
-    "agg_hash": 1,            # one partial->final agg exchange
-    "sort_limit_topk": 0,     # TakeOrdered: no exchange at all
-    "replay_last_n": 1,       # latest-per-id compaction agg, then TakeOrdered
-    "dedup_exact": 1,         # sha2-key shuffle only
-    "sim_search_cosine": 1,   # corpus never shuffles; top-k window
+    # --- contract A/B/C: event-store + pipeline + aggregates -------
+    "scan_events": 0,         # pure scan: any shuffle is a bug
+    "scan_kv_all": 1,         # latest-per-key compaction agg
+    "replay_last_n": 1,       # latest-per-id agg, then TakeOrdered
+    "multi_topic_fanout": 0,  # explode is narrow
+    "sink_keyed_upsert": 1,   # upsert key agg
+    "sink_pubsub": 0,
+    "dedup_ttl": 1,           # event_id shuffle only
+    "rate_limit_user": 1,     # user_id window
+    "filter_valid": 0,        # pure filter
+    "pipeline_e2e": 3,        # dedup key, rate-limit window, admission agg
+    "event_generator": 0,
+    "agg_total_count": 1,
     "agg_user_counts": 1,
-    "pipeline_e2e": 3,        # dedup-key shuffle, rate-limit window, admission agg
+    "agg_distinct_users": 2,  # distinct = expand + two-phase agg
+    "agg_rate_per_min": 1,
+    # --- contract D: relational -----------------------------------
+    "project_filter": 0,      # pure scan+filter
+    "join_broadcast": 1,      # dims broadcast; only the final agg moves
+    "join_shuffle": 1,
+    "join_semi_anti": 2,
+    "join_outer": 2,
+    "join_range": 1,
+    "agg_hash": 1,            # one partial->final agg exchange
+    "agg_distinct": 2,
+    "agg_rollup_cube": 1,     # expand before ONE agg exchange
+    "window_rank": 1,
+    "window_analytic": 1,
+    "sort_limit_topk": 0,     # TakeOrdered: no exchange at all
+    "set_ops": 2,
+    "scalar_string": 0,       # scalar families: pure projections
+    "scalar_datetime": 0,
+    "scalar_math": 0,
+    "scalar_json": 0,
+    "scalar_array_map": 0,
+    "subquery_scalar_in": 2,
+    "udf_surface": 0,
+    # --- contract E: streaming (bounded-run memory-sink reads) ----
+    "stream_tumbling": 0,
+    "stream_sliding": 0,
+    "stream_session": 0,
+    "stream_late_data": 0,
+    "stream_foreach_sink": 1,
+    # --- contract X: pipeline-data ops ----------------------------
+    "dedup_exact": 1,         # sha2-key shuffle only
+    "dedup_near": 1,          # blocked candidate join
+    "sim_search_cosine": 1,   # corpus never shuffles; top-k window
+    "text_tokenize_tf": 1,
+    "text_lang_stats": 1,
+    "text_sentiment_lex": 2,
+    "multimodal_cols": 0,
+    "ts_similarity": 4,
+    "alert_rules": 0,         # rules broadcast onto the scan
+    # --- heaviest extras (bench tail) -----------------------------
     "join_bucketed": 1,       # bucket layout: join is exchange-free
     "join_bloom_prune": 3,    # bloom build agg + pruned join sides
     "cep_pattern_match": 1,   # one user_id shuffle builds sequences
     "quantile_exact_grouped": 2,  # fact->counts agg + domain window
+    "tpch_q2_cheapest_supplier": 1,
+    "tpch_q9_product_profit": 1,
+    "tpch_q21_waiting_orders": 3,
+    "ts_similarity_dtw": 8,   # prune ladder + slab joins
+    "stream_static_enrich": 0,
+    "zorder_prune_audit": 12,  # two layouts x multi-probe admission
+    "watermark_lateness_audit": 2,
+    "text_bm25": 5,
+    "text_collocations": 5,
+    "dedup_near_embedding": 1,
+    "graph_triangles": 10,    # class-graph algebra (bounded frames)
+    "corpus_curation": 2,
+    "sim_search_pq": 5,
+    "llm_bpe_encode": 2,
+    "dedup_cluster": 0,       # driver-folded components broadcast back
+    "llm_decontaminate": 2,
 }
 
 
