@@ -4,14 +4,16 @@ Parity targets (VERDICT r5 "What's missing" #1/#2):
 
 - ``GET /events`` — the REST snapshot (reference: app.py:17-21, Flask
   ``KEYS event:*`` scan returning every stored payload, unordered).
-- ``GET /stream?last_n=N`` — replay-then-tail (reference:
-  websocket_server.py:48-77 — on connect send the LEXICOGRAPHICALLY
-  sorted last 50 ``event:*`` payloads, then forward the pub/sub
-  channel live). The container has no websocket/FastAPI libraries, so
-  the transport here is Server-Sent Events over ``http.server`` —
-  same replay semantics (including the lexicographic quirk that
-  ``replay_last_n`` pins, operators/events.py:250), same
-  subscribe-after-replay contract; only the frame format differs.
+- ``GET /stream?last_n=N`` — replay-then-tail over Server-Sent Events
+  (reference: websocket_server.py:48-77 — on connect send the
+  LEXICOGRAPHICALLY sorted last 50 ``event:*`` payloads, then forward
+  the pub/sub channel live; same replay semantics including the
+  lexicographic quirk that ``replay_last_n`` pins,
+  operators/events.py:250).
+- ``GET /ws?last_n=N`` — the SAME replay-then-tail over a real
+  RFC 6455 WebSocket (stdlib-only handshake + frame codec), so the
+  reference's actual client protocol connects directly: text frames,
+  ping/pong keep-alive, close-frame echo.
 
 The hub is the in-process stand-in for Redis: the keyed SET store
 plus the PUBLISH fan-out (reference: auto_kafka_redis.py:370-380).
@@ -24,11 +26,56 @@ store size (the reference's Redis holds the same); the data plane
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import queue
+import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+# RFC 6455 §1.3 handshake GUID (a protocol constant, not a secret)
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def ws_accept_key(client_key: str) -> str:
+    """Sec-WebSocket-Accept for a client's Sec-WebSocket-Key
+    (RFC 6455 §4.2.2: base64(sha1(key + GUID)))."""
+    digest = hashlib.sha1((client_key + _WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def ws_encode_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+    """One unmasked server->client frame (FIN set; text by default)."""
+    b0 = 0x80 | opcode
+    n = len(payload)
+    if n < 126:
+        hdr = struct.pack("!BB", b0, n)
+    elif n < 1 << 16:
+        hdr = struct.pack("!BBH", b0, 126, n)
+    else:
+        hdr = struct.pack("!BBQ", b0, 127, n)
+    return hdr + payload
+
+
+def ws_read_frame(rfile) -> tuple[int | None, bytes]:
+    """Read one (possibly masked) frame; (None, b'') on EOF."""
+    hdr = rfile.read(2)
+    if len(hdr) < 2:
+        return None, b""
+    b0, b1 = hdr
+    opcode = b0 & 0x0F
+    n = b1 & 0x7F
+    if n == 126:
+        n = struct.unpack("!H", rfile.read(2))[0]
+    elif n == 127:
+        n = struct.unpack("!Q", rfile.read(8))[0]
+    mask = rfile.read(4) if b1 & 0x80 else b"\x00" * 4
+    data = rfile.read(n)
+    if len(data) < n:
+        return None, b""
+    return opcode, bytes(c ^ mask[i % 4] for i, c in enumerate(data))
 
 
 class ServingHub:
@@ -168,8 +215,77 @@ def _make_handler(hub: ServingHub):
                 finally:
                     hub.unsubscribe(sub)
                 return
+            if parsed.path == "/ws":
+                self._ws_stream(parsed)
+                return
             self.send_response(404)
             self.end_headers()
+
+        def _ws_stream(self, parsed) -> None:
+            """RFC 6455 WebSocket twin of /stream — the reference's
+            actual protocol (websocket_server.py:48-77): handshake,
+            replay the last_n lexicographic payloads as text frames,
+            then forward the pub/sub channel live. Subscribe-before-
+            replay closes the reference's accepted race, same as the
+            SSE path. Client pings get pongs; a client close frame is
+            echoed and ends the session."""
+            key = self.headers.get("Sec-WebSocket-Key")
+            if self.headers.get("Upgrade", "").lower() != "websocket" or not key:
+                self.send_response(400)
+                self.end_headers()
+                return
+            n = int(parse_qs(parsed.query).get("last_n", ["50"])[0])
+            # raw 101 (send_response would stamp HTTP/1.0, which
+            # strict clients reject for an upgrade)
+            self.wfile.write(
+                b"HTTP/1.1 101 Switching Protocols\r\n"
+                b"Upgrade: websocket\r\n"
+                b"Connection: Upgrade\r\n"
+                + f"Sec-WebSocket-Accept: {ws_accept_key(key)}\r\n\r\n".encode()
+            )
+            self.wfile.flush()
+            wlock = threading.Lock()
+            closed = threading.Event()
+
+            def send(payload: bytes, opcode: int = 0x1) -> None:
+                with wlock:
+                    self.wfile.write(ws_encode_frame(payload, opcode))
+                    self.wfile.flush()
+
+            def reader() -> None:
+                # control-frame loop: pong pings, detect close/EOF
+                try:
+                    while not closed.is_set():
+                        opcode, data = ws_read_frame(self.rfile)
+                        if opcode is None or opcode == 0x8:  # EOF/close
+                            if opcode == 0x8:
+                                send(data, 0x8)  # echo close
+                            break
+                        if opcode == 0x9:  # ping
+                            send(data, 0xA)
+                except (OSError, ValueError):
+                    pass
+                finally:
+                    closed.set()
+
+            rt = threading.Thread(target=reader, daemon=True)
+            rt.start()
+            sub = hub.subscribe()
+            try:
+                for payload in hub.last_n(n):
+                    send(payload.encode())
+                while not closed.is_set():
+                    try:
+                        payload = sub.get(timeout=1.0)
+                    except queue.Empty:
+                        send(b"", 0x9)  # keep-alive ping
+                        continue
+                    send(payload.encode())
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                pass
+            finally:
+                closed.set()
+                hub.unsubscribe(sub)
 
         def _sse(self, payload: str) -> None:
             self.wfile.write(f"data: {payload}\n\n".encode())

@@ -140,3 +140,121 @@ def test_stats_endpoint_matches_payloads():
         assert list(stats["events_per_minute"].values()) == [2] * 6
     finally:
         srv.stop()
+
+
+def _ws_connect(port: int, path: str) -> socket.socket:
+    """Minimal stdlib RFC 6455 client: handshake + accept check."""
+    import base64
+    import hashlib
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    s.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: x\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(4096)
+    head = buf.split(b"\r\n\r\n", 1)[0].decode()
+    assert "101" in head.split("\r\n")[0]
+    want = base64.b64encode(
+        hashlib.sha1(
+            (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+        ).digest()
+    ).decode()
+    assert f"Sec-WebSocket-Accept: {want}" in head
+    assert b"\r\n\r\n" in buf and buf.endswith(b"\r\n\r\n"), buf
+    return s
+
+
+def _ws_recv_frame(s: socket.socket) -> tuple[int, bytes]:
+    """Read one unmasked server frame (lengths <= 64 KiB)."""
+    import struct
+
+    def rd(n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            c = s.recv(n - len(out))
+            if not c:
+                raise ConnectionError("EOF")
+            out += c
+        return out
+
+    b0, b1 = rd(2)
+    ln = b1 & 0x7F
+    if ln == 126:
+        ln = struct.unpack("!H", rd(2))[0]
+    elif ln == 127:
+        ln = struct.unpack("!Q", rd(8))[0]
+    return b0 & 0x0F, rd(ln)
+
+
+def _ws_send(s: socket.socket, payload: bytes, opcode: int) -> None:
+    """Send one MASKED client frame (RFC 6455 requires client masking)."""
+    import struct
+
+    mask = b"\x37\xfa\x21\x3d"
+    assert len(payload) < 126
+    s.sendall(
+        struct.pack("!BB", 0x80 | opcode, 0x80 | len(payload))
+        + mask
+        + bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+    )
+
+
+def test_websocket_replay_then_tail_and_control_frames():
+    """Real RFC 6455 round trip against /ws: handshake accept key,
+    lexicographic last-n replay as text frames, live tail of a
+    publish, ping->pong, and close-frame echo — the reference's
+    actual client protocol (websocket_server.py:48-77), no SSE."""
+    hub = ServingHub()
+    hub.publish(
+        [(str(i), json.dumps({"id": i})) for i in range(60)]
+    )
+    srv = EventsHttpServer(hub)
+    port = srv.start()
+    try:
+        s = _ws_connect(port, "/ws?last_n=5")
+        want_ids = [
+            int(k.split(":")[1])
+            for k in sorted(f"event:{i}" for i in range(60))[-5:]
+        ]
+        got = []
+        while len(got) < 5:
+            op, data = _ws_recv_frame(s)
+            if op == 0x9:  # server keep-alive ping — ignore
+                continue
+            assert op == 0x1
+            got.append(json.loads(data)["id"])
+        assert got == want_ids
+
+        # live tail: publish after replay must arrive as a text frame
+        hub.publish([("live", json.dumps({"id": "live"}))])
+        while True:
+            op, data = _ws_recv_frame(s)
+            if op == 0x1:
+                break
+        assert json.loads(data)["id"] == "live"
+
+        # ping -> pong with payload echo
+        _ws_send(s, b"hi", 0x9)
+        while True:
+            op, data = _ws_recv_frame(s)
+            if op == 0xA:
+                break
+        assert data == b"hi"
+
+        # close -> echoed close
+        _ws_send(s, b"", 0x8)
+        while True:
+            op, data = _ws_recv_frame(s)
+            if op == 0x8:
+                break
+        s.close()
+    finally:
+        srv.stop()
