@@ -37,6 +37,24 @@ from pyspark.sql import DataFrame
 _ATTR = "org.apache.spark.sql.catalyst.expressions.AttributeReference"
 _ALIAS = "org.apache.spark.sql.catalyst.expressions.Alias"
 
+# Logical nodes that run an opaque Python function over their child:
+# their output attrs are FRESH ids declared on the node, and the only
+# sound lineage is the coarse one — every output depends on every
+# child output (the function may read anything it was handed).
+_PY_MAP_NODES = frozenset(
+    {
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapInArrow",
+        "FlatMapGroupsInPandas",
+        "FlatMapGroupsInPandasWithState",
+        "FlatMapCoGroupsInPandas",
+        "TransformWithStateInPandas",
+        "MapGroups",
+        "MapElements",
+    }
+)
+
 
 def _build_tree(nodes: list, i: int = 0):
     node = nodes[i]
@@ -106,8 +124,23 @@ def _output_ids(node: dict, kids: list) -> list[int]:
         return base + gen
     if cls in ("Join", "AsOfJoin"):
         return _output_ids(*kids[0]) + _output_ids(*kids[1])
-    if cls in ("Union", "Intersect", "Except"):
+    if cls in _PY_MAP_NODES:
+        # Python-function nodes (mapInPandas / applyInPandas /
+        # applyInPandasWithState / mapInArrow ...): fresh output attrs
+        # declared in the 'output'/'outputAttrs' field
+        for fname in ("output", "outputAttrs"):
+            ids = [
+                t[0]["exprId"]["id"] for t in _tree_field(node, fname)
+            ]
+            if ids:
+                return ids
         return _output_ids(*kids[0])
+    if cls in ("Union", "Intersect", "Except", "UnionLoop"):
+        return _output_ids(*kids[0])
+    if cls == "WithCTE":
+        # children = [CTERelationDef..., main plan]; output is the
+        # MAIN plan's, not the first definition's
+        return _output_ids(*kids[-1])
     if cls == "Expand":
         return [
             t[0]["exprId"]["id"] for t in _tree_field(node, "output")
@@ -144,6 +177,17 @@ def _collect(node: dict, kids: list, edges: dict, roots: dict) -> None:
         for t in _tree_field(node, "generatorOutput"):
             tid = t[0]["exprId"]["id"]
             edges.setdefault(tid, set()).update(refs)
+    if cls in _PY_MAP_NODES:
+        # coarse edges: each fresh output attr <- every child output
+        child_ids = set()
+        for child in kids:
+            child_ids.update(_output_ids(*child))
+        for fname in ("output", "outputAttrs"):
+            for t in _tree_field(node, fname):
+                tid = t[0]["exprId"]["id"]
+                edges.setdefault(tid, set()).update(
+                    i for i in child_ids if i != tid
+                )
     if cls in ("Union", "Intersect", "Except") and len(kids) > 1:
         first = _output_ids(*kids[0])
         for other in kids[1:]:

@@ -72,3 +72,43 @@ def test_lineage_through_registered_query(spark):
     # seq is built from (ts, event_id, event_type-initial) structs
     assert lin["seq_len"] == ["event_id", "event_type", "ts"]
     assert lin["n_error_burst"] == ["event_id", "event_type", "ts"]
+
+
+# Queries whose every output column is count-derived: count(*) reads
+# rows, not columns, so [] lineage is correct — NOT a silent-literal
+# defect. Anything else with all-[] lineage fails the sweep.
+_COUNT_ONLY = {
+    "agg_total_count",          # single count(*)
+    "zx_graph_degree_distribution",  # degree histogram: counts of counts
+    "zx_graph_triangle_count",  # triangle/edge/node counts
+    "zx_llm_vocab_coverage",    # token/type/coverage counts
+    "zx_ts_acf",                # lag grid + counts (acf of demeaned counts)
+}
+
+
+def test_lineage_resolves_for_every_registered_query(spark):
+    """Registry-wide lineage gate: every registered query's output
+    columns must be extractable (no plan node the walker doesn't
+    understand) and at least one column must trace to a real source
+    column — catching silent literal-only outputs and dead plans.
+    Python-function nodes (mapInPandas & co.) resolve coarsely: every
+    output depends on every input handed to the function."""
+    from eventstream_notify_spark.registry import queries
+
+    qs = queries()
+    problems = []
+    for name in sorted(qs):
+        try:
+            df = qs[name](spark, SF)
+            lin = column_lineage(df)
+        except Exception as e:  # noqa: BLE001 — collect, report once
+            problems.append(f"{name}: lineage extraction failed: {e!r}")
+            continue
+        missing = set(df.columns) - set(lin)
+        if missing:
+            problems.append(f"{name}: unmapped output columns {sorted(missing)}")
+        elif name not in _COUNT_ONLY and not any(
+            lin[c] for c in df.columns
+        ):
+            problems.append(f"{name}: ALL columns literal-only — dead output?")
+    assert not problems, "\n".join(problems)
