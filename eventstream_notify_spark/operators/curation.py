@@ -681,3 +681,290 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "released_n"
         ),
     )
+
+
+# ---------------------------------------------------------------- r7:
+# corpus-dedup + mixture additions (Lee et al. '22 exact-substring
+# dedup; CCNet paragraph dedup; XLM-R temperature sampling; cross-
+# source contamination audit)
+
+PARA_WORDS = 16  # delimiter-free "paragraph" = disjoint 16-word chunk
+MIX_ALPHA = 0.3  # XLM-R / mC4 temperature exponent
+
+
+@register(
+    "llm_dedup_substring",
+    extra=True,
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ts) - 3),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                        || ts[i+3] || ' ' || ts[i+4])) AS term
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents)
+        WHERE len(ts) >= 5
+    ),
+    firsts AS (SELECT term, MIN(doc_id) AS first_doc FROM sh GROUP BY term)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc < s.doc_id)
+               AS BIGINT) AS n_dup_shingles,
+           ROUND(COUNT(*) FILTER (WHERE f.first_doc < s.doc_id)
+               * 1.0 / COUNT(*), 6) AS dup_ratio
+    FROM sh s JOIN firsts f USING (term)
+    GROUP BY s.doc_id
+    """,
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup audit (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): per document, how
+    many of its distinct word 5-gram shingles appear verbatim in an
+    EARLIER document (doc_id = corpus order, first occurrence owns the
+    span), and the duplicated share. The paper's suffix-array scan
+    becomes an inverted-index shape: one shingle-min aggregation
+    (min doc_id per shingle = the owner) and one equi-join back —
+    never doc x doc. At 100 TB the term becomes its 8-byte hash and
+    the shingle width (5 here, 50 in the paper — a knob) trades
+    sensitivity for index size; both stages are plain shuffles on the
+    shingle key with map-side partial aggregation."""
+    from eventstream_notify_spark.operators.text import _shingle_rows
+
+    sh = _shingle_rows(table(spark, sf_dir, "documents"), 5)
+    firsts = sh.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    dup = F.col("first_doc") < F.col("doc_id")
+    return (
+        sh.join(firsts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(dup, 1)).alias("n_dup_shingles"),
+            F.round(
+                F.count(F.when(dup, 1)) * 1.0 / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@register(
+    "llm_paragraph_dedup",
+    extra=True,
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '{_WS}') AS ts
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, u.i AS pid,
+               md5(array_to_string(
+                   ts[u.i * {PARA_WORDS} + 1 :
+                      u.i * {PARA_WORDS} + {PARA_WORDS}], ' ')) AS h
+        FROM toks, UNNEST(generate_series(
+            0, (len(ts) + {PARA_WORDS - 1}) // {PARA_WORDS} - 1)) u(i)
+    ),
+    firsts AS (
+        SELECT h, MIN(doc_id * 1000000 + pid) AS first_key
+        FROM paras GROUP BY h
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(COUNT(*) FILTER (
+               WHERE p.doc_id * 1000000 + p.pid = f.first_key)
+               AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (
+               WHERE p.doc_id * 1000000 + p.pid <> f.first_key)
+               AS BIGINT) AS n_dropped
+    FROM paras p JOIN firsts f USING (h)
+    GROUP BY p.doc_id
+    """,
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup audit: hash every paragraph, keep
+    only the corpus-wide FIRST occurrence of each hash (by (doc_id,
+    position)), report kept/dropped counts per doc. The corpus has no
+    newlines, so 'paragraph' is the delimiter-free analogue — disjoint
+    16-word chunks. md5 is the cross-engine hash (same bytes in Spark
+    and DuckDB, so the oracle is exact). Shape: one hash-min
+    aggregation + one join back, both on the paragraph hash — digests
+    shuffle, text never does (the md5 is computed scan-side); the
+    composite integer first-key (doc_id*1e6 + pos) keeps argmin a
+    plain MIN."""
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.split(F.trim("text"), _WS).alias("ts")
+    ).localCheckpoint(eager=True)
+    paras = toked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("ts") / PARA_WORDS).cast("int") - 1,
+            )
+        ).alias("pid"),
+        F.col("ts"),
+    ).select(
+        "doc_id",
+        "pid",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("ts", F.col("pid") * PARA_WORDS + 1, PARA_WORDS)
+            )
+        ).alias("h"),
+        (F.col("doc_id") * 1_000_000 + F.col("pid")).alias("key"),
+    )
+    firsts = paras.groupBy("h").agg(F.min("key").alias("first_key"))
+    kept = F.col("key") == F.col("first_key")
+    return (
+        paras.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.count(F.when(~kept, 1)).alias("n_dropped"),
+        )
+    )
+
+
+@register(
+    "llm_mix_temperature",
+    extra=True,
+    oracle=f"""
+    WITH grp AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                   AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM grp),
+    w AS (
+        SELECT lang, n_docs, n_tokens,
+               n_tokens / t AS p,
+               POW(n_tokens / t, {MIX_ALPHA}) AS pw
+        FROM grp CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(pw) AS z FROM w)
+    SELECT lang, n_docs, n_tokens,
+           ROUND(p, 6) AS actual_share,
+           ROUND(pw / z, 6) AS temp_share,
+           ROUND((pw / z) / p, 6) AS upsample_factor
+    FROM w CROSS JOIN z
+    """,
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (XLM-R / mC4): resample
+    language shares as p_i^alpha / sum_j p_j^alpha with alpha = 0.3 —
+    the standard up-weighting of low-resource languages. The heavy
+    stage (token counting over the corpus) is a distributed
+    aggregation; the alpha-fold over the DOMAIN-BOUNDED language table
+    (5 rows here, never more than ~100 languages anywhere) runs in
+    CPython — deliberately, because pow must come from the same system
+    libm as DuckDB's for the oracle hash to be exact (the adaboost-ln
+    precedent; the JVM's StrictMath rounds differently in the last
+    ulp)."""
+    grp = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.size(
+                    F.regexp_extract_all(
+                        F.lower("text"), F.lit("[a-z0-9]+"), 0
+                    )
+                )
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+    rows = sorted(grp.collect())  # bounded driver fold: <= #languages
+    total = float(sum(r.n_tokens for r in rows))
+    ps = [r.n_tokens / total for r in rows]
+    pws = [p ** MIX_ALPHA for p in ps]
+    z = sum(pws)
+    out = [
+        (
+            r.lang,
+            int(r.n_docs),
+            int(r.n_tokens),
+            round(p, 6),
+            round(pw / z, 6),
+            round((pw / z) / p, 6),
+        )
+        for r, p, pw in zip(rows, ps, pws)
+    ]
+    return spark.createDataFrame(
+        out,
+        "lang string, n_docs bigint, n_tokens bigint, "
+        "actual_share double, temp_share double, upsample_factor double",
+    )
+
+
+@register(
+    "llm_cross_source_overlap",
+    extra=True,
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT d.source,
+               unnest(list_transform(range(1, len(ts) - 3),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                        || ts[i+3] || ' ' || ts[i+4])) AS term
+        FROM (SELECT doc_id, source,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents) d
+        WHERE len(ts) >= 5
+    ),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM sh GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(za.n_terms), 6)
+               AS containment_a
+    FROM sh a
+    JOIN sh b ON a.term = b.term AND a.source <> b.source
+    JOIN sz za ON za.source = a.source
+    GROUP BY a.source, b.source
+    """,
+)
+def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source
+    pair (A, B), how many of A's distinct word 5-gram shingles also
+    occur in B, and the containment share |A∩B|/|A| — the audit that
+    finds a crawl source quietly mirroring another (or an eval set
+    leaked into a training crawl). Shape: distinct (source, shingle)
+    rows — already a tiny fraction of token volume — self-joined on
+    the shingle, then a pair-keyed aggregation over a domain-bounded
+    (sources²) result. At 100 TB: shingle → 8-byte hash, and the
+    distinct-per-source projection is the classic pre-aggregation
+    that keeps the join input proportional to VOCABULARY, not corpus
+    size."""
+    from eventstream_notify_spark.operators.text import _shingle_rows
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        _shingle_rows(d, 5)
+        .join(F.broadcast(d.select("doc_id", "source")), "doc_id")
+        .select("source", "term")
+        .distinct()
+    )
+    sz = sh.groupBy("source").agg(F.count("*").alias("n_terms"))
+    a = sh.alias("a")
+    b = sh.select(F.col("source").alias("source_b"), "term").alias("b")
+    return (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.source") != F.col("source_b")))
+        .groupBy(F.col("a.source").alias("source_a"), "source_b")
+        .agg(F.count("*").alias("n_shared"))
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"),
+                                  "n_terms")),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") * 1.0 / F.col("n_terms"), 6).alias(
+                "containment_a"
+            ),
+        )
+    )

@@ -96,6 +96,24 @@ BUDGETS = {
 }
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _factory_plan_state(spark):
+    """Budgets are pinned under the FACTORY session posture. Earlier
+    suite tests legitimately flip plan-relevant knobs (broadcast
+    threshold for SMJ demos) or leave cached relations whose unknown
+    stats turn a broadcast join into a shuffle join — measured: q2's
+    count is 1 in isolation but 2 mid-suite. Restore the posture once
+    for this module instead of inheriting whoever ran before."""
+    spark.catalog.clearCache()
+    for k, v in {
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.shuffle.partitions": "32",
+    }.items():
+        spark.conf.set(k, v)
+    yield
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, name):
     df = lookup(name).fn(spark, SF)
