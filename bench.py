@@ -569,6 +569,7 @@ def run_suite(
     ]
     timings: dict[str, float] = {}
     fps: dict[str, str] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = qs[name]
         # warm the plan (analysis) outside the timer? No — cold, honest.
@@ -586,8 +587,11 @@ def run_suite(
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
-            except Exception:  # noqa: BLE001
+            except Exception as e:  # noqa: BLE001
                 runs.append(-1.0)
+                # a -1 without its exception is undiagnosable (r7:
+                # one mid-suite failure left no trace) — record it
+                errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
                 break
         good = sorted(r for r in runs if r >= 0)
         timings[name] = (
@@ -596,6 +600,8 @@ def run_suite(
         if df is not None and good:
             # post-timing: analysis is already cached, costs ~nothing
             fps[name] = plan_fingerprint(df)
+    if errors:
+        print(json.dumps({"metric": "query_errors", "errors": errors}))
     return timings, fps
 
 

@@ -2930,3 +2930,138 @@ def fts_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------- r7:
+# span-level substring-dedup coverage + oracle-exact PageRank
+
+_SPAN_N = 5  # shingle width; 50 in Lee et al. '22 (docs here are short)
+
+
+@register(
+    "llm_dedup_substring_spans",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, u.i - 1 AS i,
+               ts[u.i] || ' ' || ts[u.i+1] || ' ' || ts[u.i+2] || ' '
+               || ts[u.i+3] || ' ' || ts[u.i+4] AS term
+        FROM toks, UNNEST(generate_series(1, len(ts) - 4)) u(i)
+        WHERE len(ts) >= {_SPAN_N}
+    ),
+    firsts AS (
+        SELECT term, MIN(doc_id) AS fd
+        FROM (SELECT DISTINCT doc_id, term FROM pos) GROUP BY term
+    ),
+    dup AS (
+        SELECT p.doc_id, p.i FROM pos p JOIN firsts f USING (term)
+        WHERE f.fd < p.doc_id
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               CASE WHEN LAG(i) OVER w IS NULL
+                    OR i - LAG(i) OVER w > {_SPAN_N - 1} THEN 1
+                    ELSE 0 END AS nw
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    g AS (
+        SELECT doc_id, i,
+               SUM(nw) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, gid, MAX(i) - MIN(i) + {_SPAN_N} AS len
+        FROM g GROUP BY doc_id, gid
+    ),
+    cov AS (
+        SELECT doc_id, CAST(SUM(len) AS BIGINT) AS covered_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           COALESCE(c.n_spans, 0) AS n_spans,
+           ROUND(COALESCE(c.covered_tokens, 0) * 1.0
+                 / GREATEST(len(t.ts), 1), 6) AS coverage_ratio
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def llm_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. '22's HEADLINE metric: the fraction of each
+    document's tokens lying inside a duplicated span — a maximal run
+    of token positions covered by >=1 word 5-gram that appears
+    verbatim in an earlier document. llm_dedup_substring counts
+    leaking shingles; this one merges their [i, i+4] extents into
+    spans (gaps-and-islands over duplicated start positions, new
+    island when starts are > 4 apart) and reports exact covered-token
+    counts. All integers until the final rounded share.
+
+    Scale: the inverted-index min-owner aggregation is the shingle
+    shuffle dedup_substring already pays; the island window is
+    per-document (bounded by doc length), never global."""
+    d = table(spark, sf_dir, "documents")
+    toked = (
+        d.select("doc_id", tokens_col().alias("ts"))
+        .localCheckpoint(eager=True)
+    )
+    pos = toked.filter(F.size("ts") >= _SPAN_N).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - _SPAN_N),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("ts", i + k + 1) for k in range(_SPAN_N)],
+                ),
+            )
+        ).alias("i", "term"),
+    )
+    firsts = (
+        pos.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    dup = (
+        pos.join(firsts, "term")
+        .filter(F.col("fd") < F.col("doc_id"))
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = dup.withColumn(
+        "nw",
+        F.when(
+            F.lag("i").over(w).isNull()
+            | (F.col("i") - F.lag("i").over(w) > _SPAN_N - 1),
+            1,
+        ).otherwise(0),
+    ).withColumn("gid", F.sum("nw").over(w))
+    cov = (
+        isl.groupBy("doc_id", "gid")
+        .agg((F.max("i") - F.min("i") + _SPAN_N).alias("len"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("covered_tokens"),
+            F.count("*").cast("bigint").alias("n_spans"),
+        )
+    )
+    return (
+        toked.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ts").cast("bigint").alias("n_tokens"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                * 1.0
+                / F.greatest(F.size("ts"), F.lit(1)),
+                6,
+            ).alias("coverage_ratio"),
+        )
+    )
+
