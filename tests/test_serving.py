@@ -258,3 +258,47 @@ def test_websocket_replay_then_tail_and_control_frames():
         s.close()
     finally:
         srv.stop()
+
+
+def test_pipeline_to_websocket_end_to_end(spark, sf_dir, tmp_path):
+    """The reference's FULL client path over its real protocol:
+    replayed stream → dedup → rate limit → hub sink → a WebSocket
+    client receives the replay buffer as RFC 6455 text frames in
+    wire format, then a live publish arrives as a tailed frame."""
+    from eventstream_notify_spark.sources.events import file_events_stream
+    from eventstream_notify_spark.streaming.pipeline import start_pipeline
+
+    hub = ServingHub()
+    q = start_pipeline(
+        file_events_stream(spark, sf_dir),
+        str(tmp_path / "ckpt_ws"),
+        hub.sink,
+        rate_window_s=86400,
+        rate_limit=10**9,
+        available_now=True,
+    )
+    q.awaitTermination()
+    srv = EventsHttpServer(hub)
+    port = srv.start()
+    try:
+        s = _ws_connect(port, "/ws?last_n=10")
+        frames = []
+        while len(frames) < 10:
+            op, data = _ws_recv_frame(s)
+            if op == 0x1:
+                frames.append(json.loads(data))
+        # wire-format payloads straight from the pipeline sink
+        assert all(
+            set(f) == {"id", "value", "user_id", "timestamp"}
+            for f in frames
+        )
+        # live tail after replay
+        hub.publish([("tail", json.dumps({"id": "tail"}))])
+        while True:
+            op, data = _ws_recv_frame(s)
+            if op == 0x1 and json.loads(data).get("id") == "tail":
+                break
+        _ws_send(s, b"", 0x8)
+        s.close()
+    finally:
+        srv.stop()
