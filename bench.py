@@ -588,11 +588,23 @@ def run_suite(
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
             except Exception as e:  # noqa: BLE001
-                runs.append(-1.0)
                 # a -1 without its exception is undiagnosable (r7:
-                # one mid-suite failure left no trace) — record it
+                # one mid-suite failure left no trace) — record it,
+                # then retry ONCE: a 243-query session hits transient
+                # infra hiccups (the r7 failure passed standalone in
+                # 17 s), and a flake recorded as "failed" pollutes the
+                # round record worse than a marked retry does
                 errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
-                break
+                cleanup()
+                t0 = time.time()
+                try:
+                    df = fn(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.time() - t0)
+                    errors[name] = "RETRY_OK: " + errors[name]
+                except Exception:  # noqa: BLE001 — genuine failure
+                    runs.append(-1.0)
+                    break
         good = sorted(r for r in runs if r >= 0)
         timings[name] = (
             round(good[len(good) // 2], 2) if good else -1.0
