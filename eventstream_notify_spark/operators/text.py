@@ -2569,6 +2569,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree (sqrt-degree orientation is the refinement if a hub
     appears); all joins key on doc ids — plain shuffles.
     """
+    # five branches consume the pair list (e1/e2/e3/degrees/edge
+    # count); a localCheckpoint barrier here was MEASURED SLOWER at
+    # sf0.1 (12.4-13.1 s vs 6.5-7 s): Spark's exchange reuse already
+    # deduplicates the identical dedup_near subplans inside the one
+    # plan, and the barrier costs a full materialization plus the loss
+    # of AQE's downstream re-planning. Leave it to the optimizer.
     pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
