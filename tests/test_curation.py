@@ -207,3 +207,110 @@ def test_compress_ratio_matches_python_reference(spark, sf_dir):
         ratio = round(len(zlib.compress(raw, 6)) / max(1, len(raw)), 6)
         keep = int(0.25 <= ratio <= 0.9)
         assert got[r.doc_id] == (ratio, keep)
+
+
+def test_substring_span_invariants(spark):
+    """Span accounting must be internally consistent and agree with
+    the shingle-level sibling on WHICH docs leak: covered <= total,
+    every span covers >= 5 tokens, and a doc has covered tokens iff
+    llm_dedup_substring found duplicated shingles for it (same
+    first-occurrence rule, independent span algebra)."""
+    from eventstream_notify_spark.operators.curation import (
+        llm_dedup_substring,
+    )
+    from eventstream_notify_spark.operators.text import (
+        llm_dedup_substring_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spans = {r.doc_id: r for r in llm_dedup_substring_spans(spark, sf).collect()}
+    assert spans
+    for r in spans.values():
+        assert 0 <= r.covered_tokens <= r.n_tokens, r
+        assert r.covered_tokens >= 5 * min(r.n_spans, 1), r
+        assert (r.n_spans == 0) == (r.covered_tokens == 0), r
+    leaky = {
+        r.doc_id
+        for r in llm_dedup_substring(spark, sf).collect()
+        if r.n_dup_shingles > 0
+    }
+    assert leaky == {d for d, r in spans.items() if r.covered_tokens > 0}
+
+
+def test_paragraph_dedup_conservation(spark):
+    """kept + dropped == paras per doc, and corpus-wide kept count ==
+    number of DISTINCT paragraph hashes (each hash keeps exactly one
+    instance)."""
+    from pyspark.sql import functions as F
+
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.curation import (
+        PARA_WORDS,
+        llm_paragraph_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = llm_paragraph_dedup(spark, sf)
+    assert out.filter(
+        F.col("n_kept") + F.col("n_dropped") != F.col("n_paras")
+    ).count() == 0
+    total_kept = out.agg(F.sum("n_kept")).first()[0]
+    d = table(spark, sf, "documents")
+    distinct_hashes = (
+        d.select(
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(
+                        F.size(F.split(F.trim("text"), r"\s+")) / PARA_WORDS
+                    ).cast("int") - 1,
+                )
+            ).alias("pid"),
+            F.split(F.trim("text"), r"\s+").alias("ts"),
+        )
+        .select(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice("ts", F.col("pid") * PARA_WORDS + 1, PARA_WORDS),
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_kept == distinct_hashes
+
+
+def test_temperature_mix_directionality(spark):
+    """alpha < 1 must compress the distribution: every below-average
+    language is upsampled (factor > 1), every above-average one is
+    downsampled, and the temperature shares still sum to 1."""
+    from eventstream_notify_spark.operators.curation import (
+        llm_mix_temperature,
+    )
+
+    rows = llm_mix_temperature(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r.actual_share < mean_share:
+            assert r.upsample_factor > 1.0, r
+        elif r.actual_share > mean_share:
+            assert r.upsample_factor < 1.0, r
+
+
+def test_cross_source_overlap_symmetry(spark):
+    """Shared-shingle counts are symmetric (containment is not);
+    containment stays in (0, 1]."""
+    from eventstream_notify_spark.operators.curation import (
+        llm_cross_source_overlap,
+    )
+
+    rows = llm_cross_source_overlap(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    shared = {(r.source_a, r.source_b): r.n_shared for r in rows}
+    for (a, b), n in shared.items():
+        assert shared.get((b, a)) == n, (a, b)
+    assert all(0 < r.containment_a <= 1 for r in rows)
