@@ -423,6 +423,14 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        # latest committed artifacts from the other bench modes
+        "artifacts": {
+            kind: max(
+                (p.name for p in Path(__file__).parent.glob(f"{kind.upper()}_r*.json")),
+                default=None,
+            )
+            for kind in ("latency", "recall")
+        },
         # round-over-round: movers >1.5x with UNCHANGED plan = box
         # variance; changed-plan movers are listed by name to inspect
         "vs_prev": {
