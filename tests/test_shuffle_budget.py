@@ -96,14 +96,16 @@ BUDGETS = {
 }
 
 
-@pytest.fixture(autouse=True, scope="module")
+@pytest.fixture(autouse=True)
 def _factory_plan_state(spark):
-    """Budgets are pinned under the FACTORY session posture. Earlier
-    suite tests legitimately flip plan-relevant knobs (broadcast
-    threshold for SMJ demos) or leave cached relations whose unknown
-    stats turn a broadcast join into a shuffle join — measured: q2's
-    count is 1 in isolation but 2 mid-suite. Restore the posture once
-    for this module instead of inheriting whoever ran before."""
+    """Budgets are pinned under the FACTORY session posture, restored
+    before EVERY measurement: earlier suite tests — and earlier
+    budgeted queries in this very module (bucketed-table builds,
+    layout audits) — legitimately flip plan-relevant knobs or leave
+    cached relations whose unknown stats turn a broadcast join into a
+    shuffle join (measured: q2 plans 1 Exchange pristine, 3 under
+    leaked cache+threshold state; a module-scoped reset still failed
+    because the leak can originate mid-module)."""
     spark.catalog.clearCache()
     for k, v in {
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
