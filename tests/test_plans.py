@@ -225,7 +225,17 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    old = {k: spark.conf.get(k, None) for k in confs}
+    # conf.get(k, None) returns None for a never-set key (it does NOT
+    # surface the config's default), so a None-skipping restore LEAKS
+    # the overrides — found as a phantom Exchange in the shuffle-budget
+    # gate (the leaked thresholds made Spark inject runtime bloom
+    # filters into unrelated joins). Unset unseen keys on exit instead.
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — key genuinely unknown
+            old[k] = None
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
@@ -242,6 +252,8 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def test_tpch_q6_all_predicates_reach_scan(spark, q):

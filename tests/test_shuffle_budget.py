@@ -113,14 +113,24 @@ def _factory_plan_state(spark):
         "spark.sql.shuffle.partitions": "32",
     }.items():
         spark.conf.set(k, v)
+    # leaked runtime-filter thresholds inject bloom builds (an extra
+    # Exchange) into unrelated joins — root cause of the r7 q2 flake
+    for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+    ):
+        spark.conf.unset(k)
     yield
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, name):
+    from eventstream_notify_spark.plans.explain import plan_str
+
     df = lookup(name).fn(spark, SF)
     n = exchange_count(df)
     assert n <= BUDGETS[name], (
         f"{name}: {n} shuffle Exchanges > budget {BUDGETS[name]} — "
-        "a shuffle crept into this plan"
+        "a shuffle crept into this plan:\n" + plan_str(df, mode="simple")
     )
