@@ -968,3 +968,128 @@ def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+DSIR_BUCKETS = 64  # hashed-feature dimensionality (paper: 10k; the
+# bucket hash must be BIT-IDENTICAL across engines, so it's built from
+# ascii()+length() — primitives both engines define identically)
+DSIR_TARGET_SRC = "src0"  # the "trusted domain" the sampler aims at
+_DSIR_BUCKET = (
+    f"(ascii(substring(term, 1, 1)) * 31 + length(term)) % {DSIR_BUCKETS}"
+)
+
+
+@register(
+    "dsir_importance",
+    extra=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, source, {_DSIR_BUCKET} AS b FROM tok
+    ),
+    tgt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM feat
+        WHERE source = '{DSIR_TARGET_SRC}' GROUP BY b
+    ),
+    raw AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM feat GROUP BY b
+    ),
+    tots AS (
+        SELECT (SELECT SUM(ct) FROM tgt) AS nt,
+               (SELECT SUM(cr) FROM raw) AS nr
+    ),
+    lr AS (
+        SELECT r.b,
+               CAST(FLOOR(1000000.0 * ln(
+                   ((COALESCE(t.ct, 0) + 1.0) / (tots.nt + {DSIR_BUCKETS}))
+                   / ((r.cr + 1.0) / (tots.nr + {DSIR_BUCKETS}))
+               ) + 0.5) AS BIGINT) AS lr_micro
+        FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+    ),
+    doc AS (
+        SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lr.lr_micro) AS BIGINT) AS logw_micro
+        FROM feat f JOIN lr USING (b) GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens, logw_micro,
+           ROUND(logw_micro / (1000000.0 * n_tokens), 6)
+               AS logw_per_token
+    FROM doc
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) — Data Selection via Importance
+    Resampling: score every document by the log importance weight
+    log(p_target/p_raw) under bag-of-hashed-unigram models, where the
+    target distribution is a trusted domain ({src0 here}) and raw is
+    the whole corpus. The sampler then keeps documents with the
+    highest weights — the principled alternative to hand-written
+    quality rules.
+
+    Cross-engine exactness: bucket hashing uses ascii+length
+    primitives both engines evaluate identically; the 64-entry
+    Laplace-smoothed log-ratio table is computed in CPython (bounded
+    driver fold — same libm ln as DuckB, the adaboost precedent) and
+    quantized to integer micro-units with floor(x+0.5), so per-doc
+    scores are exact integer sums. Shape: two bucket-count
+    aggregations (map-side combinable), the tiny ratio table
+    broadcast back as a literal map, one doc-keyed agg — token volume
+    never shuffles twice."""
+    import math
+
+    d = table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    ).select("doc_id", "source", F.expr(_DSIR_BUCKET).alias("b"))
+    counts = (
+        feat.groupBy("b")
+        .agg(
+            F.count("*").alias("cr"),
+            F.count(
+                F.when(F.col("source") == DSIR_TARGET_SRC, 1)
+            ).alias("ct"),
+        )
+        .collect()
+    )  # bounded driver fold: <= DSIR_BUCKETS rows
+    nt = sum(r.ct for r in counts)
+    nr = sum(r.cr for r in counts)
+    lr = {
+        r.b: int(
+            math.floor(
+                1_000_000.0
+                * math.log(
+                    ((r.ct + 1.0) / (nt + DSIR_BUCKETS))
+                    / ((r.cr + 1.0) / (nr + DSIR_BUCKETS))
+                )
+                + 0.5
+            )
+        )
+        for r in counts
+    }
+    lr_map = F.create_map(
+        *[F.lit(x) for kv in lr.items() for x in kv]
+    )
+    doc = (
+        feat.withColumn("lr_micro", lr_map[F.col("b")])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lr_micro").cast("bigint").alias("logw_micro"),
+        )
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        "logw_micro",
+        F.round(
+            F.col("logw_micro") / (1_000_000.0 * F.col("n_tokens")), 6
+        ).alias("logw_per_token"),
+    )

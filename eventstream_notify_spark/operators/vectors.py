@@ -1432,3 +1432,234 @@ def nearest_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------- r7:
+# SemDeDup cluster pruning + hard-negative mining
+
+SEMDEDUP_T = 0.3  # paper uses ~0.95 on web embeddings; this synthetic
+# corpus has NO true near-dups (measured max within-cluster cosine
+# 0.48 at sf0.01), so the threshold sits where the MECHANISM bites —
+# the keep/drop rule, not the threshold, is what parity verifies.
+
+
+@register(
+    "semdedup_prune",
+    extra=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               {l2_norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm
+        FROM e WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding, e.nrm, c.cid
+        FROM e JOIN cent c ON TRUE
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY ROUND({cosine_sql('e.embedding', 'c.ce')}, 6)
+                DESC, c.cid
+        ) = 1
+    ),
+    sims AS (
+        SELECT a.vec_id, b.vec_id AS other_id,
+               ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS s
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    ),
+    agg AS (
+        SELECT vec_id,
+               CAST(COUNT(*) FILTER (WHERE s >= {SEMDEDUP_T})
+                   AS BIGINT) AS n_dups,
+               CAST(COUNT(*) FILTER (
+                   WHERE s >= {SEMDEDUP_T} AND other_id < vec_id)
+                   AS BIGINT) AS n_earlier_dups,
+               MAX(s) AS max_sim
+        FROM sims GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.cid,
+           COALESCE(g.n_dups, 0) AS n_dups,
+           COALESCE(g.max_sim, -1.0) AS max_sim,
+           CAST(COALESCE(g.n_earlier_dups, 0) = 0 AS INT) AS is_kept
+    FROM assign a LEFT JOIN agg g USING (vec_id)
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup by
+    cluster-then-prune: assign every embedding to its nearest centroid
+    (broadcast argmax, the IVF kernel), compare pairs ONLY within a
+    cluster, and drop any item that has an over-threshold neighbor
+    with a smaller id (one representative per semantic-dup set
+    survives; the paper keeps the item farthest from the centroid —
+    first-id is the deterministic stand-in that hash-verifies). Emits
+    per item: cluster, over-threshold neighbor count, max similarity,
+    keep flag.
+
+    Scale: the pair stage is cluster-blocked (Q·N/K, the SemDeDup
+    point: clustering makes semantic dedup sub-quadratic); pairs carry
+    ids + one double, embeddings join back never — and the cluster is
+    the natural partition key at 100 TB."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", l2_norm("embedding")
+    )
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(cent)
+        .withColumn(
+            "cscore",
+            F.round(dot("embedding", "ce") / (F.col("nrm") * F.col("cnrm")), 6),
+        )
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "nrm", "cid")
+    )
+    a = assign.alias("a")
+    b = assign.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("embedding").alias("be"),
+        F.col("nrm").alias("bnrm"),
+        F.col("cid").alias("bcid"),
+    )
+    sims = (
+        a.join(b, (F.col("cid") == F.col("bcid"))
+               & (F.col("vec_id") != F.col("other_id")))
+        .select(
+            "vec_id",
+            "other_id",
+            F.round(
+                dot("embedding", "be") / (F.col("nrm") * F.col("bnrm")), 6
+            ).alias("s"),
+        )
+    )
+    over = F.col("s") >= SEMDEDUP_T
+    agg = sims.groupBy("vec_id").agg(
+        F.count(F.when(over, 1)).cast("bigint").alias("n_dups"),
+        F.count(
+            F.when(over & (F.col("other_id") < F.col("vec_id")), 1)
+        ).cast("bigint").alias("n_earlier_dups"),
+        F.max("s").alias("max_sim"),
+    )
+    return assign.join(agg, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        F.coalesce("max_sim", F.lit(-1.0)).alias("max_sim"),
+        (F.coalesce("n_earlier_dups", F.lit(0)) == 0)
+        .cast("int")
+        .alias("is_kept"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    extra=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {l2_norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel,
+                 embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+               ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS s
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    neg AS (
+        SELECT query_id, vec_id AS neg_id, s AS neg_score
+        FROM scored WHERE label <> qlabel
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, vec_id) = 1
+    ),
+    pos AS (
+        SELECT query_id, vec_id AS pos_id, s AS pos_score
+        FROM scored WHERE label = qlabel
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, vec_id) = 1
+    )
+    SELECT n.query_id, p.pos_id, p.pos_score, n.neg_id, n.neg_score,
+           ROUND(p.pos_score - n.neg_score, 6) AS margin
+    FROM neg n JOIN pos p USING (query_id)
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for every query vector, mine
+    the HARDEST negative (highest-cosine item with a DIFFERENT label)
+    and the strongest positive (same label), emitting the margin — the
+    quantity a triplet/InfoNCE curriculum sorts by. One broadcast of
+    the query set over the corpus (the sim_search_cosine kernel) with
+    a label predicate split into two argmax windows; deterministic
+    tie-breaks make even the picked ids hash-stable. At 100 TB the
+    exact scorer swaps for the IVF/PQ shortlist and the argmax
+    windows are unchanged — mining cost tracks the ANN budget, not
+    the corpus."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", l2_norm("embedding")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id")
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("s").alias("neg_score"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("s").alias("pos_score"),
+        )
+    )
+    return neg.join(pos, "query_id").select(
+        "query_id",
+        "pos_id",
+        "pos_score",
+        "neg_id",
+        "neg_score",
+        F.round(F.col("pos_score") - F.col("neg_score"), 6).alias("margin"),
+    )
