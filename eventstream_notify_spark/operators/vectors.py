@@ -1663,3 +1663,92 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_score",
         F.round(F.col("pos_score") - F.col("neg_score"), 6).alias("margin"),
     )
+
+
+EVAL_K = 10  # retrieval-eval cutoff
+
+
+@register(
+    "retrieval_eval_mrr",
+    extra=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {l2_norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel,
+                 embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    ranked AS (
+        SELECT q.query_id, q.qlabel, e.label,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND({cosine_sql('q.qe', 'e.embedding')}, 6)
+                       DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           CAST(COALESCE(MIN(rnk) FILTER (
+               WHERE label = qlabel AND rnk <= {EVAL_K}), 0)
+               AS BIGINT) AS first_rel_rank,
+           CAST(COUNT(*) FILTER (
+               WHERE label = qlabel AND rnk <= {EVAL_K})
+               AS BIGINT) AS n_rel_at_k,
+           ROUND(CASE WHEN MIN(rnk) FILTER (
+                   WHERE label = qlabel AND rnk <= {EVAL_K}) IS NULL
+               THEN 0.0
+               ELSE 1.0 / MIN(rnk) FILTER (
+                   WHERE label = qlabel AND rnk <= {EVAL_K}) END, 6)
+               AS reciprocal_rank
+    FROM ranked GROUP BY query_id, qlabel
+    """,
+)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION — the other half of the ANN story: per
+    query, the rank of the first same-label item in the exact top-10
+    (labels as relevance ground truth), hits@10, and the reciprocal
+    rank (mean over queries = MRR@10, the metric every retrieval
+    curriculum reports). One broadcast-query scoring pass + a rank
+    window per query; swap the exact scorer for any of the ANN paths
+    and the SAME operator measures THEIR quality — this is how the
+    recall floors in bench --recall generalize to labeled data."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", l2_norm("embedding")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id")
+    )
+    ranked = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "label",
+            "vec_id",
+            F.round(
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("s"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= EVAL_K)
+    )
+    rel = F.col("label") == F.col("qlabel")
+    first = F.min(F.when(rel, F.col("rnk")))
+    return ranked.groupBy("query_id").agg(
+        F.coalesce(first, F.lit(0)).cast("bigint").alias("first_rel_rank"),
+        F.count(F.when(rel, 1)).cast("bigint").alias("n_rel_at_k"),
+        F.round(
+            F.when(first.isNull(), F.lit(0.0)).otherwise(1.0 / first), 6
+        ).alias("reciprocal_rank"),
+    )
