@@ -3373,3 +3373,232 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_hours_to_convert"),
     )
+
+
+# ---------------------------------------------------------------- r7:
+# entity resolution + CUPED experimentation
+
+# Fellegi-Sunter-style agreement weights (integer; production would
+# estimate them as log m/u likelihood ratios from labeled pairs)
+ER_W_BAL_NEAR = 12   # |acctbal delta| < $100
+ER_W_BAL_FAR = -3
+ER_W_KEY_NEAR = 8    # |custkey delta| < 100 (proxy for name edit distance
+ER_W_KEY_FAR = -2    # on the synthetic 'Customer#%09d' names)
+ER_W_KBUCKET = 5     # same $1000 balance bucket
+ER_W_KBUCKET_NO = -1
+ER_MIN_SCORE = 10    # report pairs at or above this evidence level
+
+
+@register(
+    "entity_resolution",
+    extra=True,
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    a AS (SELECT * FROM c WHERE c_custkey % 2 = 0),
+    b AS (SELECT * FROM c WHERE c_custkey % 2 = 1),
+    pairs AS (
+        SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+               (CASE WHEN abs(a.bal_cents - b.bal_cents) < 10000
+                     THEN {ER_W_BAL_NEAR} ELSE {ER_W_BAL_FAR} END
+               + CASE WHEN abs(a.c_custkey - b.c_custkey) < 100
+                      THEN {ER_W_KEY_NEAR} ELSE {ER_W_KEY_FAR} END
+               + CASE WHEN a.bal_cents // 100000 = b.bal_cents // 100000
+                      THEN {ER_W_KBUCKET} ELSE {ER_W_KBUCKET_NO} END)
+                   AS score
+        FROM a JOIN b ON a.c_nationkey = b.c_nationkey
+                     AND a.c_mktsegment = b.c_mktsegment
+    )
+    SELECT a_key, b_key, CAST(score AS BIGINT) AS score,
+           CAST(score >= {ER_W_BAL_NEAR + ER_W_KEY_NEAR} AS INT)
+               AS is_match
+    FROM pairs WHERE score >= {ER_MIN_SCORE}
+    """,
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage, Fellegi-Sunter shape: split customers into two
+    'sources' (even/odd keys), generate candidate pairs ONLY inside
+    (nation, segment) blocks — the ER analogue of dedup blocking; an
+    unblocked linkage is the textbook quadratic blow-up — then score
+    each pair by integer agreement weights over field comparisons
+    (balance proximity, key proximity as the stand-in for name edit
+    distance on the synthetic names, balance bucket) and emit pairs
+    above the evidence floor with the match decision. Production
+    weights are estimated log m/u ratios (EM over labeled pairs); the
+    integer table keeps the whole decision exact cross-engine.
+
+    Scale: the block join is an equi-join on low-cardinality keys —
+    salt hot blocks the same way dedup_near's prefix blocking caps
+    candidates; scores shuffle as ints, full records never re-join."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    a = c.filter(F.col("c_custkey") % 2 == 0).alias("a")
+    b = (
+        c.filter(F.col("c_custkey") % 2 == 1)
+        .select(
+            F.col("c_custkey").alias("b_key"),
+            F.col("c_nationkey").alias("b_nat"),
+            F.col("c_mktsegment").alias("b_seg"),
+            F.col("bal_cents").alias("b_bal"),
+        )
+    )
+    score = (
+        F.when(
+            F.abs(F.col("bal_cents") - F.col("b_bal")) < 10000,
+            F.lit(ER_W_BAL_NEAR),
+        ).otherwise(F.lit(ER_W_BAL_FAR))
+        + F.when(
+            F.abs(F.col("c_custkey") - F.col("b_key")) < 100,
+            F.lit(ER_W_KEY_NEAR),
+        ).otherwise(F.lit(ER_W_KEY_FAR))
+        + F.when(
+            F.expr("bal_cents div 100000") == F.expr("b_bal div 100000"),
+            F.lit(ER_W_KBUCKET),
+        ).otherwise(F.lit(ER_W_KBUCKET_NO))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("c_nationkey") == F.col("b_nat"))
+            & (F.col("c_mktsegment") == F.col("b_seg")),
+        )
+        .select(
+            F.col("c_custkey").alias("a_key"),
+            "b_key",
+            score.cast("bigint").alias("score"),
+        )
+        .filter(F.col("score") >= ER_MIN_SCORE)
+        .withColumn(
+            "is_match",
+            (F.col("score") >= ER_W_BAL_NEAR + ER_W_KEY_NEAR).cast("int"),
+        )
+    )
+
+
+@register(
+    "ab_cuped",
+    extra=True,
+    oracle="""
+    WITH bounds AS (
+        SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+               CAST(SUM(CASE WHEN epoch_us(ts) < bounds.mid
+                   THEN CAST(round(value * 1000) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN epoch_us(ts) >= bounds.mid
+                   THEN CAST(round(value * 1000) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN bounds
+        GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_user
+    )
+    SELECT p.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(p.y) / (1000.0 * COUNT(*)), 6) AS mean_y,
+           ROUND(
+               (SUM(p.y) * 1.0 / COUNT(*)
+                - ((g.n * g.sxy - g.sx * g.sy) * 1.0
+                   / (g.n * g.sxx - g.sx * g.sx))
+                  * (SUM(p.x) * 1.0 / COUNT(*) - g.sx * 1.0 / g.n))
+               / 1000.0, 6) AS mean_y_cuped,
+           ROUND((g.n * g.sxy - g.sx * g.sy) * 1.0
+                 / (g.n * g.sxx - g.sx * g.sx), 6) AS theta
+    FROM per_user p CROSS JOIN g
+    GROUP BY p.arm, g.n, g.sx, g.sy, g.sxx, g.sxy
+    """,
+)
+def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the industry-
+    standard experimentation trick: adjust each user's experiment-
+    period metric y by their PRE-period covariate x via theta =
+    cov(x,y)/var(x), shrinking the variance of the arm means without
+    biasing the treatment effect. Arms = user_id parity; periods =
+    event-time halves (midpoint in exact integer micros). Every
+    moment (n, Σx, Σy, Σxx, Σxy) is an exact integer sum of
+    milli-quantized values, so theta and the adjusted means are
+    single deterministic float expressions over identical integers —
+    cross-engine hash-exact. Shape: one user-keyed aggregation, one
+    5-integer global fold broadcast back, one 2-row arm aggregation
+    — at 100 TB exactly the two map-side-combinable aggs you want."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("mid")
+    )
+    mv = F.round(F.col("value") * 1000).cast("bigint")
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.when(F.unix_micros("ts") < F.col("mid"), mv)
+            .otherwise(F.lit(0)).alias("xv"),
+            F.when(F.unix_micros("ts") >= F.col("mid"), mv)
+            .otherwise(F.lit(0)).alias("yv"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum("xv").cast("bigint").alias("x"),
+            F.sum("yv").cast("bigint").alias("y"),
+        )
+    )
+    g = F.broadcast(
+        per_user.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return (
+        per_user.crossJoin(g)
+        .groupBy("arm", "n", "sx", "sy", "sxx", "sxy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("y").alias("ys"),
+            F.sum("x").alias("xs"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            F.round(F.col("ys") / (1000.0 * F.col("n_users")), 6).alias(
+                "mean_y"
+            ),
+            F.round(
+                (
+                    F.col("ys") * 1.0 / F.col("n_users")
+                    - theta
+                    * (
+                        F.col("xs") * 1.0 / F.col("n_users")
+                        - F.col("sx") * 1.0 / F.col("n")
+                    )
+                )
+                / 1000.0,
+                6,
+            ).alias("mean_y_cuped"),
+            F.round(theta, 6).alias("theta"),
+        )
+    )
