@@ -975,3 +975,103 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(
         hw, "event_type string, h int, forecast double"
     )
+
+
+@register(
+    "ts_changepoint_cusum",
+    extra=True,
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               (epoch_us(ts) // 60000000) * 60 AS minute_s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS mins,
+               CAST(SUM(n) AS BIGINT) AS total
+        FROM m GROUP BY event_type
+    ),
+    pre AS (
+        SELECT m.event_type, m.minute_s,
+               CAST(SUM(m.n) OVER (
+                   PARTITION BY m.event_type ORDER BY m.minute_s
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY m.event_type ORDER BY m.minute_s)
+                   AS BIGINT) AS idx,
+               t.mins, t.total
+        FROM m JOIN tot t USING (event_type)
+    ),
+    c AS (
+        SELECT event_type, minute_s,
+               mins * pref - idx * total AS cusum_scaled
+        FROM pre
+    )
+    SELECT event_type, minute_s AS changepoint_minute,
+           CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN cusum_scaled >= 0 THEN 1 ELSE -1 END AS INT)
+               AS direction
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type
+        ORDER BY abs(cusum_scaled) DESC, minute_s) = 1
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) per event type: the
+    minute where the cumulative deviation of per-minute counts from
+    the series mean is most extreme — the classic single-changepoint
+    estimator for a level shift in a rate. Exactness trick: the raw
+    CUSUM S_m = prefix_m - m*(T/M) is rational; scaling by M gives
+    the INTEGER statistic M*prefix_m - m*T with the same argmax, so
+    both engines agree to the bit (ties break on earliest minute;
+    sign = shift direction). Shape: one minute-grid aggregation, a
+    per-type prefix window (PARTITIONED by event_type; at a 100 TB
+    minute grid the bucket-prefix pattern from functions/ranking
+    replaces the window), one argmax."""
+    ev = table(spark, sf_dir, "events")
+    m = (
+        ev.select(
+            "event_type",
+            (F.expr("unix_micros(ts) div 60000000") * 60).alias("minute_s"),
+        )
+        .groupBy("event_type", "minute_s")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = m.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("mins"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("event_type").orderBy("minute_s")
+    pre = (
+        m.join(tot, "event_type")
+        .withColumn("pref", F.sum("n").over(wp).cast("bigint"))
+        .withColumn("idx", F.row_number().over(wr).cast("bigint"))
+        .withColumn(
+            "cusum_scaled",
+            F.col("mins") * F.col("pref") - F.col("idx") * F.col("total"),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("minute_s")
+    )
+    return (
+        pre.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("minute_s").alias("changepoint_minute"),
+            F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+            F.when(F.col("cusum_scaled") >= 0, 1)
+            .otherwise(-1)
+            .cast("int")
+            .alias("direction"),
+        )
+    )
