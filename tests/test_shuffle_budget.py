@@ -93,6 +93,19 @@ BUDGETS = {
     "llm_bpe_encode": 2,
     "dedup_cluster": 0,       # driver-folded components broadcast back
     "llm_decontaminate": 2,
+    # --- r7 additions ---------------------------------------------
+    "llm_dedup_substring": 2,   # shingle-min agg + join-back agg
+    "llm_paragraph_dedup": 2,   # hash-min agg + join-back agg
+    "llm_mix_temperature": 0,   # driver fold of a bounded lang table
+    "llm_cross_source_overlap": 7,  # distinct + vocab self-join + aggs
+    "llm_dedup_substring_spans": 2,
+    "semdedup_prune": 6,        # assign argmax + cluster pairs + aggs
+    "dsir_importance": 1,       # bucket counts fold to a literal map
+    "hard_negative_mining": 2,  # broadcast-query kernel, two argmaxes
+    "retrieval_eval_mrr": 1,
+    "entity_resolution": 0,     # block join broadcasts the odd side
+    "ab_cuped": 6,              # user agg + moment fold + arm agg
+    "ts_changepoint_cusum": 4,  # minute agg, totals, prefix, argmax
 }
 
 
