@@ -1075,3 +1075,79 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+CUSUM_K = 60_000   # drift allowance (milli-units; series mean ~50k)
+CUSUM_H = 200_000  # alert threshold on the reflected statistic
+
+CUSUM_ALERT_ORACLE = f"""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(round(value * 1000) AS BIGINT) - {CUSUM_K} AS d
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, event_id, ts_us,
+               CAST(SUM(d) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+        FROM x
+    ),
+    s AS (
+        SELECT user_id, event_id, ts_us,
+               pre - LEAST(0, MIN(pre) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING)) AS sv
+        FROM p
+    )
+    SELECT user_id, event_id, ts_us, CAST(sv AS BIGINT) AS s_scaled
+    FROM (
+        SELECT user_id, event_id, ts_us, sv,
+               LAG(sv, 1, 0) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS sp
+        FROM s
+    ) WHERE sp < {CUSUM_H} AND sv >= {CUSUM_H}
+"""
+
+
+@register("cusum_alert", extra=True, oracle=CUSUM_ALERT_ORACLE)
+def cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CUSUM alerting (Page's reflected statistic), batch twin:
+    per user, S_i = max(0, S_{i-1} + x_i - k) in exact milli-integer
+    units, alert ONCE per excursion at the row where S first crosses
+    h. The order-dependent max(0, ...) recurrence has a closed
+    prefix form — S_i = P_i - min(0, min_{j<=i} P_j) — so it runs as
+    two per-user windows (prefix sum, running min) + a lag for the
+    crossing test, all integers, no recursion. This is the batch
+    oracle the STREAMING kernel (stream_cusum_alert) must reproduce
+    bit-for-bit across micro-batch boundaries.
+
+    Scale: both windows key on user_id (bounded per-user series); at
+    a 100 TB grid the bucket-prefix pattern replaces them."""
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.round(F.col("value") * 1000).cast("bigint") - CUSUM_K).alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    p = x.withColumn("pre", F.sum("d").over(w).cast("bigint"))
+    s = p.withColumn(
+        "sv", F.col("pre") - F.least(F.lit(0), F.min("pre").over(w))
+    )
+    return (
+        s.withColumn("sp", F.lag("sv", 1, 0).over(wl))
+        .filter((F.col("sp") < CUSUM_H) & (F.col("sv") >= CUSUM_H))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.col("sv").cast("bigint").alias("s_scaled"),
+        )
+    )

@@ -1209,3 +1209,31 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(totals["n_rows"], totals["sum_mv"], totals["n_errors"])],
         "n_rows bigint, sum_mv bigint, n_errors bigint",
     )
+
+
+def _cusum_oracle() -> str:
+    from eventstream_notify_spark.operators.timeseries import (
+        CUSUM_ALERT_ORACLE,
+    )
+
+    return CUSUM_ALERT_ORACLE
+
+
+@register("stream_cusum_alert", extra=True, oracle=_cusum_oracle())
+def stream_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of zx_cusum_alert — Page's CUSUM as a CUSTOM
+    STATEFUL operator (applyInPandasWithState, state = 3 bigints per
+    user), third member of the batch-oracle-shared streaming family
+    (after zx_stream_ewma and zx_stream_rolling_median): the bounded
+    replay hash-matches the SAME DuckDB oracle as the batch windows,
+    proving the cross-batch state carry reproduces the closed-form
+    prefix algebra bit-for-bit. The production shape of 'alert me
+    when a user's value level shifts' — one alert per excursion, not
+    per event.
+
+    Scale: 3 bigints per active user, event-time idle eviction after
+    one day; the only shuffle keys on user_id."""
+    from eventstream_notify_spark.streaming.state import cusum_alert_stream
+
+    src = file_events_stream(spark, sf_dir)
+    return run_bounded(cusum_alert_stream(src))

@@ -382,3 +382,93 @@ def cep_burst_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = "user_id long, event_id long, ts_us long, s_scaled long"
+CUSUM_STATE_SCHEMA = "pre long, minp long, sprev long"
+
+
+def cusum_alert_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful streaming CUSUM (Page): per-user reflected statistic
+    S = max(0, S + x - k) carried across micro-batches as THREE
+    bigints (prefix sum, running min incl. the virtual 0, previous
+    S), emitting one alert row per excursion at the h-crossing. The
+    integer recurrence is the exact closed form the batch twin
+    (operators/timeseries.cusum_alert) evaluates with windows, so a
+    bounded replay hash-matches the same DuckDB oracle. Same
+    ordered-replay contract as cep_burst_stream (state.py)."""
+    from eventstream_notify_spark.operators.timeseries import (
+        CUSUM_H,
+        CUSUM_K,
+    )
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (user_id,) = key
+    pre, minp, sprev = (
+        (int(state.get[0]), int(state.get[1]), int(state.get[2]))
+        if state.exists
+        else (0, 0, 0)
+    )
+    chunks = [c for c in pdfs if len(c)]
+    last_ts = None
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        out_uid, out_eid, out_ts, out_s = [], [], [], []
+        for eid, ts_us, v in zip(
+            pdf["event_id"], pdf["ts_us"], pdf["v_int"]
+        ):
+            pre += int(v) - CUSUM_K
+            if pre < minp:
+                minp = pre
+            s = pre - minp  # minp <= 0 always (seeded with virtual 0)
+            if sprev < CUSUM_H <= s:
+                out_uid.append(int(user_id))
+                out_eid.append(int(eid))
+                out_ts.append(int(ts_us))
+                out_s.append(s)
+            sprev = s
+        last_ts = int(pdf["ts_us"].iloc[-1])
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(out_uid, dtype="int64"),
+                "event_id": pd.Series(out_eid, dtype="int64"),
+                "ts_us": pd.Series(out_ts, dtype="int64"),
+                "s_scaled": pd.Series(out_s, dtype="int64"),
+            }
+        )
+    state.update((pre, minp, sprev))
+    if last_ts is not None:
+        state.setTimeoutTimestamp(last_ts // 1000 + 86_400_000)
+
+
+def cusum_alert_stream(
+    events: DataFrame, watermark: str | None = "60 seconds"
+) -> DataFrame:
+    """Streaming twin of cusum_alert: emits one alert row per
+    excursion crossing, exactly the batch operator's output."""
+    from pyspark.sql import functions as F
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1000).cast("long").alias("v_int"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        cusum_alert_fn,
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -106,6 +106,8 @@ BUDGETS = {
     "entity_resolution": 0,     # block join broadcasts the odd side
     "ab_cuped": 6,              # user agg + moment fold + arm agg
     "ts_changepoint_cusum": 4,  # minute agg, totals, prefix, argmax
+    "cusum_alert": 1,           # one user_id shuffle feeds both windows
+    "stream_cusum_alert": 0,    # memory-sink read of the bounded run
 }
 
 
