@@ -312,14 +312,62 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_foreach_sink")  # rows-only: stateful window anchoring
+def _foreach_sink_oracle() -> str:
+    """DuckDB twin of the anchored-window pipeline: the stateful rate
+    limiter's recurrence (anchor at the first event, admit the first
+    5 rows with ts < anchor + W ordered by (ts, event_id), re-anchor
+    at the first event past the window) is a per-user recursive CTE
+    over the anchor chain. Dedup and the keyed upsert are identity on
+    the testdata (event_id is unique), so the compacted store equals
+    the admitted set — same batch-oracle pattern the other stateful
+    kernels (stream_ewma / stream_cusum_alert / stream_rolling_median)
+    already share."""
+    from eventstream_notify_spark.operators.events import (
+        DEMO_WINDOW_S,
+        RATE_LIMIT_COUNT,
+    )
+
+    w_us = DEMO_WINDOW_S * 1_000_000
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             value, props
+      FROM events
+    ),
+    anchors AS (
+      SELECT user_id, MIN(ts_us) AS anchor FROM ev GROUP BY user_id
+      UNION ALL
+      SELECT a.user_id,
+             (SELECT MIN(e.ts_us) FROM ev e
+              WHERE e.user_id = a.user_id
+                AND e.ts_us >= a.anchor + {w_us}) AS anchor
+      FROM anchors a
+      WHERE EXISTS (SELECT 1 FROM ev e
+                    WHERE e.user_id = a.user_id
+                      AND e.ts_us >= a.anchor + {w_us})
+    )
+    SELECT e.event_id, e.ts_us, e.user_id, e.event_type, e.value,
+           e.props
+    FROM ev e JOIN anchors a
+      ON e.user_id = a.user_id
+     AND e.ts_us >= a.anchor AND e.ts_us < a.anchor + {w_us}
+    QUALIFY row_number() OVER (
+      PARTITION BY e.user_id, a.anchor
+      ORDER BY e.ts_us, e.event_id) <= {RATE_LIMIT_COUNT}
+    """
+
+
+@register("stream_foreach_sink", oracle=_foreach_sink_oracle())
 def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 — the COMPLETE streaming pipeline: file-replayed stream →
     watermark dedup → first-event-anchored stateful rate limiter →
     foreachBatch keyed-upsert sink (micro-batch = the reference's
     32-event Redis pipeline flush, auto_kafka_redis.py:368-396).
-    Returns the final compacted store. Rows-only: the anchored window
-    semantics intentionally differ from the tumbling batch twin."""
+    Returns the final compacted store, projected to ts_us so the
+    anchored-window recursive-CTE oracle (above) hash-checks it —
+    deterministic because the bounded single-file replay folds each
+    user's group in (ts, event_id) order, exactly the recurrence the
+    CTE unrolls."""
     import tempfile
 
     from eventstream_notify_spark.streaming.sinks import ParquetKeyedStore
@@ -334,7 +382,14 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     q.awaitTermination()
-    return store.compacted(spark)
+    return store.compacted(spark).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 @register(
