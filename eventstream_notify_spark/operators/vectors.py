@@ -33,6 +33,10 @@ from eventstream_notify_spark.registry import register
 TOP_K = 5
 QUERY_MOD = 50  # vec_id % 50 == 0 -> the query set
 CENTROID_MOD = 100  # vec_id % 100 == 0 -> IVF "centroids"
+IVF_NPROBE = 8  # cells probed per query (multiprobe; top-1 measured 37%
+# recall@5 at sf0.1, P=4 → 71%, P=8 → the pinned ≥0.8 floor. At the
+# testdata's K=N/100 cells this probes ~P/K of the corpus; production
+# sizes K≈sqrt(N) so Q·P·N/K stays ~P·sqrt(N) per query.
 
 
 # ---------------------------------------------------------------- X3
@@ -107,8 +111,15 @@ def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY ROUND({cosine_sql('e.embedding', 'c.ce')}, 6) DESC, c.cid
         ) = 1
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS qe, cid
-          FROM assign WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (
+        SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid
+        FROM embeddings e JOIN cent c ON TRUE
+        WHERE e.vec_id % {QUERY_MOD} = 0
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY ROUND({cosine_sql('e.embedding', 'c.ce')}, 6) DESC, c.cid
+        ) <= {IVF_NPROBE}
+    ),
     scored AS (
         SELECT q.query_id, a.vec_id,
                ROUND({cosine_sql('q.qe', 'a.embedding')}, 6) AS score
@@ -118,15 +129,19 @@ def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     QUALIFY row_number() OVER (
         PARTITION BY query_id ORDER BY score DESC, vec_id
-    ) <= 3
+    ) <= {TOP_K}
     """,
 )
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path — IVF-style ANN: (1) assign every vector to its
-    nearest 'centroid' (a deterministic sample here; k-means centroids
-    in production) via a broadcast join + argmax window; (2) probe
-    only the query's own cluster. Search cost drops from Q·N to
-    Q·N/K while both phases stay broadcast-equi-join shaped."""
+    """X3 scale path — IVF-style ANN with MULTIPROBE: (1) assign every
+    vector to its nearest 'centroid' (a deterministic sample here;
+    k-means centroids in production) via a broadcast join + argmax;
+    (2) each query probes its top-{IVF_NPROBE} nearest CELLS (not just
+    its own — single-cell probing measured 37% recall@5 at sf0.1;
+    boundary neighbors live in adjacent cells) and the union of cell
+    members is exact-scored and top-5'd. Search cost is Q·P·N/K
+    instead of Q·N, and every phase stays broadcast-equi-join shaped:
+    the probe list is (Q·P) rows of (query, cell), broadcast free."""
     e = table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
     cent = F.broadcast(
         e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
@@ -135,26 +150,43 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("cscore").desc(), F.col("cid")
-    )
     assign = (
         e.crossJoin(cent)
         .withColumn(
             "cscore",
             F.round(dot("embedding", "ce") / (F.col("nrm") * F.col("cnrm")), 6),
         )
-        .withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("cscore"), (-F.col("cid")).alias("nc")),
+            ).alias("cid"),
+        )
         .select("vec_id", "embedding", "nrm", "cid")
     )
+    # multiprobe list: top-P cells per query — Q·K pair rows (tiny:
+    # queries are 1/QUERY_MOD of the corpus, centroids broadcast)
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
     q = F.broadcast(
-        assign.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("nrm").alias("qnrm"),
-            F.col("cid").alias("qcid"),
         )
+        .crossJoin(cent)
+        .withColumn(
+            "cscore",
+            F.round(dot("qe", "ce") / (F.col("qnrm") * F.col("cnrm")), 6),
+        )
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= IVF_NPROBE)
+        .select("query_id", "qe", "qnrm", F.col("cid").alias("qcid"))
     )
     scored = (
         assign.join(
@@ -172,7 +204,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
 
@@ -321,13 +353,25 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             cent = cent.localCheckpoint(eager=True)
 
     final = assign(e, cent)
+    # multiprobe: each query searches its top-IVF_NPROBE cells of the
+    # refined centroid set (single-cell probing measured 40% recall@5
+    # at sf0.1 — Lloyd-tightened cells make boundary spill WORSE, not
+    # better, because clusters shrink around their means)
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
     q = F.broadcast(
-        final.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("nrm").alias("qnrm"),
-            F.col("cid").alias("qcid"),
         )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cscore", dot("qe", "ce") / F.col("cn"))
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= IVF_NPROBE)
+        .select("query_id", "qe", "qnrm", F.col("cid").alias("qcid"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -344,7 +388,7 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 3)
+        .filter(F.col("__rn") <= TOP_K)
         .drop("__rn")
     )
 
