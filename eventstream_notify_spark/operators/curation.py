@@ -941,8 +941,7 @@ def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     sh = (
-        _shingle_rows(d, 5)
-        .join(F.broadcast(d.select("doc_id", "source")), "doc_id")
+        _shingle_rows(d, 5, extra=("source",))
         .select("source", "term")
         .distinct()
     )

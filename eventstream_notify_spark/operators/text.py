@@ -1023,18 +1023,24 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- LLM pipeline (r3)
 
 
-def _shingle_rows(d: DataFrame, n: int) -> DataFrame:
-    """(doc_id, term) rows of distinct word n-gram shingles. Tokenize
-    once behind a checkpoint barrier (Catalyst inlines the regexp into
-    every element_at otherwise — see dedup_ngram), then slide an
-    n-window as a transform over positions."""
+def _shingle_rows(
+    d: DataFrame, n: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra, term) rows of distinct word n-gram shingles.
+    Tokenize once behind a checkpoint barrier (Catalyst inlines the
+    regexp into every element_at otherwise — see dedup_ngram), then
+    slide an n-window as a transform over positions. ``extra`` carries
+    additional columns (e.g. source) through the projection so callers
+    never need to re-join them back on doc_id — re-attaching source
+    via an O(corpus) broadcast was a driver OOM at design scale."""
     toked = (
-        d.select("doc_id", tokens_col().alias("ts"))
+        d.select("doc_id", *extra, tokens_col().alias("ts"))
         .filter(F.size("ts") >= n)
         .localCheckpoint(eager=True)
     )
     return toked.select(
         "doc_id",
+        *extra,
         F.explode(
             F.array_distinct(
                 F.transform(

@@ -1004,10 +1004,6 @@ PQ_SHORTLIST_MIN = 50
 PQ_SHORTLIST_CAP = 1000
 
 
-def pq_shortlist_size(n_corpus: int) -> int:
-    return min(PQ_SHORTLIST_CAP, max(PQ_SHORTLIST_MIN, n_corpus // 10))
-
-
 def _l2sq(a, b) -> F.Column:
     """Squared L2 distance between two float arrays, double fold."""
     return F.aggregate(
@@ -1041,10 +1037,12 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC = codes ⋈ broadcast LUT on (sub, code) then a (query, vec)
     hash-agg whose partial aggregation shrinks the pair frame
     map-side. Approximate norms come free as Σ‖centroid‖² per code
-    word. The ADC pass emits a 50-deep shortlist per query and an
-    EXACT cosine re-rank picks the final top-5 from it — the standard
-    two-stage deployment (compressed-domain recall, exact precision);
-    only shortlisted vectors are ever re-read at full width. Rows-only:
+    word. The ADC pass emits a corpus-scaled shortlist per query
+    (~N/10, floor 50, cap 1000; sized in-plan from a broadcast 1-row
+    count, no dedicated count() job) and an EXACT cosine re-rank
+    picks the final top-5 from it — the standard two-stage deployment
+    (compressed-domain recall, exact precision); only shortlisted
+    vectors are ever re-read at full width. Rows-only:
     codebooks are iterative float refinement (same class as
     sim_search_ivf_kmeans); recall@5 vs the exact search is pinned in
     tests."""
@@ -1139,10 +1137,23 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
     )
-    shortlist_k = pq_shortlist_size(e.count())
+    # corpus-scaled shortlist depth, sized INSIDE the plan: a 1-row
+    # count aggregate broadcast-crossed onto the scored frame (no
+    # dedicated count() action — the old driver-side e.count() paid a
+    # full extra job per invocation just to pick a literal)
+    nrow = e.agg(F.count("*").alias("__n"))
     shortlist = (
         scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= shortlist_k)
+        .crossJoin(F.broadcast(nrow))
+        .filter(
+            F.col("rn")
+            <= F.least(
+                F.lit(PQ_SHORTLIST_CAP),
+                F.greatest(
+                    F.lit(PQ_SHORTLIST_MIN), F.col("__n") / 10
+                ),
+            )
+        )
         .select("query_id", "vec_id")
     )
     # exact re-rank of the shortlist (the FAISS deployment shape:

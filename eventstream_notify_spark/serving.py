@@ -30,6 +30,7 @@ import base64
 import hashlib
 import json
 import queue
+import socket
 import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -59,8 +60,15 @@ def ws_encode_frame(payload: bytes, opcode: int = 0x1) -> bytes:
     return hdr + payload
 
 
+WS_MAX_FRAME = 1 << 20  # cap client frames at 1 MiB — the 64-bit
+# extended length field is attacker-controlled; without the cap a
+# single frame demands an arbitrary allocation
+
+
 def ws_read_frame(rfile) -> tuple[int | None, bytes]:
-    """Read one (possibly masked) frame; (None, b'') on EOF."""
+    """Read one masked client frame; (None, b'') on EOF, oversized
+    payload, or an unmasked frame (RFC 6455 §5.1 requires the server
+    to fail the connection on unmasked client frames)."""
     hdr = rfile.read(2)
     if len(hdr) < 2:
         return None, b""
@@ -71,7 +79,9 @@ def ws_read_frame(rfile) -> tuple[int | None, bytes]:
         n = struct.unpack("!H", rfile.read(2))[0]
     elif n == 127:
         n = struct.unpack("!Q", rfile.read(8))[0]
-    mask = rfile.read(4) if b1 & 0x80 else b"\x00" * 4
+    if n > WS_MAX_FRAME or not (b1 & 0x80):
+        return None, b""
+    mask = rfile.read(4)
     data = rfile.read(n)
     if len(data) < n:
         return None, b""
@@ -187,9 +197,14 @@ def _make_handler(hub: ServingHub):
                 self.wfile.write(body)
                 return
             if parsed.path == "/stream":
-                n = int(
-                    parse_qs(parsed.query).get("last_n", ["50"])[0]
-                )
+                try:
+                    n = int(
+                        parse_qs(parsed.query).get("last_n", ["50"])[0]
+                    )
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
@@ -229,12 +244,21 @@ def _make_handler(hub: ServingHub):
             replay closes the reference's accepted race, same as the
             SSE path. Client pings get pongs; a client close frame is
             echoed and ends the session."""
+            # the socket leaves HTTP framing after the 101 — the
+            # keep-alive loop must NOT re-parse post-upgrade bytes as
+            # a next HTTP request
+            self.close_connection = True
             key = self.headers.get("Sec-WebSocket-Key")
             if self.headers.get("Upgrade", "").lower() != "websocket" or not key:
                 self.send_response(400)
                 self.end_headers()
                 return
-            n = int(parse_qs(parsed.query).get("last_n", ["50"])[0])
+            try:
+                n = int(parse_qs(parsed.query).get("last_n", ["50"])[0])
+            except ValueError:
+                self.send_response(400)
+                self.end_headers()
+                return
             # raw 101 (send_response would stamp HTTP/1.0, which
             # strict clients reject for an upgrade)
             self.wfile.write(
@@ -286,6 +310,15 @@ def _make_handler(hub: ServingHub):
             finally:
                 closed.set()
                 hub.unsubscribe(sub)
+                # unblock the reader (it may sit in rfile.read) and
+                # join it before BaseHTTPRequestHandler tears the
+                # buffered streams down — two concurrent readers on
+                # one buffered socket corrupt both
+                try:
+                    self.connection.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                rt.join(timeout=5.0)
 
         def _sse(self, payload: str) -> None:
             self.wfile.write(f"data: {payload}\n\n".encode())

@@ -89,7 +89,8 @@ BUDGETS = {
     "dedup_near_embedding": 1,
     "graph_triangles": 10,    # class-graph algebra (bounded frames)
     "corpus_curation": 2,
-    "sim_search_pq": 5,
+    "sim_search_pq": 6,  # +1: in-plan 1-row corpus-count agg sizing
+    # the ADC shortlist (replaced a dedicated count() job)
     "llm_bpe_encode": 2,
     "dedup_cluster": 0,       # driver-folded components broadcast back
     "llm_decontaminate": 2,
