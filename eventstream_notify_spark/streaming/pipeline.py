@@ -1189,6 +1189,57 @@ def stream_cep_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cep_burst_buffered",
+    extra=True,
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    err AS (
+        SELECT user_id, event_id, ts_us, rn,
+               rn - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY rn
+               ) AS grp
+        FROM ev WHERE event_type = 'error'
+    )
+    SELECT user_id, event_id, ts_us
+    FROM (
+        SELECT user_id, event_id, ts_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, grp ORDER BY rn
+               ) AS pos_in_run
+        FROM err
+    )
+    WHERE pos_in_run = 3
+    """,
+)
+def stream_cep_burst_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-event-safe twin of zx_stream_cep_burst: rows buffer in
+    state until the watermark passes them, then fold in (ts, event_id)
+    order — so in-watermark late events on a genuinely out-of-order
+    source produce the SAME alerts as the batch gaps-and-islands
+    oracle (tests/test_streaming.py injects the late-arrival case the
+    ordered kernel documents as divergent). State per user = run
+    counter + the rows between watermark and frontier (bounded by the
+    lateness budget, not stream length); a frontier-anchored
+    event-time timeout flushes the tail when the watermark stops
+    advancing. Zero-lateness watermark here: the bounded single-file
+    replay delivers nothing late, so every row folds on the final
+    no-data batch and the full replay hash-matches the same oracle as
+    the ordered kernel."""
+    from eventstream_notify_spark.streaming.state import (
+        cep_burst_buffered_stream,
+    )
+
+    src = file_events_stream(spark, sf_dir)
+    return run_bounded(cep_burst_buffered_stream(src, watermark="0 seconds"))
+
+
+@register(
     "stream_observe_metrics",
     extra=True,
     oracle="""

@@ -384,6 +384,142 @@ def cep_burst_stream(
     )
 
 
+CEP_BUF_STATE_SCHEMA = (
+    "run int, bts array<long>, bid array<long>, berr array<boolean>"
+)
+
+
+def cep_burst_buffered_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Late-event-safe CEP variant: buffer rows in state until the
+    watermark passes them, then fold in (ts_us, event_id) order — the
+    buffer-until-watermark contract cep_burst_fn documents but does
+    not pay for. State = run counter + the in-flight rows between the
+    watermark and the frontier (bounded by the lateness budget x
+    per-user rate, NOT by stream length). The event-time timeout is
+    set just past the newest buffered row, so when the watermark
+    passes the frontier a timed-out invocation flushes the remainder
+    — on a bounded replay every row eventually folds."""
+    (user_id,) = key
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    def fold(run: int, ts, eid, err):
+        out_ids, out_ts = [], []
+        for t, i, e in zip(ts, eid, err):
+            if e:
+                run += 1
+                if run == CEP_BURST_LEN:
+                    out_ids.append(int(i))
+                    out_ts.append(int(t))
+            else:
+                run = 0
+        return run, out_ids, out_ts
+
+    if state.hasTimedOut:
+        run, bts, bid, berr = state.get
+        if not bts:
+            state.remove()  # idle GC: nothing buffered, nothing due
+            return
+        order = sorted(range(len(bts)), key=lambda i: (bts[i], bid[i]))
+        run, out_ids, out_ts = fold(
+            int(run),
+            [bts[i] for i in order],
+            [bid[i] for i in order],
+            [berr[i] for i in order],
+        )
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ids),
+                    "event_id": out_ids,
+                    "ts_us": out_ts,
+                }
+            )
+        state.update((run, [], [], []))
+        state.setTimeoutTimestamp(wm_us // 1000 + 86_400_000)
+        return
+
+    run, bts, bid, berr = (
+        (int(state.get[0]), list(state.get[1]), list(state.get[2]),
+         list(state.get[3]))
+        if state.exists
+        else (0, [], [], [])
+    )
+    for pdf in pdfs:
+        if len(pdf):
+            bts.extend(int(t) for t in pdf["ts_us"])
+            bid.extend(int(i) for i in pdf["event_id"])
+            berr.extend(bool(e) for e in (pdf["event_type"] == "error"))
+    order = sorted(range(len(bts)), key=lambda i: (bts[i], bid[i]))
+    ready = [i for i in order if bts[i] <= wm_us]
+    pend = [i for i in order if bts[i] > wm_us]
+    run, out_ids, out_ts = fold(
+        run,
+        [bts[i] for i in ready],
+        [bid[i] for i in ready],
+        [berr[i] for i in ready],
+    )
+    if out_ids:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_ids),
+                "event_id": out_ids,
+                "ts_us": out_ts,
+            }
+        )
+    state.update(
+        (
+            run,
+            [bts[i] for i in pend],
+            [bid[i] for i in pend],
+            [berr[i] for i in pend],
+        )
+    )
+    if pend:
+        # fire once the watermark reaches the frontier; clamp above
+        # the current watermark (event-time timeout must be strictly
+        # later) without overshooting — a +1 ms overshoot would miss
+        # the bounded replay's final no-data batch, where the
+        # watermark stops exactly at the frontier
+        state.setTimeoutTimestamp(
+            max(max(bts[i] for i in pend) // 1000, wm_us // 1000 + 1)
+        )
+    else:
+        last = max(bts) // 1000 if bts else wm_us // 1000
+        state.setTimeoutTimestamp(last + 86_400_000)
+
+
+def cep_burst_buffered_stream(
+    events: DataFrame, watermark: str = "60 seconds"
+) -> DataFrame:
+    """Buffer-until-watermark CEP burst detector — same alert
+    semantics and output schema as cep_burst_stream, but correct on
+    genuinely out-of-order sources: in-watermark late events fold in
+    event-time order, at the cost of holding the in-flight rows
+    (watermark..frontier) in state. Pick this off log-ordered
+    sources; pick cep_burst_stream when the source preserves per-key
+    order (one int of state instead of a row buffer)."""
+    from pyspark.sql import functions as F
+
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        cep_burst_buffered_fn,
+        CEP_OUTPUT_SCHEMA,
+        CEP_BUF_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 CUSUM_OUTPUT_SCHEMA = "user_id long, event_id long, ts_us long, s_scaled long"
 CUSUM_STATE_SCHEMA = "pre long, minp long, sprev long"
 

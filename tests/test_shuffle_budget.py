@@ -109,6 +109,7 @@ BUDGETS = {
     "ts_changepoint_cusum": 4,  # minute agg, totals, prefix, argmax
     "cusum_alert": 1,           # one user_id shuffle feeds both windows
     "stream_cusum_alert": 0,    # memory-sink read of the bounded run
+    "stream_cep_burst_buffered": 0,  # memory-sink read of the bounded run
 }
 
 

@@ -278,3 +278,113 @@ def test_stream_cep_kernel_burst_across_batches_fires_once():
     shuffled = rows.sample(frac=1.0, random_state=5).reset_index(drop=True)
     got = run([shuffled])
     assert list(got["event_id"]) == want_ids
+
+
+def test_cep_buffered_late_event_folds_in_event_time_order(
+    spark, tmp_path
+):
+    """E4-pattern late-data injection: an in-watermark late error
+    arriving in a LATER micro-batch. The buffered kernel folds it in
+    event-time order and fires the alert on the true 3rd error; the
+    ordered-replay kernel folds arrival-order and anchors the alert on
+    the late row instead — the documented contract difference."""
+    from eventstream_notify_spark.streaming.state import (
+        cep_burst_buffered_stream,
+        cep_burst_stream,
+    )
+
+    def err(i, ts_s, uid):
+        return (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts_s),
+            uid,
+            "error",
+            1.0,
+            '{"k": 1}',
+        )
+
+    def build(path):
+        # user 1: errors at t=0 and t=60 arrive first; the t=30 error
+        # arrives one batch later (within the 10 min watermark)
+        write_batch(spark, path, [err(1, 0, 1), err(3, 60, 1)], 0)
+        write_batch(spark, path, [err(2, 30, 1)], 1)
+        # flush sentinel: a far-future non-error pushes the watermark
+        # past every buffered row so the frontier timeout fires
+        write_batch(spark, path, [ev(999, 90_000, 99)], 2)
+
+    base_us = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+
+    p1 = str(tmp_path / "buffered")
+    build(p1)
+    buffered = sorted(
+        (r.user_id, r.event_id, r.ts_us)
+        for r in run_bounded(
+            cep_burst_buffered_stream(
+                stream_from(spark, p1), watermark="10 minutes"
+            )
+        ).collect()
+    )
+    # event-time truth: errors 1(t0), 2(t30), 3(t60) -> alert on id 3
+    assert buffered == [(1, 3, base_us + 60 * 1_000_000)]
+
+    p2 = str(tmp_path / "ordered")
+    build(p2)
+    ordered = sorted(
+        (r.user_id, r.event_id, r.ts_us)
+        for r in run_bounded(
+            cep_burst_stream(stream_from(spark, p2), watermark="10 minutes")
+        ).collect()
+    )
+    # arrival-order fold anchors the alert on the late row (id 2)
+    assert ordered == [(1, 2, base_us + 30 * 1_000_000)]
+
+
+def test_cep_buffered_matches_ordered_on_ordered_source(spark, tmp_path):
+    """On a per-user-ordered multi-batch source both kernels emit the
+    identical alert set (the buffered variant is a superset contract,
+    not a different semantics)."""
+    from eventstream_notify_spark.streaming.state import (
+        cep_burst_buffered_stream,
+        cep_burst_stream,
+    )
+
+    def err(i, ts_s, uid):
+        return (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts_s),
+            uid,
+            "error",
+            1.0,
+            '{"k": 1}',
+        )
+
+    def build(path):
+        # burst of 4 for user 1 split across batches (alert on 3rd),
+        # burst of 2 for user 2 (no alert), per-user arrival = ts order
+        write_batch(
+            spark, path, [err(1, 0, 1), err(2, 10, 1), err(10, 5, 2)], 0
+        )
+        write_batch(spark, path, [err(3, 20, 1), err(4, 30, 1)], 1)
+        write_batch(spark, path, [err(11, 40, 2), ev(999, 90_000, 99)], 2)
+
+    p1 = str(tmp_path / "b")
+    build(p1)
+    buffered = sorted(
+        (r.user_id, r.event_id)
+        for r in run_bounded(
+            cep_burst_buffered_stream(
+                stream_from(spark, p1), watermark="10 minutes"
+            )
+        ).collect()
+    )
+    p2 = str(tmp_path / "o")
+    build(p2)
+    ordered = sorted(
+        (r.user_id, r.event_id)
+        for r in run_bounded(
+            cep_burst_stream(stream_from(spark, p2), watermark="10 minutes")
+        ).collect()
+    )
+    assert buffered == ordered == [(1, 3)]
