@@ -135,6 +135,31 @@ def latency_mode(duration_s: float = 20.0, rate: int = 20, runs: int = 3) -> Non
         "org.apache.spark.sql.execution.streaming.state."
         "HDFSBackedStateStoreProvider",
     )
+    # pay JVM/codegen/Python-worker cold start on a throwaway bounded
+    # run of the SAME pipeline (dedup -> stateful rate limit ->
+    # foreachBatch) before any measured probe: run 1 previously
+    # carried a 7-8 s first commit that was all cold start, not
+    # pipeline latency (VERDICT r7 #2). The cold cost is reported
+    # separately instead of blended into run 1.
+    import tempfile as _tf
+
+    from eventstream_notify_spark.sources.events import file_events_stream
+    from eventstream_notify_spark.streaming.pipeline import start_pipeline
+
+    t_cold = time.time()
+    wq = start_pipeline(
+        file_events_stream(spark, "/root/testdata/sf0.001"),
+        _tf.mkdtemp(prefix="ckpt_latwarm_"),
+        lambda df, _eid: df.count(),
+        rate_window_s=86400,
+        available_now=True,
+    )
+    wq.awaitTermination()
+    cold_start_s = round(time.time() - t_cold, 2)
+    # file_events_stream re-tunes shuffle partitions (8); restore the
+    # probe's 4-partition state-store sizing for the measured runs
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
     results: list[dict] = []
     for i in range(runs):
         try:
@@ -157,6 +182,7 @@ def latency_mode(duration_s: float = 20.0, rate: int = 20, runs: int = 3) -> Non
         "runs": results,
         "p50_spread": spread,
         "stable": spread <= 2.0,
+        "cold_start_s": cold_start_s,  # paid once, before any probe
         "first_commit_s": [r["first_commit_s"] for r in results],
         "rate_ev_s": rate,
         "duration_s": duration_s,
