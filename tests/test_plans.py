@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.contract
+
 from eventstream_notify_spark.plans.explain import (
     assert_broadcast_join,
     assert_contains,
@@ -115,25 +117,30 @@ _STREAMING_EXECUTORS = (
 )
 
 
-def test_every_query_plan_is_scale_clean(spark):
-    """The round-5 plan sweep as a permanent gate: every registered
+def scale_clean_failures(spark, names) -> list[str]:
+    """The round-5 plan sweep as a reusable gate body: each named
     BATCH query must plan (a) zero CartesianProduct, (b) row-at-a-time
     Python eval only in the UDTF allowlist, (c) no unpartitioned
-    Window outside the domain-bounded allowlist."""
+    Window outside the domain-bounded allowlist.  The allowlist-
+    staleness check (``allowlisted but clean``) only fires when the
+    sweep covers the full registry — a subset sweep that misses an
+    allowlisted name must not flag it."""
     from eventstream_notify_spark.plans.explain import (
         plan_str,
         unpartitioned_windows,
     )
 
+    reg = queries()
+    full_sweep = set(names) >= set(reg)
     failures: list[str] = []
-    for name, fn in sorted(queries().items()):
+    for name in sorted(names):
         if any(
             name.startswith(p) or name.removeprefix("zx_").startswith(p)
             for p in _STREAMING_EXECUTORS
         ):
             continue
         try:
-            df = fn(spark, SF)
+            df = reg[name](spark, SF)
         except Exception as ex:  # noqa: BLE001 — collect, don't abort
             failures.append(f"{name}: builder raised {ex!r:.120}")
             continue
@@ -148,10 +155,20 @@ def test_every_query_plan_is_scale_clean(spark):
         bad = unpartitioned_windows(df)
         if bad and name not in UNPARTITIONED_WINDOW_ALLOWLIST:
             failures.append(f"{name}: unpartitioned window {bad[0][:90]}")
-        if not bad and name in UNPARTITIONED_WINDOW_ALLOWLIST:
+        if full_sweep and not bad and name in UNPARTITIONED_WINDOW_ALLOWLIST:
             failures.append(
                 f"{name}: allowlisted but clean — remove from allowlist"
             )
+    return failures
+
+
+def test_contract_query_plans_are_scale_clean(spark):
+    """Fast-lane slice of the plan sweep: the 49 SURVEY §2 contract
+    queries only.  The full 253-query sweep lives in
+    tests/test_plans_full.py (unmarked, full-matrix only)."""
+    from test_registry_contract import CONTRACT
+
+    failures = scale_clean_failures(spark, CONTRACT)
     assert not failures, "\n".join(failures)
 
 

@@ -4,6 +4,10 @@ driver's 50-entry correctness window."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.contract
+
 from eventstream_notify_spark.registry import EXTRA_PREFIX, lookup, queries
 
 # The 49 SURVEY §2 contract query names, verbatim (§2.A-§2.F).

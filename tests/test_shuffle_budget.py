@@ -11,6 +11,8 @@ ReusedExchange — including reused broadcasts — excluded).
 
 import pytest
 
+pytestmark = pytest.mark.contract
+
 from eventstream_notify_spark.plans.explain import exchange_count
 from eventstream_notify_spark.registry import lookup
 

@@ -51,21 +51,15 @@ def frame_fingerprint(df: pd.DataFrame) -> tuple[int, tuple, int]:
     return len(df), tuple(cols), hash(tuple(rows))
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    # accept bare names for zx_-prefixed extras; reject unknown names
-    # loudly (a typo'd subset used to match nothing and print ALL OK)
-    only = set()
-    known = set(entrymod.queries())
-    for arg in sys.argv[2:]:
-        if arg in known:
-            only.add(arg)
-        elif f"zx_{arg}" in known:
-            only.add(f"zx_{arg}")
-        else:
-            print(f"unknown query: {arg}")
-            return 2
-    spark = get_spark("oracle-check")
+def run_sweep(sf_dir: str, only: set[str] | None = None, spark=None) -> list[str]:
+    """Run the Spark-vs-DuckDB sweep and return the failing query names.
+
+    ``only`` restricts the sweep to a name subset; ``spark`` lets a
+    caller (e.g. the ``-m contract`` pytest lane) reuse an existing
+    session instead of paying a second JVM spin-up.
+    """
+    if spark is None:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -111,7 +105,24 @@ def main() -> int:
             print("  first diffs (spark vs duckdb):")
             print(pd.concat([merged[bad].head(3), omerged[bad].head(3)]).to_string())
     print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
-    return 1 if failures else 0
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # accept bare names for zx_-prefixed extras; reject unknown names
+    # loudly (a typo'd subset used to match nothing and print ALL OK)
+    only = set()
+    known = set(entrymod.queries())
+    for arg in sys.argv[2:]:
+        if arg in known:
+            only.add(arg)
+        elif f"zx_{arg}" in known:
+            only.add(f"zx_{arg}")
+        else:
+            print(f"unknown query: {arg}")
+            return 2
+    return 1 if run_sweep(sf_dir, only) else 0
 
 
 if __name__ == "__main__":
