@@ -14,6 +14,10 @@ Parity targets (VERDICT r5 "What's missing" #1/#2):
   RFC 6455 WebSocket (stdlib-only handshake + frame codec), so the
   reference's actual client protocol connects directly: text frames,
   ping/pong keep-alive, close-frame echo.
+- ``GET /`` — the static dashboard page (static/dashboard.html): the
+  repo counterpart of the reference's React dashboard (WebUI.jpg; the
+  reference's dashboard/ directory itself is empty), consuming ``/ws``
+  with an SSE fallback and rendering total/users/rate + the live feed.
 
 The hub is the in-process stand-in for Redis: the keyed SET store
 plus the PUBLISH fan-out (reference: auto_kafka_redis.py:370-380).
@@ -34,6 +38,7 @@ import socket
 import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
 # RFC 6455 §1.3 handshake GUID (a protocol constant, not a secret)
@@ -152,6 +157,16 @@ def _make_handler(hub: ServingHub):
 
         def do_GET(self):  # noqa: N802 — http.server API
             parsed = urlparse(self.path)
+            if parsed.path in ("/", "/dashboard"):
+                body = (
+                    Path(__file__).parent / "static" / "dashboard.html"
+                ).read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if parsed.path == "/stats":
                 # the dashboard's data feeds (C1-C4: total, per-user,
                 # distinct users, rate/min) computed over the hub

@@ -302,3 +302,27 @@ def test_pipeline_to_websocket_end_to_end(spark, sf_dir, tmp_path):
         s.close()
     finally:
         srv.stop()
+
+
+def test_dashboard_page_served():
+    """GET / serves the static dashboard (the reference React UI's
+    counterpart, WebUI.jpg): HTML that wires itself to /ws with an
+    SSE /stream fallback and renders the C1-C4 stat panels."""
+    hub = ServingHub()
+    srv = EventsHttpServer(hub)
+    port = srv.start()
+    try:
+        for path in ("/", "/dashboard"):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=10
+            ) as resp:
+                assert resp.status == 200
+                assert resp.headers["Content-Type"].startswith("text/html")
+                page = resp.read().decode()
+            assert "event-stream" in page
+            assert "/ws?last_n=" in page  # live protocol
+            assert "/stream?last_n=" in page  # SSE fallback
+            for panel in ("USER STATS", "RATE", "events/min"):
+                assert panel in page
+    finally:
+        srv.stop()
