@@ -471,7 +471,17 @@ def _embedding_nn(
     and shuffles only (vec_id, label, band) id-rows, never vectors."""
     e = table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
     if not banded:
-        a, b = e.alias("a"), e.alias("b")
+        # The label block join broadcasts the small build side, so the
+        # probe side's task count IS the pair-expansion parallelism —
+        # and a compact parquet corpus arrives as ONE input split,
+        # serializing the whole quadratic block expansion onto one
+        # core (measured: 26 min single-threaded at 10x sf0.1).
+        # Repartition the probe side by vec_id first: one narrow
+        # vector-sized shuffle buys executor-bound parallelism for the
+        # O(block²) cosine folds that dominate this operator.
+        par = spark.sparkContext.defaultParallelism
+        a = e.repartition(par, "vec_id").alias("a")
+        b = e.alias("b")
         pairs = a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
@@ -1181,6 +1191,219 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rer.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+IVFPQ_TRAIN_CAP = 2048  # codebook training sample — a FIXED budget
+# (FAISS trains quantizers on a bounded sample offline), so training
+# cost is corpus-size-independent by construction
+IVFPQ_ITERS = 10  # numpy Lloyd rounds on the 2048-row sample (driver)
+
+
+@register("sim_search_ivfpq", extra=True)  # rows-only: sampled Lloyd codebooks
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #5 — IVF+PQ composed, the FAISS IndexIVFPQ
+    deployment shape (Jégou et al., TPAMI'11 §V): the coarse quantizer
+    cuts CANDIDATES (each query probes its top-{IVF_NPROBE} cells),
+    product quantization of the RESIDUAL x − c(x) cuts BYTES PER
+    CANDIDATE (8 code ids instead of 64 floats), and an exact re-rank
+    of the ADC shortlist restores precision. Complements the siblings:
+    ``sim_search_ivf`` demonstrates candidate cutting alone,
+    ``sim_search_pq`` byte cutting alone with in-Spark distributed
+    Lloyd; this one composes both and trains its codebooks the way
+    production systems actually do — numpy Lloyd on a FIXED
+    {IVFPQ_TRAIN_CAP}-row sample collected once (≤512 KiB; training
+    cost independent of corpus size), while assignment, encoding, ADC
+    scoring and re-rank all stay distributed broadcast-equi-join
+    plans.
+
+    Scoring uses the inner-product decomposition q·x̃ = q·c(x) +
+    Σ_m q_m·pc_m[code_m(x)] — exact for the reconstructed vector, and
+    equal to cosine ranking here because the corpus is unit-norm. The
+    q·c term rides the probe frame (one row per query×cell); the
+    Σ LUT term is a broadcast (query, sub, code) partial-dot table, so
+    a database vector's approximate score is {PQ_M} lookups + one add.
+    Rows-only: recall@5 vs exact is pinned in tests and bench
+    --recall."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        ).withColumn("cn", l2_norm("ce"))
+    )
+    # ---- offline training (bounded): deterministic hash-ordered
+    # sample + the broadcast-sized centroid set, residual PQ codebooks
+    # fit with numpy Lloyd. Both collects are bounded by design
+    # constants (sample cap; centroids are the broadcast side of every
+    # IVF plan), not by corpus size.
+    sample = np.array(
+        [
+            r.embedding
+            for r in e.orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(IVFPQ_TRAIN_CAP)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.array(
+        [r.ce for r in cent.collect()], dtype=np.float64
+    )  # (K, d), cid order = collect order; only geometry matters here
+    cn = np.linalg.norm(C, axis=1)
+    own = (sample @ C.T / cn).argmax(axis=1)
+    resid = sample - C[own]
+    books = []
+    for m in range(PQ_M):
+        S = resid[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        cb = S[:PQ_KCODES].copy()  # deterministic init: first k rows
+        for _ in range(IVFPQ_ITERS):
+            a = (
+                ((S[:, None, :] - cb[None, :, :]) ** 2).sum(-1).argmin(1)
+            )
+            for k in range(PQ_KCODES):
+                if (a == k).any():
+                    cb[k] = S[a == k].mean(0)
+        books.extend(
+            (m, k, [float(x) for x in cb[k]]) for k in range(PQ_KCODES)
+        )
+    book = F.broadcast(
+        spark.createDataFrame(books, "sub int, code int, pc array<double>")
+    )
+
+    # ---- distributed encode: coarse assign (argmax hash-agg), then
+    # per-subspace residual -> nearest code (min_by hash-agg). The
+    # corpus's search-time representation is (cid, 8 small ints).
+    assign = (
+        e.crossJoin(cent)
+        .withColumn("cscore", dot("embedding", "ce") / F.col("cn"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                F.struct(F.col("cid"), F.col("ce")),
+                F.struct(F.col("cscore"), (-F.col("cid")).alias("nc")),
+            ).alias("cc"),
+        )
+        .select(
+            "vec_id",
+            F.col("cc.cid").alias("cid"),
+            F.zip_with(
+                "embedding",
+                F.col("cc.ce"),
+                lambda x, c: x.cast("double") - c.cast("double"),
+            ).alias("resid"),
+        )
+    )
+    codes = (
+        assign.select(
+            "vec_id",
+            "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+            "resid",
+        )
+        .select(
+            "vec_id",
+            "cid",
+            "sub",
+            F.expr(f"slice(resid, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
+                "rv"
+            ),
+        )
+        .join(book, "sub")
+        .withColumn("d", _l2sq(F.col("rv"), F.col("pc")))
+        .groupBy("vec_id", "cid", "sub")
+        .agg(
+            F.min_by(F.col("code"), F.struct(F.col("d"), F.col("code"))).alias(
+                "code"
+            )
+        )
+    )
+
+    # ---- query side: multiprobe top-P cells, q·c carried per probe
+    qv = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm("embedding").alias("qnrm"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    probe = F.broadcast(
+        qv.crossJoin(cent)
+        .withColumn("cscore", dot("qe", "ce") / F.col("cn"))
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= IVF_NPROBE)
+        .select(
+            "query_id",
+            F.col("cid").alias("qcid"),
+            dot("qe", "ce").alias("qc_part"),
+        )
+    )
+    lut = F.broadcast(
+        qv.select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+            "qe",
+        )
+        .select(
+            "query_id",
+            "sub",
+            F.expr(f"slice(qe, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
+                "qs"
+            ),
+        )
+        .join(book, "sub")
+        .select("query_id", "sub", "code", dot("qs", "pc").alias("part"))
+    )
+
+    # ---- ADC: candidates = codes in probed cells; approximate dot =
+    # q·c + Σ_m LUT[m][code]. Partial aggregation shrinks the
+    # (candidate × sub) frame map-side before the (query, vec) agg.
+    scored = (
+        codes.join(
+            probe,
+            (F.col("cid") == F.col("qcid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .join(lut, ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg((F.first("qc_part") + F.sum("part")).alias("adc"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    nrow = e.agg(F.count("*").alias("__n"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .crossJoin(F.broadcast(nrow))
+        .filter(
+            F.col("rn")
+            <= F.least(
+                F.lit(PQ_SHORTLIST_CAP),
+                F.greatest(F.lit(PQ_SHORTLIST_MIN), F.col("__n") / 10),
+            )
+        )
+        .select("query_id", "vec_id")
+    )
+    # ---- exact re-rank of the shortlist (same tail as sim_search_pq)
+    ec = e.withColumn("nrm", l2_norm("embedding"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        ec.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )

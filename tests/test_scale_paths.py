@@ -123,6 +123,33 @@ def test_ivf_multiprobe_recall_floor(spark):
         assert rec >= 0.8, f"{qname} recall@5 {rec:.3f} < 0.8"
 
 
+def test_ivfpq_recall_floor_and_shape(spark):
+    """IVFPQ (coarse cells cut candidates, residual PQ cuts bytes,
+    exact re-rank restores precision) must clear a 0.8 recall@5 floor
+    at sf0.01 (measured 0.90 there, 0.815 at sf0.1 — the bench
+    --recall gate pins 0.7 at the bench SF), with exact final scores
+    (the re-rank emits true cosine, so every returned score must
+    equal the exact operator's score for that same pair)."""
+    from collections import defaultdict
+
+    sf = "/root/testdata/sf0.01"
+    qs = queries()
+    exact_rows = qs["sim_search_cosine"](spark, sf).collect()
+    exact = defaultdict(set)
+    escore = {}
+    for r in exact_rows:
+        exact[r.query_id].add(r.vec_id)
+        escore[(r.query_id, r.vec_id)] = r.score
+    approx = defaultdict(set)
+    for r in qs["zx_sim_search_ivfpq"](spark, sf).collect():
+        approx[r.query_id].add(r.vec_id)
+        if (r.query_id, r.vec_id) in escore:
+            assert abs(r.score - escore[(r.query_id, r.vec_id)]) < 1e-9
+    assert exact.keys() == approx.keys()
+    rec = sum(len(exact[q] & approx[q]) / 5.0 for q in exact) / len(exact)
+    assert rec >= 0.8, f"ivfpq recall@5 {rec:.3f} < 0.8"
+
+
 def test_kmeans_ivf_shape_and_scores(spark, sf_dir):
     out = queries()["zx_sim_search_ivf_kmeans"](spark, sf_dir).collect()
     per_query = {}

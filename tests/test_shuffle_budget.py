@@ -88,9 +88,14 @@ BUDGETS = {
     "watermark_lateness_audit": 2,
     "text_bm25": 5,
     "text_collocations": 5,
-    "dedup_near_embedding": 1,
+    "dedup_near_embedding": 2,  # +1: probe-side repartition(vec_id) so
+    # the broadcast block join's pair expansion parallelizes past the
+    # corpus's input-split count (one split = one core otherwise)
     "graph_triangles": 10,    # class-graph algebra (bounded frames)
     "corpus_curation": 2,
+    "sim_search_ivfpq": 5,  # coarse-assign agg + encode agg + ADC agg
+    # + shortlist window + re-rank window; sample/centroid collects
+    # and every join side are broadcast
     "sim_search_pq": 6,  # +1: in-plan 1-row corpus-count agg sizing
     # the ADC shortlist (replaced a dedicated count() job)
     "llm_bpe_encode": 2,
