@@ -437,9 +437,23 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skewed bucket (one giant near-dup class) from quadratic pair growth
 # at 100 TB. The probe side is never capped, so every vector still
 # probes all its buckets and full coverage (everyone keeps a
-# neighbor) holds as long as any of its 12 probe buckets retains a
+# neighbor) holds as long as any of its probe buckets retains a
 # true neighbor; recall effect measured in tests/test_scale_paths.py.
 NN_BUCKET_CAP = 256
+
+# Adaptive band width: bits per band sized so the EXPECTED bucket
+# occupancy stays ~NN_TARGET_BUCKET as the corpus grows — fixed-width
+# banding collapses at scale (measured at 10x sf0.1: buckets grew to
+# ~500 members, the cap then dropped true neighbors from every probe
+# bucket and same-NN recall fell 0.998 -> 0.59). Production LSH sizes
+# hash widths with log N for exactly this reason.
+NN_TARGET_BUCKET = 64
+NN_BANDS = 4
+NN_MIN_BITS, NN_MAX_BITS = 2, 8
+# Double-flip probe budget: pairwise flips are probed only among the
+# NN_PROBE_DOUBLES lowest-|margin| bits (margin-pruned multiprobe, Lv
+# et al.), keeping the quadratic probe tier constant in band width.
+NN_PROBE_DOUBLES = 4
 
 
 def _embedding_nn(
@@ -455,19 +469,26 @@ def _embedding_nn(
     stages — the scoring/rank tail is literally shared.
 
     Banded path: candidates must share (label, band_idx, band_key) —
-    4 bands × 2 hyperplane sign-bits (planes shared with
-    ``ann_lsh_buckets``). Each vector probes its own band key PLUS the
-    two Hamming-1 neighbor keys (multiprobe union), so a pair is a
-    candidate iff ANY band differs in ≤1 bit — i.e. a true-NN pair is
-    missed only when ALL 8 sign bits differ. Measured on this corpus,
-    that residual is 3/500 true-NN pairs at sf0.01 and 3/2000 at sf0.1
-    (0 at sf0.001) — which is exactly why the EXACT variant keeps the
-    coarser label blocking: sign-bit banding on unstructured
-    embeddings cannot certify coverage of the last ~0.6%, and no union
-    of neighbor buckets short of the full block closes it. At 100 TB
-    (real near-dups, cosine ≫ 0), the residual vanishes
+    NN_BANDS bands × ADAPTIVE hyperplane sign-bits (deterministic
+    integer planes shared with ``ann_lsh_buckets``; bits per band
+    sized from one scalar profiling action so expected bucket
+    occupancy stays ~NN_TARGET_BUCKET as the corpus densifies —
+    fixed 2-bit bands measured a 0.998→0.59 same-NN collapse at 10x
+    sf0.1 once buckets outgrew the cap). Each vector probes its own
+    band key, every single-bit flip, and the pairwise flips of its
+    NN_PROBE_DOUBLES lowest-|margin| bits (margin-pruned multiprobe,
+    Lv et al. 2007): a disagreement bit is precisely one where the
+    vector sits close to the plane, so low-margin flips are the
+    highest-probability neighbor buckets, and the quadratic probe
+    tier stays constant in band width. Measured at the 10x-sf0.1
+    decade (20k vectors, bits=5): same-NN 0.918 / close-score 0.994
+    vs full Hamming-≤2's 0.940 at 1.5x the time — which is exactly
+    why the EXACT variant keeps the coarser label blocking: sign-bit
+    banding on unstructured embeddings cannot certify coverage of the
+    last few %, and no probe union short of the full block closes it.
+    At 100 TB (real near-dups, cosine ≫ 0), the residual vanishes
     exponentially in agreed bits and the multiprobe path is the one
-    that survives: its join key splits label blocks 4-ways per band
+    that survives: its join key splits label blocks per band
     and shuffles only (vec_id, label, band) id-rows, never vectors."""
     e = table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
     if not banded:
@@ -497,16 +518,107 @@ def _embedding_nn(
             ).alias("score"),
         )
     else:
-        bands = F.array(
-            *[(_plane_bit(2 * b) * 2 + _plane_bit(2 * b + 1)) for b in range(4)]
+        # ---- adaptive band width: one scalar profiling action (the
+        # dedup_near precedent) sizes bits so expected bucket occupancy
+        # stays ~NN_TARGET_BUCKET — the signature gets FINER as the
+        # corpus gets denser, which is what keeps the bucket cap a
+        # safety valve instead of a recall killer (see NN_TARGET_BUCKET
+        # note; measured 0.998 -> 0.59 collapse with fixed 2-bit bands
+        # at 10x sf0.1).
+        import math
+
+        prof = e.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("label").alias("nl"),
+        ).first()
+        bits = min(
+            NN_MAX_BITS,
+            max(
+                NN_MIN_BITS,
+                math.ceil(
+                    math.log2(
+                        max(prof.n / max(prof.nl, 1) / NN_TARGET_BUCKET, 1.0)
+                    )
+                ),
+            ),
         )
+        # NOTE on centering: hashing the residual x − centroid(label)
+        # balances buckets perfectly but DESTROYS similarity
+        # preservation in the raw space (residual directions of true
+        # NN pairs are weakly correlated in 64-d: measured same-NN
+        # fell 0.77 → 0.68 at 10x). Buckets are therefore balanced by
+        # adaptive WIDTH and compensated by MARGIN-AWARE multiprobe
+        # instead (below).
+        #
+        # The probe set is the Lv et al. multi-probe refinement — a
+        # true neighbor disagrees exactly on the bits where THIS
+        # vector sits closest to the hyperplane, so probing flips of
+        # the lowest-|margin| bits buys most of full-Hamming recall at
+        # a probe count CONSTANT in band width (full Hamming-<=2 is
+        # quadratic: 37 probes/band at 8 bits).
+        #
+        # Evaluation-count trap (measured +27 s at the 10x decade):
+        # the plane dots are interpreted higher-order folds with no
+        # common-subexpression elimination, so any expression tree
+        # referencing a dot twice evaluates the 64-dim fold twice.
+        # The posexplode generator below is the materialization
+        # barrier: its input (all bands' dot arrays) is evaluated
+        # ONCE per row, and `darr` is then a physical attribute, so
+        # the key/rank/mask derivations are cheap element accesses.
+        per_band = e.select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.array(
+                            *[_plane_dot(bits * b + j) for j in range(bits)]
+                        )
+                        for b in range(NN_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "darr"),
+        )
+        key = sum(
+            F.when(F.col("darr")[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(bits)
+        )
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.col("darr")[j]).alias("m"),
+                        F.lit(1 << j).alias("k"),
+                    )
+                    for j in range(bits)
+                ]
+            )
+        )
+        nflip = min(NN_PROBE_DOUBLES, bits)
+        low = [ranked[i]["k"] for i in range(nflip)]
+        masks = [F.lit(0)]
+        # all single-bit flips (the per-band Hamming-1 guarantee —
+        # linear in band width) ...
+        masks += [F.lit(1 << j) for j in range(bits)]
+        # ... plus doubles restricted to the lowest-margin bits (the
+        # quadratic tier, margin-pruned to a constant)
+        masks += [
+            low[i].bitwiseOR(low[j])
+            for i in range(nflip)
+            for j in range(i + 1, nflip)
+        ]
         # candidate generation shuffles ONLY (vec_id, label, band) —
         # ids, never vectors; a pair colliding in several bands dedups
         # while rows are still narrow, and only surviving pairs pay the
         # dim-length cosine fold after re-attaching embeddings
-        sig_full = e.select(
-            "vec_id", "label", F.posexplode(bands).alias("band_idx", "band_key")
+        sig_all = per_band.select(
+            "vec_id",
+            "label",
+            "band_idx",
+            key.alias("band_key"),
+            F.array(*masks).alias("masks"),
         )
+        sig_full = sig_all.select("vec_id", "label", "band_idx", "band_key")
         sig = sig_full
         if bucket_cap is not None:
             # pair budget: cap CANDIDATE-side bucket membership at
@@ -514,7 +626,7 @@ def _embedding_nn(
             # input-stable sample — not lowest-id, which would bias
             # which vectors are ever findable). Narrow id rows only.
             # The PROBE side below stays uncapped: every vector still
-            # probes all 12 of its buckets, so full coverage only needs
+            # probes all of its buckets, so full coverage only needs
             # one probe bucket to retain a true neighbor.
             wb = Window.partitionBy("label", "band_idx", "band_key").orderBy(
                 F.xxhash64("vec_id"), F.col("vec_id")
@@ -524,18 +636,22 @@ def _embedding_nn(
                 .filter(F.col("__bn") <= bucket_cap)
                 .drop("__bn")
             )
-        # multiprobe side: own key ∪ both Hamming-1 neighbor keys.
-        # One-sided expansion suffices — probe(a) ∩ own(b) ≠ ∅ iff the
-        # band keys differ in ≤1 bit, and that predicate is symmetric.
-        probe = sig_full.select(
+        # multiprobe side: own key ∪ the margin-ranked flip keys. The
+        # expansion is one-sided and asymmetric-by-margin: probe(a)
+        # hits own(b) when the key diff is within a's flip set, and a
+        # disagreement bit is precisely a bit where a sits close to
+        # the plane — so a's lowest-margin flips are the highest-
+        # probability buckets for a's true neighbors. Probes reuse the
+        # same buckets, so candidate volume is bounded by probe count
+        # x capped bucket size, never corpus size.
+        probe = sig_all.select(
             "vec_id",
             "label",
             "band_idx",
             F.explode(
-                F.array(
-                    F.col("band_key"),
-                    F.col("band_key").bitwiseXOR(F.lit(1)),
-                    F.col("band_key").bitwiseXOR(F.lit(2)),
+                F.transform(
+                    "masks",
+                    lambda m: F.col("band_key").bitwiseXOR(m),
                 )
             ).alias("band_key"),
         )
@@ -618,9 +734,11 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )  # rows-only: banded-LSH recall is approximate by design
 def dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, the 100 TB blocking: (label, band_idx,
-    band_key) equi-join with Hamming-1 multiprobe — misses a true NN
-    only when all 8 sign bits differ (measured ≥99.4% exact-NN recall
-    on this corpus, 100% at sf0.001). Same plan tail as the exact
+    band_key) equi-join with DENSITY-ADAPTIVE band width and
+    margin-pruned multiprobe (all single flips + lowest-margin double
+    flips). Measured same-NN recall vs the exact sibling: 1.00 at
+    sf0.1, 0.918 at the 10x decade (close-score 0.994; the fixed-width
+    variant collapsed to 0.59 there). Same plan tail as the exact
     sibling (``_embedding_nn``). Rows-only: recall vs the exact
     sibling is pinned by tests instead of an oracle."""
     return _embedding_nn(spark, sf_dir, banded=True)
@@ -2029,4 +2147,325 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.when(first.isNull(), F.lit(0.0)).otherwise(1.0 / first), 6
         ).alias("reciprocal_rank"),
+    )
+
+# nDCG@10 machinery: the log2 discount is pre-scaled to exact integer
+# weights (round(1e6 / log2(rank+1)) for ranks 1..10) so the per-query
+# DCG is an ORDER-INDEPENDENT integer sum in both engines — the BM25
+# trick applied to ranking metrics (float log/sum order would differ
+# between Spark's partial aggregation and DuckDB's). _NDCG_P holds the
+# ideal-DCG prefix sums for 1..10 relevant items.
+_NDCG_W = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_P = (
+    1000000, 1630930, 2130930, 2561607, 2948460,
+    3304667, 3638000, 3953465, 4254495, 4543560,
+)
+
+
+@register(
+    "retrieval_eval_ndcg",
+    extra=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {l2_norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel,
+                 embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+           FROM e GROUP BY label),
+    ranked AS (
+        SELECT q.query_id, q.qlabel, e.label,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND({cosine_sql('q.qe', 'e.embedding')}, 6)
+                       DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    d AS (
+        SELECT query_id, qlabel,
+               CAST(SUM(CASE WHEN label = qlabel
+                    THEN ({list(_NDCG_W)})[rnk] ELSE 0 END)
+                   AS BIGINT) AS dcg_s
+        FROM ranked WHERE rnk <= {EVAL_K}
+        GROUP BY query_id, qlabel
+    )
+    SELECT d.query_id,
+           CAST(nl.n_label - 1 AS BIGINT) AS n_rel,
+           ROUND(d.dcg_s / 1000000.0::DOUBLE, 6) AS dcg,
+           ROUND(CASE WHEN nl.n_label <= 1 THEN 0.0::DOUBLE
+                 ELSE CAST(d.dcg_s AS DOUBLE)
+                      / ({list(_NDCG_P)})[LEAST(nl.n_label - 1, {EVAL_K})]
+                 END, 6) AS ndcg
+    FROM d JOIN nl ON d.qlabel = nl.label
+    """,
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 retrieval evaluation (labels as binary relevance) —
+    complements ``retrieval_eval_mrr``: MRR scores only the FIRST
+    relevant hit, nDCG scores the whole ranked list with a graded
+    position discount, which is the metric that moves when an ANN
+    path returns the right set in the wrong order. The log2 discount
+    is integer-pre-scaled (module constants) so DCG is an exact
+    integer sum in both engines; the ideal DCG divides once at the
+    end (n_label from a broadcast per-label count; same broadcast-
+    query × corpus scoring pass as the MRR twin, so the 100 TB shape
+    is unchanged)."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", l2_norm("embedding")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    nl = e.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_label")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id")
+    )
+    ranked = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "label",
+            "vec_id",
+            F.round(
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("s"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= EVAL_K)
+    )
+    warr = F.array(*[F.lit(x) for x in _NDCG_W])
+    parr = F.array(*[F.lit(x) for x in _NDCG_P])
+    rel = F.col("label") == F.col("qlabel")
+    dcg = ranked.groupBy("query_id", "qlabel").agg(
+        F.sum(
+            F.when(rel, F.element_at(warr, F.col("rnk"))).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dcg_s")
+    )
+    return dcg.join(F.broadcast(nl), dcg.qlabel == nl.label).select(
+        "query_id",
+        (F.col("n_label") - 1).cast("bigint").alias("n_rel"),
+        F.round(F.col("dcg_s") / F.lit(1000000.0), 6).alias("dcg"),
+        F.round(
+            F.when(F.col("n_label") <= 1, F.lit(0.0)).otherwise(
+                F.col("dcg_s").cast("double")
+                / F.element_at(
+                    parr,
+                    F.least(
+                        F.col("n_label") - 1, F.lit(EVAL_K)
+                    ).cast("int"),
+                )
+            ),
+            6,
+        ).alias("ndcg"),
+    )
+
+
+# Hybrid retrieval fusion constants: RRF_K0 is the standard rank
+# smoothing (Cormack et al. 2009), RRF_POOL the per-leg candidate pool
+# depth, FUSE_K the fused output cutoff.
+RRF_K0 = 60
+RRF_POOL = 20
+FUSE_K = 10
+
+
+@register(
+    "hybrid_rrf",
+    extra=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding, {l2_norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm
+          FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    vranked AS (
+        SELECT q.query_id, e.vec_id AS cand,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND({cosine_sql('q.qe', 'e.embedding')}, 6)
+                       DESC, e.vec_id
+               ) AS vec_rank
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    v AS (SELECT query_id, cand, vec_rank FROM vranked
+          WHERE vec_rank <= {RRF_POOL}),
+    tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+        FROM documents
+    ),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    idf AS (
+        SELECT term,
+               CAST(ROUND(1000000.0::DOUBLE
+                    * (s.n_docs - COUNT(*) + 0.5::DOUBLE)
+                    / (COUNT(*) + 0.5::DOUBLE)) AS BIGINT) AS idf_s
+        FROM tok CROSS JOIN stats s GROUP BY term, s.n_docs
+    ),
+    qtok AS (SELECT doc_id AS query_id, term FROM tok
+             WHERE doc_id % {QUERY_MOD} = 0),
+    lexs AS (
+        SELECT qt.query_id, t.doc_id AS cand,
+               CAST(SUM(i.idf_s) AS BIGINT) AS lex_s
+        FROM tok t
+        JOIN qtok qt ON t.term = qt.term
+        JOIN idf i ON t.term = i.term
+        WHERE t.doc_id <> qt.query_id
+        GROUP BY qt.query_id, t.doc_id
+    ),
+    lranked AS (
+        SELECT query_id, cand,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY lex_s DESC, cand
+               ) AS lex_rank
+        FROM lexs
+    ),
+    l AS (SELECT query_id, cand, lex_rank FROM lranked
+          WHERE lex_rank <= {RRF_POOL}),
+    fused AS (
+        SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+               COALESCE(v.cand, l.cand) AS doc_id,
+               CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+               CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+               ROUND(COALESCE(1.0::DOUBLE / ({RRF_K0} + v.vec_rank), 0.0)
+                     + COALESCE(1.0::DOUBLE / ({RRF_K0} + l.lex_rank), 0.0),
+                     6) AS rrf_score
+        FROM v FULL OUTER JOIN l
+          ON v.query_id = l.query_id AND v.cand = l.cand
+    )
+    SELECT query_id, doc_id, vec_rank, lex_rank, rrf_score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {FUSE_K}
+    """,
+)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009) — the production RAG shape: a VECTOR leg (exact cosine
+    top-20 per query over embeddings) and a LEXICAL leg (idf-weighted
+    distinct-token overlap over documents, an inverted-index
+    intersection) fused by rrf = Σ 1/(60 + rank), top-10 per query.
+    Uses doc_id = vec_id row alignment of the test corpus and the
+    same query set as the retrieval evals (vec_id % QUERY_MOD).
+
+    Cross-engine exactness: the lexical score is an integer sum of
+    pre-scaled Robertson idf weights (round(1e6·(N-df+.5)/(df+.5)) —
+    no log, no float-sum reorder), and the fused score is a fixed
+    two-term sum rounded to 6 before ranking.
+
+    100 TB shape: the lexical leg joins the corpus token postings to
+    a BROADCAST query-token list on term — the inverted-index probe;
+    df/idf and corpus stats also broadcast. The vector leg is the
+    shared broadcast-queries × corpus scan. Nothing but (query, cand,
+    rank) id-rows ever shuffles; per-leg pools bound the fusion join
+    at Q × RRF_POOL rows per side."""
+    from eventstream_notify_spark.operators.text import tokens_col
+
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", l2_norm("embedding")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("cand")
+    )
+    v = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand"),
+            F.round(
+                dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("s"),
+        )
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= RRF_POOL)
+        .select("query_id", "cand", "vec_rank")
+    )
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("term")
+    )
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    idf = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+            .cast("bigint")
+            .alias("idf_s"),
+        )
+    )
+    qtok = tok.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("lex_s").desc(), F.col("cand")
+    )
+    lex = (
+        tok.join(F.broadcast(qtok), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(idf), "term")
+        .groupBy("query_id", F.col("doc_id").alias("cand"))
+        .agg(F.sum("idf_s").cast("bigint").alias("lex_s"))
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= RRF_POOL)
+        .select("query_id", "cand", "lex_rank")
+    )
+    fused = v.join(lex, ["query_id", "cand"], "full").select(
+        "query_id",
+        F.col("cand").alias("doc_id"),
+        F.coalesce(F.col("vec_rank"), F.lit(0))
+        .cast("bigint")
+        .alias("vec_rank"),
+        F.coalesce(F.col("lex_rank"), F.lit(0))
+        .cast("bigint")
+        .alias("lex_rank"),
+        F.round(
+            F.coalesce(1.0 / (RRF_K0 + F.col("vec_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K0 + F.col("lex_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(wf).cast("bigint")
+        )
+        .filter(F.col("fused_rank") <= FUSE_K)
     )

@@ -96,6 +96,11 @@ WORK_MODEL = {
     "zx_graph_triangle_count": "pairs",
     "zx_dedup_near_embedding": "block_quadratic",  # exact; LSH sibling
     "zx_semdedup_prune": "block_quadratic",  # within-cluster all-pairs
+    # In THIS experiment both the new batch and the corpus index grow
+    # 10x, so candidate work grows ~batch x bucket = 100x; production
+    # holds the batch fixed (that's the point of incremental) and work
+    # is then linear in batch size alone.
+    "zx_dedup_incremental": "block_quadratic",
 }
 
 
@@ -134,6 +139,12 @@ def main() -> int:
         print("run tools/gen_scale_data.py first", file=sys.stderr)
         return 2
 
+    # 10x the data needs more than the default 8g local-JVM heap (32
+    # task threads share it; the 15.8M-edge pair graph OOMed the CC
+    # label propagation) — the audit sizes its own session like a
+    # cluster operator would size executors, unless the caller pinned
+    # a heap explicitly.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark("scale-decade")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup so the first family member isn't penalized
