@@ -3602,3 +3602,157 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(theta, 6).alias("theta"),
         )
     )
+
+
+# ------------------------------------------------------- survival curve
+
+KM_HORIZON_US = 600 * 1_000_000  # censored if still active in the last 10 min
+# ln factors integer-scaled (micro-nats) so the cumulative-hazard sum is
+# an exact BIGINT window sum in both engines; one exp at the end.
+_KM_DEAD = -999_999_999_999  # sentinel when everyone at risk dies: S -> 0
+
+
+@register(
+    "survival_km",
+    extra=True,
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    durs AS (
+        SELECT user_id,
+               (MAX(ts_us) - MIN(ts_us)) // 1000000 AS dur,
+               CASE WHEN MAX(ts_us) <= (
+                        SELECT MAX(ts_us) - {KM_HORIZON_US} FROM ev)
+                    THEN 1 ELSE 0 END AS is_event
+        FROM ev GROUP BY user_id
+    ),
+    c_all AS (
+        SELECT dur, CAST(COUNT(*) AS BIGINT) AS c FROM durs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur,
+               CAST((SELECT COUNT(*) FROM durs) AS BIGINT)
+                   - CAST(COALESCE(SUM(c) OVER (
+                         ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS n_risk
+        FROM c_all
+    ),
+    deaths AS (
+        SELECT dur AS t_s, CAST(COUNT(*) AS BIGINT) AS d
+        FROM durs WHERE is_event = 1 GROUP BY dur
+    ),
+    pts AS (
+        SELECT de.t_s, r.n_risk, de.d,
+               CASE WHEN de.d >= r.n_risk THEN {_KM_DEAD}
+                    ELSE CAST(ROUND(1000000.0::DOUBLE * LN(
+                        CAST(r.n_risk - de.d AS DOUBLE) / r.n_risk))
+                        AS BIGINT) END AS f_s
+        FROM deaths de JOIN risk r ON de.t_s = r.dur
+    )
+    SELECT t_s, n_risk, d,
+           ROUND(EXP(CAST(SUM(f_s) OVER (
+               ORDER BY t_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 1000000.0::DOUBLE), 6) AS surv
+    FROM pts
+    """,
+)
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes — the
+    product-analytics estimator behind every retention curve with
+    censoring done right: a user's lifetime is last-event − first-
+    event, quantized to whole seconds (second-resolution curves keep
+    the distinct-lifetime table domain-bounded — µs resolution would
+    make it user-cardinality), and users still active in the stream's
+    final 10 minutes are CENSORED (they inform the at-risk counts but
+    contribute no death), which a naive retention histogram gets
+    wrong.
+
+    Cross-engine exactness: per event-time factors ln((n−d)/n) are
+    integer-scaled to micro-nats, the cumulative hazard is an exact
+    BIGINT running sum, and exp/ROUND happen once per output row.
+    S(t) hits exactly 0 via a sentinel when the last at-risk user
+    dies (ln(0) has no integer encoding).
+
+    100 TB shape: one user-keyed aggregate over the fact (the only
+    fact shuffle), then everything downstream operates on DISTINCT
+    LIFETIMES (bounded by the time horizon, not the user count):
+    at-risk counts come from a cumulative window over the per-
+    duration count table — no per-user correlated subquery, no
+    fact self-join. The curve's row count is |distinct death times|,
+    small enough that the single-partition ordered window is the
+    domain-bounded case the plan gate allows."""
+    ev = _ev(spark, sf_dir)
+    horizon = ev.agg(
+        (F.max("ts_us") - F.lit(KM_HORIZON_US)).alias("h")
+    )
+    durs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.max("ts_us").alias("last_us"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "dur",
+            F.when(F.col("last_us") <= F.col("h"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_event"),
+        )
+    )
+    c_all = durs.groupBy("dur").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("is_event").cast("bigint").alias("d"),
+    )
+    n_total = durs.agg(F.count("*").cast("bigint").alias("n_total"))
+    w_lt = (
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pts = (
+        c_all.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("c").over(w_lt), F.lit(0))
+            ).cast("bigint"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("t_s"),
+            "n_risk",
+            "d",
+            F.when(F.col("d") >= F.col("n_risk"), F.lit(_KM_DEAD))
+            .otherwise(
+                F.round(
+                    F.lit(1000000.0)
+                    * F.log(
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk")
+                    )
+                )
+                .cast("bigint")
+            )
+            .alias("f_s"),
+        )
+    )
+    return pts.select(
+        "t_s",
+        "n_risk",
+        "d",
+        F.round(
+            F.exp(
+                F.sum("f_s").over(w_cum).cast("double") / F.lit(1000000.0)
+            ),
+            6,
+        ).alias("surv"),
+    )
