@@ -3685,46 +3685,41 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     small enough that the single-partition ordered window is the
     domain-bounded case the plan gate allows."""
     ev = _ev(spark, sf_dir)
-    horizon = ev.agg(
-        (F.max("ts_us") - F.lit(KM_HORIZON_US)).alias("h")
+    durs0 = ev.groupBy("user_id").agg(
+        F.floor(
+            (F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.max("ts_us").alias("last_us"),
     )
-    durs = (
-        ev.groupBy("user_id")
-        .agg(
-            F.floor(
-                (F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0)
-            )
-            .cast("bigint")
-            .alias("dur"),
-            F.max("ts_us").alias("last_us"),
-        )
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            "dur",
-            F.when(F.col("last_us") <= F.col("h"), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("is_event"),
-        )
+    # Censor horizon as a bounded 1-row driver fold (the house pattern
+    # for global scalars): referencing durs0 from a second lazy branch
+    # re-plans the whole fact subtree — measured 4 parquet scans and 3
+    # user-agg Exchanges with zero runtime reuse. The fold costs one
+    # extra fact pass and collapses the main plan to a single chain.
+    hrow = durs0.agg(F.max("last_us").alias("m")).first()
+    h = (hrow.m or 0) - KM_HORIZON_US
+    durs = durs0.select(
+        "dur",
+        F.when(F.col("last_us") <= F.lit(h), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_event"),
     )
     c_all = durs.groupBy("dur").agg(
         F.count("*").cast("bigint").alias("c"),
         F.sum("is_event").cast("bigint").alias("d"),
     )
-    n_total = durs.agg(F.count("*").cast("bigint").alias("n_total"))
-    w_lt = (
-        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # at-risk = everyone whose lifetime is >= t: a suffix sum over the
+    # domain-bounded distinct-duration table (no total/cumulative pair,
+    # no second reference to the fact chain)
+    w_ge = Window.orderBy("dur").rowsBetween(0, Window.unboundedFollowing)
     w_cum = Window.orderBy("t_s").rowsBetween(
         Window.unboundedPreceding, 0
     )
     pts = (
-        c_all.crossJoin(F.broadcast(n_total))
-        .withColumn(
-            "n_risk",
-            (
-                F.col("n_total")
-                - F.coalesce(F.sum("c").over(w_lt), F.lit(0))
-            ).cast("bigint"),
+        c_all.withColumn(
+            "n_risk", F.sum("c").over(w_ge).cast("bigint")
         )
         .filter(F.col("d") > 0)
         .select(

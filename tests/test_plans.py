@@ -99,6 +99,10 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # the DECLARED single-window exact baseline; the scale path is
     # zx_skyline_pareto_bucketed (zero unpartitioned windows)
     "zx_skyline_pareto",
+    # survival-curve windows run over DISTINCT second-quantized
+    # lifetimes — bounded by the observation horizon in seconds, not
+    # by user count (lifetimes quantize exactly for this reason)
+    "zx_survival_km",
 }
 
 # Row-at-a-time Python eval tolerated only where it IS the point

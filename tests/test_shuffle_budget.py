@@ -117,6 +117,15 @@ BUDGETS = {
     "cusum_alert": 1,           # one user_id shuffle feeds both windows
     "stream_cusum_alert": 0,    # memory-sink read of the bounded run
     "stream_cep_burst_buffered": 0,  # memory-sink read of the bounded run
+    # --- r8 additions ---------------------------------------------
+    "hybrid_rrf": 8,   # per-leg: idf term agg (the only corpus-scale
+    # shuffle), 1-row doc count, (query,cand) agg + rank windows, and
+    # the Q-bounded fusion join — everything past the scans is
+    # query-set-cardinality
+    "retrieval_eval_ndcg": 2,   # label counts agg + per-query window
+    "survival_km": 3,  # user lifetime agg (the only fact shuffle) +
+    # domain-bounded duration aggregation and curve windows; censor
+    # horizon is a bounded 1-row driver fold
 }
 
 
