@@ -87,7 +87,10 @@ def _load_all() -> None:
         timeseries,
         vectors,
     )
-    from eventstream_notify_spark.streaming import pipeline  # noqa: F401
+    from eventstream_notify_spark.streaming import (  # noqa: F401
+        dedup,
+        pipeline,
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -126,6 +126,8 @@ BUDGETS = {
     "survival_km": 3,  # user lifetime agg (the only fact shuffle) +
     # domain-bounded duration aggregation and curve windows; censor
     # horizon is a bounded 1-row driver fold
+    "stream_dedup_exact": 0,    # memory-sink read of the bounded run
+    "stream_dedup_minhash": 2,  # post-stream distinct + degree agg
 }
 
 
