@@ -3751,3 +3751,190 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("surv"),
     )
+
+
+# ---------------------------------------------------- implicit ALS
+
+ALS_RANK = 4
+ALS_ITERS = 3
+ALS_ALPHA = 8.0    # implicit-feedback confidence: c = 1 + alpha*r
+ALS_LAMBDA = 0.5
+ALS_SCALE = 100_000  # user factors quantize to 1e-5 fixed-point
+ALS_TOPK = 3
+
+
+def _als_init_y(n_items: int) -> list[list[float]]:
+    """Deterministic item-factor init (the house integer-plane
+    formula, scaled to ~[-0.5, 0.5])."""
+    return [
+        [((i * 7 + f * 13) % 11 - 5) / 10.0 for f in range(ALS_RANK)]
+        for i in range(n_items)
+    ]
+
+
+@register("als_implicit", extra=True)  # rows-only: iterative trainer
+def als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IMPLICIT-FEEDBACK ALS (Hu/Koren/Volinsky 2008) —
+    the canonical Spark-scale recommender trainer, structured the way
+    the alternation actually distributes when one side is small
+    (items = event types) and one side is the data (users):
+
+    - USER STEP (distributed): the item factors broadcast as literals
+      and each user's rank-4 normal equations solve independently in
+      one ``applyInPandas`` pass — per-entity linear solves are the
+      case the built-in operators genuinely can't express. Solved
+      factors quantize to 1e-5 fixed-point BIGINTs.
+    - ITEM STEP (aggregate + bounded driver fold): XtX and the
+      per-item confidence-weighted moments are sums of PRODUCTS OF
+      INTEGERS (the quantized factors), so the shuffle-reduced sums
+      are order-independent and exact — the float-sum nondeterminism
+      every data-parallel trainer fights is engineered out, and the
+      |items| x 20 moment rows fold to the driver for five 4x4 numpy
+      solves (the logreg_train driver-fold pattern).
+
+    Three alternations, then per-user scoring of every item (fixed-
+    order dot product) with ALS_TOPK recommendations each. The whole
+    trainer is bit-deterministic: rows-only registration with an
+    exact-equality numpy twin in tests (not a tolerance check).
+
+    100 TB shape: per-iteration cost is one user-keyed pandas pass +
+    one integer agg; the fact shuffles once per iteration on user_id
+    and factors never leave their executor except as the 20-column
+    moment sums. Reference framing: SURVEY §2.X recsys family,
+    next to zx_recsys_item_cf (memory-based CF) as the model-based
+    sibling."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _ev(spark, sf_dir)
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("r")
+    )
+    # bounded driver fold: the item vocabulary (event types)
+    types = sorted(
+        row.event_type
+        for row in r.select("event_type").distinct().collect()
+    )
+    n_items = len(types)
+    type_map = F.create_map(
+        *[c for t, i in ((t, i) for i, t in enumerate(types)) for c in (F.lit(t), F.lit(i))]
+    )
+    ri = r.select(
+        "user_id", type_map[F.col("event_type")].alias("item"), "r"
+    )
+    y = np.array(_als_init_y(n_items), dtype=np.float64)
+
+    x_schema = "user_id long, xs array<long>"
+    pairs_ij = [
+        (i, j) for i in range(ALS_RANK) for j in range(i, ALS_RANK)
+    ]
+
+    X = None
+    for _ in range(ALS_ITERS):
+        y_list = y.tolist()  # broadcast as plain literals via closure
+
+        def solve_users(pdf: pd.DataFrame) -> pd.DataFrame:
+            yl = np.array(y_list, dtype=np.float64)
+            yty = yl.T @ yl
+            pdf = pdf.sort_values("item")  # fixed accumulation order
+            uid = int(pdf["user_id"].iloc[0])
+            a = yty + ALS_LAMBDA * np.eye(ALS_RANK)
+            b = np.zeros(ALS_RANK)
+            for it, rv in zip(pdf["item"], pdf["r"]):
+                yi = yl[int(it)]
+                a = a + ALS_ALPHA * float(rv) * np.outer(yi, yi)
+                b = b + (1.0 + ALS_ALPHA * float(rv)) * yi
+            x = np.linalg.solve(a, b)
+            xs = np.rint(x * ALS_SCALE).astype(np.int64)
+            return pd.DataFrame({"user_id": [uid], "xs": [list(xs)]})
+
+        X = ri.groupBy("user_id").applyInPandas(solve_users, x_schema)
+
+        # item step: exact integer moments. XtX over all users + the
+        # per-item confidence-weighted moments; both collect bounded
+        # (1 row / |items| rows) and descale on the driver.
+        xtx_row = X.agg(
+            *[
+                F.sum(F.col("xs")[i] * F.col("xs")[j]).alias(f"g_{i}_{j}")
+                for i, j in pairs_ij
+            ]
+        ).collect()[0]
+        moments = (
+            ri.join(X, "user_id")
+            .groupBy("item")
+            .agg(
+                *[
+                    F.sum(
+                        F.col("r") * F.col("xs")[i] * F.col("xs")[j]
+                    ).alias(f"s_{i}_{j}")
+                    for i, j in pairs_ij
+                ],
+                *[
+                    F.sum(F.col("xs")[i]).alias(f"bx_{i}")
+                    for i in range(ALS_RANK)
+                ],
+                *[
+                    F.sum(F.col("r") * F.col("xs")[i]).alias(f"br_{i}")
+                    for i in range(ALS_RANK)
+                ],
+            )
+            .collect()
+        )
+        s2 = float(ALS_SCALE) ** 2
+        xtx = np.zeros((ALS_RANK, ALS_RANK))
+        for i, j in pairs_ij:
+            v = xtx_row[f"g_{i}_{j}"] / s2
+            xtx[i, j] = xtx[j, i] = v
+        new_y = np.array(y)
+        for row in moments:
+            it = int(row.item)
+            a = xtx + ALS_LAMBDA * np.eye(ALS_RANK)
+            bvec = np.zeros(ALS_RANK)
+            for i, j in pairs_ij:
+                v = ALS_ALPHA * row[f"s_{i}_{j}"] / s2
+                a[i, j] += v
+                if i != j:
+                    a[j, i] += v
+            for i in range(ALS_RANK):
+                bvec[i] = (
+                    row[f"bx_{i}"] / ALS_SCALE
+                    + ALS_ALPHA * row[f"br_{i}"] / ALS_SCALE
+                )
+            new_y[it] = np.linalg.solve(a, bvec)
+        y = new_y
+
+    # score every (user, item): fixed-order dot of integer factors
+    # against item-factor literals, top-k per user with seen flag
+    scored = X.select(
+        "user_id",
+        F.posexplode(
+            F.array(
+                *[
+                    sum(
+                        F.col("xs")[i] * F.lit(float(y[it][i]))
+                        for i in range(ALS_RANK)
+                    )
+                    / F.lit(float(ALS_SCALE))
+                    for it in range(n_items)
+                ]
+            )
+        ).alias("item", "score"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("item")
+    )
+    inv_map = F.create_map(
+        *[c for i, t in enumerate(types) for c in (F.lit(i), F.lit(t))]
+    )
+    return (
+        scored.join(ri.select("user_id", "item", "r"), ["user_id", "item"], "left")
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= ALS_TOPK)
+        .select(
+            "user_id",
+            inv_map[F.col("item")].alias("event_type"),
+            F.round(F.col("score"), 6).alias("score"),
+            F.col("r").isNotNull().alias("seen"),
+            "rank",
+        )
+    )
