@@ -3077,3 +3077,160 @@ def llm_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ------------------------------------------------------- winnowing
+
+WINNOW_K = 3  # k-gram length (tokens per shingle)
+WINNOW_W = 4  # window: every W consecutive k-gram hashes yield >=1 fp
+WINNOW_MIN_SHARED = 2  # pair report floor (shared fingerprints)
+WINNOW_MAX_DF_FRAC = 0.01  # boilerplate cut: fp in >max(5, 1%) docs
+
+
+@register(
+    "text_winnowing",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, ts FROM toks
+        WHERE len(ts) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(1, len(ts) - {WINNOW_K + WINNOW_W - 3}),
+                   j -> list_min(list_transform(
+                       range(0, {WINNOW_W}),
+                       o -> md5(ts[j + o] || ' ' || ts[j + o + 1]
+                                || ' ' || ts[j + o + 2]))))) AS fp
+        FROM base
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM base),
+    keep AS (
+        SELECT fp FROM fps, n
+        GROUP BY fp, n_docs
+        HAVING COUNT(*) BETWEEN 2 AND
+               GREATEST(5, CAST(CEIL(n_docs * {WINNOW_MAX_DF_FRAC}) AS BIGINT))
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS shared_fps
+        FROM fps a
+        JOIN keep USING (fp)
+        JOIN fps b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, shared_fps FROM pairs
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+    2003 — the MOSS algorithm), set form: hash every token k-gram,
+    slide a window of W consecutive hashes, keep each window's
+    minimum. Guarantee: any shared token run of length >= K+W-1
+    (here 6) between two documents yields at least one SHARED
+    fingerprint — position-robust partial-overlap detection, where
+    `text_fingerprint` (the global-min W=infinity case) only catches
+    whole-document near-identity and `dedup_ngram` needs high whole-
+    set Jaccard. Density is ~2/(W+1) of k-grams, so the shuffled
+    fingerprint volume is a tunable fraction of the corpus; text
+    never shuffles.
+
+    Scale posture: candidate pairs come from an inverted-index
+    equi-join on fingerprints, never all-pairs; fingerprints above a
+    relative document-frequency ceiling (max(5, 1% of docs)) are
+    boilerplate and dropped BEFORE the join, so no bucket exceeds
+    max_df and pair output per fingerprint is bounded by max_df^2.
+    md5 window-minima are lexicographic string mins — identical in
+    DuckDB, so the full pipeline is oracle-checkable.
+
+    Reference scope: beyond-reference extension (the reference has no
+    text processing; north-star training-data curation surface)."""
+    d = table(spark, sf_dir, "documents")
+    # Tokenize ONCE per doc (the dedup_ngram lesson: inline
+    # element_at(tokens_col(), i) re-runs the regexp per element).
+    toked = (
+        d.select("doc_id", tokens_col().alias("ts"))
+        .filter(F.size("ts") >= WINNOW_K + WINNOW_W - 1)
+        .localCheckpoint(eager=True)
+    )
+    # Window j's fingerprint = min md5 of its W k-grams. The k-gram
+    # hashes are recomputed per covering window (<=W times each): a
+    # bounded constant factor that avoids materializing a second
+    # hash array per row.
+    starts = F.sequence(
+        F.lit(1), F.size("ts") - F.lit(WINNOW_K + WINNOW_W - 2)
+    )
+    window_min = lambda j: F.array_min(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), F.lit(WINNOW_W - 1)),
+            lambda o: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at("ts", j + o),
+                    F.element_at("ts", j + o + 1),
+                    F.element_at("ts", j + o + 2),
+                )
+            ),
+        )
+    )
+    # Materialize the per-doc fingerprint set ONCE: three consumers
+    # (doc-frequency agg, both self-join sides) would otherwise each
+    # re-run the full window-min expansion and its distinct shuffle.
+    fps = (
+        toked.select(
+            "doc_id", F.explode(F.transform(starts, window_min)).alias("fp")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Relative boilerplate ceiling needs the corpus doc count: a
+    # 1-row broadcast, not a collect.
+    n_docs = toked.agg(F.count("*").alias("n_docs"))
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= 2)
+            & (
+                F.col("df")
+                <= F.greatest(
+                    F.lit(5),
+                    F.ceil(F.col("n_docs") * WINNOW_MAX_DF_FRAC),
+                )
+            )
+        )
+        .select("fp")
+    )
+    # Pair emission: group the SURVIVING fingerprints (bucket size is
+    # bounded <= max_df by the filter above, so the per-group list and
+    # its quadratic expansion are both capped by construction) and
+    # enumerate ordered pairs with array HOFs — one shuffle, vs two
+    # for a fp self-join.
+    kept = fps.join(keep, "fp")
+    ds = F.sort_array(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        kept.groupBy("fp")
+        .agg(ds.alias("ds"))
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )

@@ -899,3 +899,65 @@ def test_holt_winters_matches_reference(spark, sf_dir):
             want[(et, h)] = round(v, 6)
     assert got == want
     assert len(got) == len(series) * HW_HORIZON
+
+
+def test_winnowing_matches_python_reference(spark, sf_dir):
+    """Exact pair-set equality vs an independent pure-python winnowing
+    implementation (Schleimer et al. 2003, set form) — guards the
+    window-min / max-df / pair-emission pipeline end to end."""
+    import hashlib
+    import math
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from eventstream_notify_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_MAX_DF_FRAC,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        text_winnowing,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    fps = {}
+    for doc_id, text in docs.items():
+        toks = _re.findall("[a-z0-9]+", text.lower())
+        if len(toks) < WINNOW_K + WINNOW_W - 1:
+            continue
+        grams = [
+            hashlib.md5(
+                " ".join(toks[i : i + WINNOW_K]).encode()
+            ).hexdigest()
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        fps[doc_id] = {
+            min(grams[j : j + WINNOW_W])
+            for j in range(len(grams) - WINNOW_W + 1)
+        }
+    df = Counter(fp for s in fps.values() for fp in s)
+    cap = max(5, math.ceil(len(fps) * WINNOW_MAX_DF_FRAC))
+    keep = {fp for fp, c in df.items() if 2 <= c <= cap}
+    shared = Counter()
+    by_fp = {}
+    for doc_id, s in fps.items():
+        for fp in s & keep:
+            by_fp.setdefault(fp, []).append(doc_id)
+    for fp, ids in by_fp.items():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                shared[(a, b)] += 1
+    expect = {
+        pair + (n,) for pair, n in shared.items() if n >= WINNOW_MIN_SHARED
+    }
+
+    got = {
+        (r.doc_a, r.doc_b, r.shared_fps)
+        for r in text_winnowing(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got  # non-vacuous at sf0.001

@@ -131,6 +131,9 @@ BUDGETS = {
     "als_implicit": 4,  # final scoring plan: user solve pass + seen
     # join + top-k window; training iterations run at build time with
     # one user shuffle + one integer moment agg each
+    "text_winnowing": 3,  # fp doc-frequency agg + bounded-bucket
+    # group + pair agg; the fingerprint set is checkpointed so the
+    # window-min expansion and its distinct run once
 }
 
 
