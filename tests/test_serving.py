@@ -142,7 +142,32 @@ def test_stats_endpoint_matches_payloads():
         srv.stop()
 
 
-def _ws_connect(port: int, path: str) -> socket.socket:
+class _BufSock:
+    """Socket shim that replays bytes read past the handshake first.
+
+    Under suite load the server's first WS frames can land in the
+    same recv() as the 101 response; asserting the buffer ENDS at the
+    handshake boundary made the e2e test flaky (seen once per full
+    suite). Frame bytes pre-read during the handshake are buffered
+    and consumed by _ws_recv_frame before touching the socket."""
+
+    def __init__(self, s: socket.socket, rest: bytes) -> None:
+        self.s, self.buf = s, rest
+
+    def recv(self, n: int) -> bytes:
+        if self.buf:
+            out, self.buf = self.buf[:n], self.buf[n:]
+            return out
+        return self.s.recv(n)
+
+    def sendall(self, data: bytes) -> None:
+        self.s.sendall(data)
+
+    def close(self) -> None:
+        self.s.close()
+
+
+def _ws_connect(port: int, path: str) -> "_BufSock":
     """Minimal stdlib RFC 6455 client: handshake + accept check."""
     import base64
     import hashlib
@@ -160,7 +185,8 @@ def _ws_connect(port: int, path: str) -> socket.socket:
     buf = b""
     while b"\r\n\r\n" not in buf:
         buf += s.recv(4096)
-    head = buf.split(b"\r\n\r\n", 1)[0].decode()
+    head, rest = buf.split(b"\r\n\r\n", 1)
+    head = head.decode()
     assert "101" in head.split("\r\n")[0]
     want = base64.b64encode(
         hashlib.sha1(
@@ -168,8 +194,7 @@ def _ws_connect(port: int, path: str) -> socket.socket:
         ).digest()
     ).decode()
     assert f"Sec-WebSocket-Accept: {want}" in head
-    assert b"\r\n\r\n" in buf and buf.endswith(b"\r\n\r\n"), buf
-    return s
+    return _BufSock(s, rest)
 
 
 def _ws_recv_frame(s: socket.socket) -> tuple[int, bytes]:
