@@ -3234,3 +3234,335 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
     )
+
+
+# ------------------------------------------- unigram LM tokenizer
+
+_UNI_SUB_MAX = 4  # candidate piece max length (chars)
+_UNI_SEED = 48  # multi-char seed pieces kept (plus all single chars)
+_UNI_ROUNDS = 3  # EM rounds
+_UNI_PRUNE_FRAC = 0.25  # multi-char pieces pruned per round (by count)
+_UNI_WORD_MAX = 16  # lattice length cap (SentencePiece's
+#                      max_sentencepiece_length posture)
+_UNI_Q = 10**9  # expected-count fixed-point quantum
+
+
+def unigram_expected_counts(
+    word: str, probs: dict[str, float]
+) -> dict[str, float]:
+    """Forward-backward expected piece occupancy for one word under a
+    unigram LM (Kudo 2018 §3.2): alpha[j] sums path mass ending at j,
+    beta[i] mass from i to the end; a span (j,i) with piece p
+    contributes alpha[j]*P(p)*beta[i]/Z expected occurrences. Shared
+    by the Spark E-step kernel and the test reference (the BPE-kernel
+    precedent)."""
+    n = len(word)
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for i in range(1, n + 1):
+        s = 0.0
+        for j in range(max(0, i - _UNI_SUB_MAX), i):
+            p = probs.get(word[j:i])
+            if p:
+                s += alpha[j] * p
+        alpha[i] = s
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for j in range(n - 1, -1, -1):
+        s = 0.0
+        for i in range(j + 1, min(n, j + _UNI_SUB_MAX) + 1):
+            p = probs.get(word[j:i])
+            if p:
+                s += p * beta[i]
+        beta[j] = s
+    z = alpha[n]
+    out: dict[str, float] = {}
+    if z <= 0.0:
+        return out
+    for j in range(n):
+        for i in range(j + 1, min(n, j + _UNI_SUB_MAX) + 1):
+            piece = word[j:i]
+            p = probs.get(piece)
+            if p:
+                out[piece] = out.get(piece, 0.0) + alpha[j] * p * beta[i] / z
+    return out
+
+
+def _unigram_em(words: list[tuple[str, int]]) -> list[tuple[str, int, int]]:
+    """The driver-side EM schedule over an already-aggregated word-type
+    table: seed -> (E, M, prune) x rounds -> (piece, q_count, rank).
+    Pure python so the pytest reference can run the IDENTICAL schedule
+    on locally-counted words; the Spark operator distributes only the
+    corpus-scale stages (word counting, E-step) around it."""
+    # Seed: substring counts weighted by word frequency.
+    seed: dict[str, int] = {}
+    for w, f in words:
+        n = len(w)
+        for j in range(n):
+            for i in range(j + 1, min(n, j + _UNI_SUB_MAX) + 1):
+                piece = w[j:i]
+                seed[piece] = seed.get(piece, 0) + f
+    singles = {p for p in seed if len(p) == 1}
+    multi = sorted(
+        (p for p in seed if len(p) > 1),
+        key=lambda p: (-seed[p], p),
+    )[:_UNI_SEED]
+    vocab = sorted(singles | set(multi))
+    counts = {p: float(seed[p]) for p in vocab}
+    q_counts: dict[str, int] = {}
+    for _ in range(_UNI_ROUNDS):
+        total = sum(counts.values())
+        probs = {p: c / total for p, c in counts.items() if c > 0}
+        # E-step (the Spark operator runs this part distributed):
+        # per-word expected counts, fixed-point-quantized BEFORE the
+        # cross-word sum so the aggregation is an integer sum —
+        # order-independent under any shuffle.
+        q_counts = {p: 0 for p in probs}
+        for w, f in words:
+            for piece, e in unigram_expected_counts(w, probs).items():
+                q_counts[piece] += int(round(e * _UNI_Q)) * f
+        # M-step + prune: drop the lowest-count quartile of multi-char
+        # pieces (never singles — they keep every word segmentable).
+        alive = [p for p, c in q_counts.items() if c > 0 or len(p) == 1]
+        multi_alive = sorted(
+            (p for p in alive if len(p) > 1),
+            key=lambda p: (q_counts[p], p),
+        )
+        n_drop = int(len(multi_alive) * _UNI_PRUNE_FRAC)
+        dropped = set(multi_alive[:n_drop])
+        vocab = sorted(p for p in alive if p not in dropped)
+        counts = {p: q_counts[p] / _UNI_Q for p in vocab}
+    ranked = sorted(vocab, key=lambda p: (-q_counts.get(p, 0), p))
+    return [
+        (p, q_counts.get(p, 0), r + 1) for r, p in enumerate(ranked)
+    ]
+
+
+def _unigram_train_table(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, int, int]]:
+    """UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018; the SentencePiece
+    default) — the other major subword family next to BPE
+    (zx_llm_bpe_train): seed candidate pieces from substring counts,
+    then EM rounds where the E-step computes forward-backward
+    expected piece occupancies per word and the M-step renormalizes,
+    pruning the lowest-count quartile of multi-char pieces each round
+    (single chars are never pruned, keeping every word segmentable).
+    Emits the final piece table (piece, q_count, rank).
+
+    Distribution of each stage follows its data size: word counting
+    is the only corpus-scale stage (one shuffle; everything after
+    runs on the word-TYPE table, independent of corpus row count);
+    the E-step runs as a mapInPandas kernel over the type table with
+    the piece table a closure broadcast (a tokenizer vocab always
+    fits); expected counts quantize to 1e9 fixed-point integers PER
+    WORD before the cross-word sum, so the aggregated counts are
+    order-independent under any shuffle (the als_implicit trick) and
+    the whole trainer is bit-deterministic. Rows-only by design (a
+    3-round EM loop is not one SQL query); pinned EXACTLY by a
+    pure-python reference test running the identical schedule.
+
+    Reference scope: beyond-reference extension (north-star
+    training-data tokenizer surface)."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    words_df = (
+        d.select(F.explode(tokens_col()).alias("w"))
+        .filter(F.length("w") <= _UNI_WORD_MAX)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Seed counts: substring explode over the TYPE table (array HOF,
+    # JVM-side), weighted by word frequency.
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda j: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(_UNI_SUB_MAX), F.length("w") - j + 1),
+                ),
+                lambda ln: F.substring(F.col("w"), j, ln),
+            ),
+        )
+    )
+    seed_counts = (
+        words_df.select(F.explode(subs).alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    singles = seed_counts.filter(F.length("piece") == 1)
+    multi = (
+        seed_counts.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(_UNI_SEED)
+    )
+    # Vocab-bounded collect: the candidate table (<= SEED + alphabet).
+    counts = {
+        r["piece"]: float(r["cnt"])
+        for r in singles.union(multi).collect()
+    }
+
+    q_counts: dict[str, int] = {}
+    for _ in range(_UNI_ROUNDS):
+        total = sum(counts.values())
+        probs = {p: c / total for p, c in counts.items() if c > 0}
+
+        def e_step(batches, probs=probs):
+            for pdf in batches:
+                ps, eq, fs = [], [], []
+                for w, f in zip(pdf["w"], pdf["f"]):
+                    for piece, e in unigram_expected_counts(
+                        w, probs
+                    ).items():
+                        ps.append(piece)
+                        eq.append(int(round(e * _UNI_Q)))
+                        fs.append(int(f))
+                yield pd.DataFrame({"piece": ps, "eq": eq, "f": fs})
+
+        # eq <= word_len * Q fits int64 per word; the freq-weighted
+        # cross-word sum runs as decimal(38,0) so a 100 TB corpus
+        # (token counts ~1e14) can't overflow the accumulator.
+        got = (
+            words_df.mapInPandas(
+                e_step, "piece string, eq bigint, f bigint"
+            )
+            .groupBy("piece")
+            .agg(
+                F.sum(
+                    F.col("eq").cast("decimal(38,0)") * F.col("f")
+                ).alias("qc")
+            )
+            .collect()
+        )
+        q_counts = {p: 0 for p in probs}
+        for r in got:
+            q_counts[r["piece"]] = int(r["qc"])
+        alive = [p for p, c in q_counts.items() if c > 0 or len(p) == 1]
+        multi_alive = sorted(
+            (p for p in alive if len(p) > 1),
+            key=lambda p: (q_counts[p], p),
+        )
+        n_drop = int(len(multi_alive) * _UNI_PRUNE_FRAC)
+        dropped = set(multi_alive[:n_drop])
+        vocab = sorted(p for p in alive if p not in dropped)
+        counts = {p: q_counts[p] / _UNI_Q for p in vocab}
+
+    ranked = sorted(counts, key=lambda p: (-q_counts.get(p, 0), p))
+    return [(p, q_counts.get(p, 0), r + 1) for r, p in enumerate(ranked)]
+
+
+@register("llm_unigram_train", extra=True)  # rows-only: EM trainer loop
+def llm_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training surface: the distributed EM loop
+    (``_unigram_train_table``) as (piece, q_count, rank) rows; pinned
+    EXACTLY by the pure-python reference test."""
+    return spark.createDataFrame(
+        _unigram_train_table(spark, sf_dir),
+        "piece string, q_count bigint, rank int",
+    )
+
+
+def unigram_viterbi_encode(
+    word: str, logp: dict[str, float]
+) -> list[str]:
+    """Viterbi segmentation under a trained unigram LM: maximize the
+    summed piece log-probability; ties prefer the LONGER last piece
+    (smaller split point), so the result is deterministic. Shared by
+    the Spark encode kernel and its test reference."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [-1] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - _UNI_SUB_MAX), i):
+            lp = logp.get(word[j:i])
+            if lp is None or best[j] == NEG:
+                continue
+            s = best[j] + lp
+            # strict > with ascending j: ties keep the SMALLEST j
+            # (longest last piece)
+            if s > best[i]:
+                best[i] = s
+                back[i] = j
+    if best[n] == NEG:  # unsegmentable (char outside the vocab)
+        return list(word)
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+@register("llm_unigram_encode", extra=True)  # rows-only: Viterbi kernel
+def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM ENCODING — the lifecycle's second half
+    (llm_unigram_train learns the piece table; this applies it):
+    Viterbi-segment every document with the corpus-trained pieces and
+    emit per-doc token accounting (word count, subword token count,
+    chars-per-token compression), mirroring zx_llm_bpe_encode so the
+    two tokenizer families are directly comparable on the same
+    corpus.
+
+    Shape (the BPE-encode posture): the piece table is driver-sized
+    (a tokenizer vocab always fits); encoding runs ONCE PER DISTINCT
+    WORD as an Arrow mapInPandas kernel over the vocab table
+    (independent of corpus row count); per-doc totals are a broadcast
+    join of (word -> n_tokens) onto the exploded doc-words frame plus
+    one doc-keyed agg. Text bodies never shuffle. Rows-only: the
+    Viterbi recurrence is not one SQL query; the kernel is pinned
+    exactly by the python reference test."""
+    import math
+
+    import pandas as pd
+
+    trained = _unigram_train_table(spark, sf_dir)
+    total = sum(qc for _, qc, _ in trained if qc > 0)
+    logp = {
+        p: math.log(qc / total) for p, qc, _ in trained if qc > 0
+    }
+
+    d = table(spark, sf_dir, "documents")
+    doc_words = d.select(
+        "doc_id", F.explode(tokens_col()).alias("w")
+    )
+    vocab = doc_words.select("w").distinct()
+
+    def encode_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_tok": [
+                        len(unigram_viterbi_encode(w, logp))
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    enc = vocab.mapInPandas(encode_batches, "w string, n_tok int")
+    return (
+        doc_words.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_chars") / F.col("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+    )

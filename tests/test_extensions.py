@@ -961,3 +961,100 @@ def test_winnowing_matches_python_reference(spark, sf_dir):
     }
     assert got == expect
     assert got  # non-vacuous at sf0.001
+
+
+def test_unigram_train_matches_python_reference(spark, sf_dir):
+    """Bit-exact equality of the distributed unigram-LM trainer vs the
+    pure-python EM schedule over locally-counted words — pins seeding,
+    the forward-backward E-step, fixed-point quantization, pruning and
+    ranking end to end (the BPE-train precedent)."""
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from eventstream_notify_spark.operators.text import (
+        _UNI_WORD_MAX,
+        _unigram_em,
+        llm_unigram_train,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc = Counter(
+        w
+        for text in tbl["text"].to_pylist()
+        for w in _re.findall("[a-z0-9]+", text.lower())
+        if len(w) <= _UNI_WORD_MAX
+    )
+    expect = _unigram_em(sorted(wc.items()))
+
+    got = [
+        (r.piece, r.q_count, r.rank)
+        for r in llm_unigram_train(spark, sf_dir).collect()
+    ]
+    got.sort(key=lambda t: t[2])
+    expect.sort(key=lambda t: t[2])
+    assert got == expect
+    assert len(got) > 10  # non-vacuous vocab
+
+
+def test_unigram_encode_matches_python_reference(spark, sf_dir):
+    """Per-doc unigram token accounting vs a pure-python recomputation
+    (local word counts -> same EM schedule -> same Viterbi kernel) —
+    exact equality on every row."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from eventstream_notify_spark.operators.text import (
+        _UNI_WORD_MAX,
+        _unigram_em,
+        llm_unigram_encode,
+        unigram_viterbi_encode,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    doc_words = {
+        doc_id: [
+            w
+            for w in _re.findall("[a-z0-9]+", text.lower())
+        ]
+        for doc_id, text in docs.items()
+    }
+    wc = Counter(
+        w
+        for ws in doc_words.values()
+        for w in ws
+        if len(w) <= _UNI_WORD_MAX
+    )
+    trained = _unigram_em(sorted(wc.items()))
+    total = sum(qc for _, qc, _ in trained if qc > 0)
+    logp = {p: math.log(qc / total) for p, qc, _ in trained if qc > 0}
+    # the operator encodes EVERY word (length-capped words only shape
+    # training), so the twin must too
+    all_words = {w for ws in doc_words.values() for w in ws}
+    n_tok = {w: len(unigram_viterbi_encode(w, logp)) for w in all_words}
+
+    expect = {}
+    for doc_id, ws in doc_words.items():
+        if not ws:
+            continue
+        toks = sum(n_tok[w] for w in ws)
+        chars = sum(len(w) for w in ws)
+        expect[doc_id] = (
+            len(ws),
+            toks,
+            round(chars / toks, 6),
+        )
+
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.chars_per_token)
+        for r in llm_unigram_encode(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 10

@@ -134,6 +134,11 @@ BUDGETS = {
     "text_winnowing": 3,  # fp doc-frequency agg + bounded-bucket
     # group + pair agg; the fingerprint set is checkpointed so the
     # window-min expansion and its distinct run once
+    "llm_unigram_train": 0,  # final plan is the driver-built piece
+    # table; EM rounds run at build time (word-type shuffle + one
+    # decimal moment agg each — the als_implicit posture)
+    "llm_unigram_encode": 2,  # vocab distinct + per-doc agg; the
+    # (word -> n_tokens) map joins back by broadcast
 }
 
 
