@@ -3938,3 +3938,142 @@ def als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ------------------------------------------------ permutation test
+
+_PERM_R = 200  # permutation replicates
+_PERM_SALT = 1_000_003  # replicate stride into the Lehmer stream
+
+
+@register(
+    "ab_permutation_test",
+    extra=True,
+    oracle=f"""
+    WITH u AS (
+        SELECT event_type, user_id,
+               SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS s_u,
+               COUNT(*) AS n_u
+        FROM events
+        GROUP BY 1, 2
+    ),
+    obs AS (
+        SELECT event_type,
+               SUM(CASE WHEN user_id % 2 = 1 THEN s_u ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN user_id % 2 = 1 THEN n_u ELSE 0 END)
+               - SUM(CASE WHEN user_id % 2 = 0 THEN s_u ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN user_id % 2 = 0 THEN n_u ELSE 0 END)
+                   AS t_obs
+        FROM u GROUP BY 1
+    ),
+    perm AS (
+        SELECT event_type, r,
+               CASE WHEN ((user_id + r * {_PERM_SALT}) % {_KMV_P})
+                         * {_KMV_A} % {_KMV_P} * {_KMV_A} % {_KMV_P}
+                         * {_KMV_A} % {_KMV_P} * 2 < {_KMV_P}
+                    THEN 1 ELSE 0 END AS arm,
+               s_u, n_u
+        FROM u, range(1, {_PERM_R + 1}) t(r)
+    ),
+    tr AS (
+        SELECT event_type, r,
+               SUM(CASE WHEN arm = 1 THEN s_u ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN arm = 1 THEN n_u ELSE 0 END), 0)
+               - SUM(CASE WHEN arm = 0 THEN s_u ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN arm = 0 THEN n_u ELSE 0 END), 0)
+                   AS t_r
+        FROM perm GROUP BY 1, 2
+    )
+    SELECT obs.event_type,
+           ROUND(obs.t_obs / 1000.0, 6) AS t_obs,
+           CAST(COUNT(CASE WHEN tr.t_r IS NULL
+                             OR ABS(tr.t_r) >= ABS(obs.t_obs)
+                           THEN 1 END) AS BIGINT) AS n_extreme,
+           ROUND((1.0 + COUNT(CASE WHEN tr.t_r IS NULL
+                                     OR ABS(tr.t_r) >= ABS(obs.t_obs)
+                                   THEN 1 END)) / {_PERM_R + 1}.0, 6)
+               AS p_value
+    FROM obs JOIN tr ON obs.event_type = tr.event_type
+    GROUP BY obs.event_type, obs.t_obs
+    """,
+)
+def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION TEST (Fisher randomization inference) for the A/B
+    readout — the assumption-free companion to zx_ab_test_stats's
+    Welch z: re-randomize USERS (the randomization unit, so
+    within-user correlation is respected) across arms {_PERM_R} times
+    and count replicates whose |mean difference| reaches the observed
+    one. Replicates are drawn from a deterministic Lehmer hash of
+    (user_id, replicate), so the whole Monte-Carlo — statistics,
+    extreme-count, p-value — is reproducible and hash-matches the
+    oracle; a degenerate replicate (an empty arm) counts as extreme
+    (conservative).
+
+    Scale: the fact shuffles ONCE into the per-(type, user) table;
+    the R-fold replicate expansion is a narrow explode of that
+    user-level table whose (type, r, arm) aggregation is map-side
+    combinable — the shuffle after expansion carries R x types x 2
+    rows, never R x users. All sums are exact milli-unit bigints;
+    each t_r is one double expression over them, identical on both
+    engines.
+
+    Reference scope: beyond-reference extension (experimentation
+    analytics family)."""
+    e = table(spark, sf_dir, "events")
+    # Materialize the per-(type, user) table once: the observed and
+    # replicate chains both consume it, and without the barrier each
+    # would re-scan and re-shuffle the fact.
+    u = (
+        e.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 1000).cast("bigint")
+            ).alias("s_u"),
+            F.count("*").alias("n_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def arm_means(df: DataFrame, arm: F.Column, *keys: str) -> DataFrame:
+        s1 = F.sum(F.when(arm == 1, F.col("s_u")).otherwise(0))
+        n1 = F.sum(F.when(arm == 1, F.col("n_u")).otherwise(0))
+        s0 = F.sum(F.when(arm == 0, F.col("s_u")).otherwise(0))
+        n0 = F.sum(F.when(arm == 0, F.col("n_u")).otherwise(0))
+        t = s1 * 1.0 / F.nullif(n1, F.lit(0)) - s0 * 1.0 / F.nullif(
+            n0, F.lit(0)
+        )
+        return df.groupBy(*keys).agg(t.alias("t"))
+
+    obs = arm_means(u, F.col("user_id") % 2, "event_type").select(
+        "event_type", F.col("t").alias("t_obs")
+    )
+    rep = u.select(
+        "event_type",
+        "s_u",
+        "n_u",
+        F.explode(F.sequence(F.lit(1), F.lit(_PERM_R))).alias("r"),
+        F.col("user_id"),
+    )
+    h = (
+        (F.col("user_id") + F.col("r") * _PERM_SALT) % _KMV_P
+    ) * _KMV_A % _KMV_P * _KMV_A % _KMV_P * _KMV_A % _KMV_P
+    perm_arm = F.when(h * 2 < _KMV_P, F.lit(1)).otherwise(F.lit(0))
+    tr = arm_means(
+        rep.withColumn("arm", perm_arm), F.col("arm"), "event_type", "r"
+    )
+    extreme = F.when(
+        F.col("t").isNull() | (F.abs("t") >= F.abs("t_obs")), 1
+    )
+    return (
+        obs.join(tr, "event_type")
+        .groupBy("event_type", "t_obs")
+        .agg(F.count(extreme).cast("bigint").alias("n_extreme"))
+        .select(
+            "event_type",
+            F.round(F.col("t_obs") / 1000.0, 6).alias("t_obs"),
+            "n_extreme",
+            F.round(
+                (1.0 + F.col("n_extreme")) / float(_PERM_R + 1), 6
+            ).alias("p_value"),
+        )
+    )

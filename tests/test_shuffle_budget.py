@@ -139,6 +139,10 @@ BUDGETS = {
     # decimal moment agg each — the als_implicit posture)
     "llm_unigram_encode": 2,  # vocab distinct + per-doc agg; the
     # (word -> n_tokens) map joins back by broadcast
+    "ab_permutation_test": 2,  # observed + replicate arm aggs off the
+    # checkpointed per-(type,user) table (its one fact shuffle runs at
+    # build time); replicate agg is map-side combinable so the post-
+    # explode shuffle carries R x types x 2 rows
 }
 
 
