@@ -2469,3 +2469,137 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("fused_rank") <= FUSE_K)
     )
+
+
+# --------------------------------------------------- PCA (power it.)
+
+PCA_SCALE = 10_000  # per-row fixed-point quantum for moment sums
+PCA_COMPONENTS = 2
+PCA_ITERS = 100
+
+
+def pca_power_components(
+    s: "object", m: "object", n: int
+) -> list[tuple[int, int, float, float, float]]:
+    """Driver-side half of the PCA: covariance from EXACT integer
+    moments (S = sum q q^T, m = sum q, n rows; q = round(v*SCALE)),
+    then power iteration with deflation for the top components.
+    Deterministic end to end: fixed start vector, fixed iteration
+    count, sign fixed by the largest-|loading| coordinate. Shared by
+    the Spark operator and its numpy twin test. Returns rows
+    (component, dim, loading, eigenvalue, explained_ratio)."""
+    import numpy as np
+
+    sf = np.asarray(s, dtype=np.float64)
+    mf = np.asarray(m, dtype=np.float64)
+    cov = sf / n - np.outer(mf, mf) / (float(n) * n)
+    cov /= float(PCA_SCALE) ** 2  # back to raw units
+    d = cov.shape[0]
+    trace = float(np.trace(cov))
+    rows: list[tuple[int, int, float, float, float]] = []
+    work = cov.copy()
+    for comp in range(PCA_COMPONENTS):
+        v = np.ones(d) / np.sqrt(d)
+        for _ in range(PCA_ITERS):
+            v = work @ v
+            nv = float(np.linalg.norm(v))
+            if nv == 0.0:
+                break
+            v = v / nv
+        lam = float(v @ work @ v)
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        for dim in range(d):
+            rows.append(
+                (
+                    comp + 1,
+                    dim,
+                    round(float(v[dim]), 6),
+                    round(lam, 6),
+                    round(lam / trace, 6) if trace > 0 else 0.0,
+                )
+            )
+        work = work - lam * np.outer(v, v)
+    return rows
+
+
+@register("vec_pca_power", extra=True)  # rows-only: iterative solver
+def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED PCA over the embedding corpus — the linear-algebra
+    member of the vectors family (whitening / decorrelation /
+    dimensionality reduction ahead of ANN indexing): top-2 principal
+    components by power iteration with deflation.
+
+    Shape: the distributed stage is ONE pass computing exact integer
+    moments — each row quantizes to q = round(v*1e4) and contributes
+    q q^T (int64, overflow-safe per partition up to ~1e8 rows) via a
+    mapInPandas partial, and the cross-partition reduce sums
+    decimal(38,0) cells keyed by (i, j) — order-independent integer
+    arithmetic, the als_implicit discipline, so the covariance is
+    bit-identical under any partitioning. The 64x64 eigenproblem then
+    solves on the driver (fixed start, 100 iterations, deterministic
+    sign) — at ANY corpus size the driver sees d^2 integers, never
+    rows. Rows-only by design (an iterative solver is not one SQL
+    query); pinned EXACTLY by a numpy twin recomputing the moments
+    single-node.
+
+    Reference scope: beyond-reference extension (embedding analytics
+    family)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def moments(batches):
+        s = None
+        m = None
+        n = 0
+        for pdf in batches:
+            vs = np.stack(pdf["embedding"].values).astype(np.float64)
+            q = np.rint(vs * PCA_SCALE).astype(np.int64)
+            s = q.T @ q if s is None else s + q.T @ q
+            m = q.sum(axis=0) if m is None else m + q.sum(axis=0)
+            n += len(q)
+        if n == 0:
+            return
+        d = s.shape[0]
+        i_idx, j_idx, vals = [], [], []
+        for i in range(d):
+            for j in range(d):
+                i_idx.append(i)
+                j_idx.append(j)
+                vals.append(int(s[i, j]))
+        for i in range(d):
+            i_idx.append(i)
+            j_idx.append(-1)
+            vals.append(int(m[i]))
+        i_idx.append(-1)
+        j_idx.append(-1)
+        vals.append(n)
+        yield pd.DataFrame({"i": i_idx, "j": j_idx, "v": vals})
+
+    cells = (
+        emb.select("embedding")
+        .mapInPandas(moments, "i int, j int, v bigint")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    d = 1 + max(r["i"] for r in cells)
+    s = [[0] * d for _ in range(d)]
+    m = [0] * d
+    n = 0
+    for r in cells:
+        i, j, v = r["i"], r["j"], int(r["v"])
+        if i == -1:
+            n = v
+        elif j == -1:
+            m[i] = v
+        else:
+            s[i][j] = v
+    rows = pca_power_components(s, m, n)
+    return spark.createDataFrame(
+        rows,
+        "component int, dim int, loading double, "
+        "eigenvalue double, explained_ratio double",
+    )

@@ -1058,3 +1058,33 @@ def test_unigram_encode_matches_python_reference(spark, sf_dir):
     }
     assert got == expect
     assert len(got) > 10
+
+
+def test_pca_power_matches_numpy_reference(spark, sf_dir):
+    """Bit-exact equality of the distributed PCA vs a single-node
+    numpy recomputation of the SAME integer moments — pins the
+    quantization, the decimal moment reduce, and the shared power-
+    iteration kernel."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from eventstream_notify_spark.operators.vectors import (
+        PCA_SCALE,
+        pca_power_components,
+        vec_pca_power,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    vs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = np.rint(vs * PCA_SCALE).astype(np.int64)
+    expect = pca_power_components(q.T @ q, q.sum(axis=0), len(q))
+
+    got = [
+        (r.component, r.dim, r.loading, r.eigenvalue, r.explained_ratio)
+        for r in vec_pca_power(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+    # top component explains a plausible share on the clustered corpus
+    assert expect[0][4] > 0.01

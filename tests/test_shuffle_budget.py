@@ -143,6 +143,9 @@ BUDGETS = {
     # checkpointed per-(type,user) table (its one fact shuffle runs at
     # build time); replicate agg is map-side combinable so the post-
     # explode shuffle carries R x types x 2 rows
+    "vec_pca_power": 0,  # final plan is the driver-built component
+    # table; the single moment pass (d^2 decimal cells) runs at build
+    # time with one shuffle
 }
 
 
