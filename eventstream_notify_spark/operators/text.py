@@ -3156,9 +3156,14 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # Tokenize ONCE per doc (the dedup_ngram lesson: inline
     # element_at(tokens_col(), i) re-runs the regexp per element).
+    # Repartition first: a compact parquet corpus arrives as ONE
+    # split, and the checkpoint would pin the whole window-min
+    # expansion to a single core (the dedup_near_embedding lesson).
+    par = spark.sparkContext.defaultParallelism
     toked = (
         d.select("doc_id", tokens_col().alias("ts"))
         .filter(F.size("ts") >= WINNOW_K + WINNOW_W - 1)
+        .repartition(par, "doc_id")
         .localCheckpoint(eager=True)
     )
     # Window j's fingerprint = min md5 of its W k-grams. The k-gram
