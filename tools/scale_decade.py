@@ -50,6 +50,7 @@ FAMILY = [
     "zx_dedup_simhash",
     "zx_dedup_ngram",
     "dedup_near",
+    "zx_text_winnowing",
     "zx_dedup_containment",
     "zx_dedup_incremental",
     "zx_dedup_cluster",
