@@ -4077,3 +4077,111 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# -------------------------------------------- difference-in-diff
+
+
+@register(
+    "did_prepost",
+    extra=True,
+    oracle="""
+    WITH bounds AS (
+        SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type,
+               CAST(user_id % 2 AS INT) AS arm,
+               CASE WHEN epoch_us(ts) >= (SELECT mid FROM bounds)
+                    THEN 1 ELSE 0 END AS period,
+               CAST(ROUND(value * 1000) AS BIGINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               SUM(CASE WHEN arm = 0 AND period = 0 THEN v ELSE 0 END) * 1.0
+                 / NULLIF(COUNT(CASE WHEN arm = 0 AND period = 0 THEN 1 END), 0)
+                   AS pre_c,
+               SUM(CASE WHEN arm = 1 AND period = 0 THEN v ELSE 0 END) * 1.0
+                 / NULLIF(COUNT(CASE WHEN arm = 1 AND period = 0 THEN 1 END), 0)
+                   AS pre_t,
+               SUM(CASE WHEN arm = 0 AND period = 1 THEN v ELSE 0 END) * 1.0
+                 / NULLIF(COUNT(CASE WHEN arm = 0 AND period = 1 THEN 1 END), 0)
+                   AS post_c,
+               SUM(CASE WHEN arm = 1 AND period = 1 THEN v ELSE 0 END) * 1.0
+                 / NULLIF(COUNT(CASE WHEN arm = 1 AND period = 1 THEN 1 END), 0)
+                   AS post_t
+        FROM cells
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(pre_c / 1000.0, 6) AS pre_control,
+           ROUND(pre_t / 1000.0, 6) AS pre_treat,
+           ROUND(post_c / 1000.0, 6) AS post_control,
+           ROUND(post_t / 1000.0, 6) AS post_treat,
+           ROUND(((post_t - pre_t) - (post_c - pre_c)) / 1000.0, 6)
+               AS did,
+           ROUND((post_t - post_c) / 1000.0, 6) AS naive_diff
+    FROM m
+    """,
+)
+def did_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES over a pre/post boundary — the
+    causal-inference companion to zx_ab_test_stats (naive arm
+    contrast) and zx_ab_cuped (covariate adjustment): the DiD
+    estimator (post_t - pre_t) - (post_c - pre_c) removes any
+    time-invariant arm-level confound the naive post difference
+    keeps; both ride along so the output shows what parallel-trends
+    adjustment changed. Boundary = midpoint of the observed
+    unix-micros span (deterministic, data-derived).
+
+    Scale: ONE partial+final aggregation of the fact into per-type
+    rows — arm and period are per-row expressions, the four cell
+    means are conditional aggregates, so no pivot join and no second
+    fact pass; the timestamp-bounds agg is a 1-row broadcast. Exact
+    milli-unit integer sums; every mean is one double expression
+    evaluated identically on both engines."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    bounds = e.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("bigint").alias("mid")
+    )
+    cells = e.join(F.broadcast(bounds)).withColumn(
+        "period", (F.col("us") >= F.col("mid")).cast("int")
+    )
+
+    def cell_mean(arm: int, period: int) -> F.Column:
+        hit = (F.col("arm") == arm) & (F.col("period") == period)
+        return F.sum(F.when(hit, F.col("v")).otherwise(0)) * 1.0 / F.nullif(
+            F.count(F.when(hit, F.lit(1))), F.lit(0)
+        )
+
+    m = cells.groupBy("event_type").agg(
+        cell_mean(0, 0).alias("pre_c"),
+        cell_mean(1, 0).alias("pre_t"),
+        cell_mean(0, 1).alias("post_c"),
+        cell_mean(1, 1).alias("post_t"),
+    )
+    return m.select(
+        "event_type",
+        F.round(F.col("pre_c") / 1000.0, 6).alias("pre_control"),
+        F.round(F.col("pre_t") / 1000.0, 6).alias("pre_treat"),
+        F.round(F.col("post_c") / 1000.0, 6).alias("post_control"),
+        F.round(F.col("post_t") / 1000.0, 6).alias("post_treat"),
+        F.round(
+            (
+                (F.col("post_t") - F.col("pre_t"))
+                - (F.col("post_c") - F.col("pre_c"))
+            )
+            / 1000.0,
+            6,
+        ).alias("did"),
+        F.round(
+            (F.col("post_t") - F.col("post_c")) / 1000.0, 6
+        ).alias("naive_diff"),
+    )

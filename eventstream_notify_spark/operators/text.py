@@ -3085,6 +3085,12 @@ WINNOW_K = 3  # k-gram length (tokens per shingle)
 WINNOW_W = 4  # window: every W consecutive k-gram hashes yield >=1 fp
 WINNOW_MIN_SHARED = 2  # pair report floor (shared fingerprints)
 WINNOW_MAX_DF_FRAC = 0.01  # boilerplate cut: fp in >max(5, 1%) docs
+WINNOW_BUCKET_BUDGET = 16  # pairs per bucket: first-B members only
+#   (the NN_BUCKET_CAP posture). Measured at the 10x decade: full
+#   quadratic emission grows 93x per 10x docs on the saturated-vocab
+#   corpus (32.1M pairs, GC-bound); first-B keeps every doc paired
+#   with its bucket's earliest members and bounds growth at B*df per
+#   bucket — asymptotically linear in corpus.
 
 
 @register(
@@ -3117,13 +3123,20 @@ WINNOW_MAX_DF_FRAC = 0.01  # boilerplate cut: fp in >max(5, 1%) docs
         HAVING COUNT(*) BETWEEN 2 AND
                GREATEST(5, CAST(CEIL(n_docs * {WINNOW_MAX_DF_FRAC}) AS BIGINT))
     ),
+    ranked AS (
+        SELECT doc_id, fp,
+               row_number() OVER (
+                   PARTITION BY fp ORDER BY doc_id
+               ) AS rnk
+        FROM fps JOIN keep USING (fp)
+    ),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                COUNT(*) AS shared_fps
-        FROM fps a
-        JOIN keep USING (fp)
-        JOIN fps b USING (fp)
-        WHERE a.doc_id < b.doc_id
+        FROM ranked a
+        JOIN ranked b
+          ON a.fp = b.fp AND a.rnk < b.rnk
+         AND a.rnk <= {WINNOW_BUCKET_BUDGET}
         GROUP BY 1, 2
         HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     )
@@ -3146,10 +3159,14 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: candidate pairs come from an inverted-index
     equi-join on fingerprints, never all-pairs; fingerprints above a
     relative document-frequency ceiling (max(5, 1% of docs)) are
-    boilerplate and dropped BEFORE the join, so no bucket exceeds
-    max_df and pair output per fingerprint is bounded by max_df^2.
-    md5 window-minima are lexicographic string mins — identical in
-    DuckDB, so the full pipeline is oracle-checkable.
+    boilerplate and dropped BEFORE any bucket materializes, and each
+    surviving bucket emits pairs only against its first
+    WINNOW_BUCKET_BUDGET members — B*df per bucket, measured
+    necessary at the 10x decade where full quadratic emission grew
+    93x per 10x docs on the saturated-vocab corpus. shared_fps is
+    therefore a CO-CANDIDATE count under the budget. md5 window-
+    minima are lexicographic string mins — identical in DuckDB, so
+    the full pipeline (budget included) is oracle-checkable.
 
     Reference scope: beyond-reference extension (the reference has no
     text processing; north-star training-data curation surface)."""
@@ -3216,15 +3233,17 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp")
     )
     # Pair emission: group the SURVIVING fingerprints (bucket size is
-    # bounded <= max_df by the filter above, so the per-group list and
-    # its quadratic expansion are both capped by construction) and
-    # enumerate ordered pairs with array HOFs — one shuffle, vs two
-    # for a fp self-join.
+    # bounded <= max_df by the filter above, so the per-group list is
+    # capped by construction) and enumerate pairs with array HOFs —
+    # one shuffle, vs two for a fp self-join. Only the bucket's FIRST
+    # WINNOW_BUCKET_BUDGET members pair with later members, so pair
+    # volume is B*df per bucket (linear in corpus), not df^2 — every
+    # doc still reaches its bucket's earliest members (coverage).
     kept = fps.join(keep, "fp")
     ds = F.sort_array(F.collect_list("doc_id"))
     pair_structs = F.flatten(
         F.transform(
-            "ds",
+            F.slice(F.col("ds"), 1, WINNOW_BUCKET_BUDGET),
             lambda a, i: F.transform(
                 F.slice(F.col("ds"), i + 2, F.size("ds")),
                 lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),

@@ -527,6 +527,12 @@ def _embedding_nn(
         # at 10x sf0.1).
         import math
 
+        # Same single-input-split lesson as the exact branch: a
+        # compact parquet corpus is ONE split, and everything narrow
+        # downstream (the per-band plane-dot folds, the probe
+        # explosion) would serialize onto one core without this.
+        e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+
         prof = e.agg(
             F.count("*").alias("n"),
             F.countDistinct("label").alias("nl"),

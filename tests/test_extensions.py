@@ -913,6 +913,7 @@ def test_winnowing_matches_python_reference(spark, sf_dir):
     import pyarrow.parquet as pq
 
     from eventstream_notify_spark.operators.text import (
+        WINNOW_BUCKET_BUDGET,
         WINNOW_K,
         WINNOW_MAX_DF_FRAC,
         WINNOW_MIN_SHARED,
@@ -948,7 +949,7 @@ def test_winnowing_matches_python_reference(spark, sf_dir):
             by_fp.setdefault(fp, []).append(doc_id)
     for fp, ids in by_fp.items():
         ids.sort()
-        for i, a in enumerate(ids):
+        for i, a in enumerate(ids[:WINNOW_BUCKET_BUDGET]):
             for b in ids[i + 1 :]:
                 shared[(a, b)] += 1
     expect = {

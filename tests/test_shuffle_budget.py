@@ -146,6 +146,9 @@ BUDGETS = {
     "vec_pca_power": 0,  # final plan is the driver-built component
     # table; the single moment pass (d^2 decimal cells) runs at build
     # time with one shuffle
+    "did_prepost": 2,  # 1-row bounds agg (broadcast back) + ONE
+    # conditional-aggregate pass over the fact — no pivot join,
+    # no second fact scan
 }
 
 
