@@ -116,8 +116,21 @@ def time_query(spark, name, sf_dir, reps) -> tuple[float, int]:
     n = 0
     for _ in range(reps):
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        n = df.count()
         times.append(time.time() - t0)
+        # Measurement hygiene: many family members eagerly
+        # localCheckpoint, and checkpointed RDD blocks stay pinned
+        # until their DataFrame is garbage-collected — by mid-sweep
+        # the accumulated blocks GC-thrash later ops (measured:
+        # zx_dedup_ngram 15s isolated vs 52s in-sweep at 10x).
+        # Dropping the ref and forcing both collectors lets the
+        # ContextCleaner unpin between measurements.
+        del df
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
     return median(times), n
 
 
