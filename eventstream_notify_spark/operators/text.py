@@ -3590,3 +3590,420 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# ----------------------------------------- naive Bayes lang classifier
+
+# Held-out split: doc_id % NB_TEST_MOD == 0 is the test fold.
+NB_TEST_MOD = 5
+
+
+def _mn_log(x: F.Column) -> F.Column:
+    """ln(x) integer-scaled to micro-nats — the house cross-engine
+    encoding (survival_km precedent): one double ln + one ROUND per
+    DISTINCT input, then every downstream sum is an exact BIGINT."""
+    return F.round(F.lit(1000000.0) * F.log(x)).cast("bigint")
+
+
+def _mn_scalar(x: float) -> int:
+    """Driver twin of _mn_log for scalar constants (Decimal HALF_UP
+    mirrors Spark/DuckDB ROUND; floor(y + 0.5) is wrong for negative
+    halves)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(1000000.0 * math.log(x)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+@register(
+    "text_nb_lang_classifier",
+    extra=True,
+    oracle=rf"""
+    WITH train AS (
+        SELECT * FROM documents WHERE doc_id % {NB_TEST_MOD} <> 0
+    ),
+    test AS (
+        SELECT * FROM documents WHERE doc_id % {NB_TEST_MOD} = 0
+    ),
+    tw AS (
+        SELECT lang, unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+')) AS w
+        FROM train
+    ),
+    tl AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tw GROUP BY lang, w
+    ),
+    vsz AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tl),
+    lt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM tl
+           GROUP BY lang),
+    pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM train
+            GROUP BY lang),
+    nall AS (SELECT CAST(SUM(nd) AS BIGINT) AS ndall FROM pri),
+    langs AS (
+        SELECT l.lang, l.tot,
+               CAST(ROUND(1000000.0 * LN(CAST(p.nd AS DOUBLE)
+                   / (SELECT ndall FROM nall))) AS BIGINT) AS prior_mn,
+               CAST(ROUND(1000000.0 * LN(1.0
+                   / CAST(l.tot + (SELECT v FROM vsz) AS DOUBLE)))
+                   AS BIGINT) AS dflt_mn
+        FROM lt l JOIN pri p USING (lang)
+    ),
+    llp AS (
+        SELECT t.lang, t.w,
+               CAST(ROUND(1000000.0 * LN(CAST(t.c + 1 AS DOUBLE)
+                   / CAST(l.tot + (SELECT v FROM vsz) AS DOUBLE)))
+                   AS BIGINT) AS mn
+        FROM tl t JOIN lt l USING (lang)
+    ),
+    tstw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS w
+        FROM test
+    ),
+    sc AS (
+        SELECT tw2.doc_id, lg.lang,
+               COALESCE(p.mn, lg.dflt_mn) AS mn
+        FROM tstw tw2
+        CROSS JOIN langs lg
+        LEFT JOIN llp p ON p.lang = lg.lang AND p.w = tw2.w
+    ),
+    per AS (
+        SELECT s.doc_id, s.lang,
+               SUM(s.mn) + MIN(lg.prior_mn) AS score
+        FROM sc s JOIN langs lg ON lg.lang = s.lang
+        GROUP BY s.doc_id, s.lang
+    ),
+    pred AS (
+        SELECT doc_id, lang AS pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang ASC) AS rn
+        FROM per
+    )
+    SELECT t.lang AS actual_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM test t JOIN pred p ON t.doc_id = p.doc_id AND p.rn = 1
+    GROUP BY t.lang, p.pred_lang
+    """,
+)
+def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NAIVE BAYES text classifier, trained and evaluated
+    in one plan — the fastText/CCNet-style curation-classifier shape
+    (GPT-3's quality filter, CCNet's language buckets are exactly
+    this: a linear bag-of-words model whose training IS a groupBy):
+    train token-given-class counts with Laplace smoothing on the
+    doc_id-hash train fold, score the held-out fold, and emit the
+    confusion matrix (actual x predicted langs, <= |langs|^2 rows).
+
+    Cross-engine exactness: every log factor (smoothed likelihood,
+    unseen-token default, class prior) is computed ONCE per distinct
+    (token, class) and integer-scaled to micro-nats, so each doc's
+    class score is an order-independent BIGINT sum; argmax breaks
+    ties on lang ASC in both engines.
+
+    100 TB shape: training is one (token, lang) aggregation — map-side
+    combinable, output proportional to VOCABULARY x classes, never
+    corpus rows (the model table is what a tokenizer vocab is: always
+    broadcast-able). Scoring is a broadcast left join onto the
+    exploded test tokens (one narrow x|langs| fan-out, no shuffle of
+    text), one (doc, lang) agg and a 1-shuffle argmax. The vocab-size
+    scalar is a bounded 1-row driver fold (house pattern)."""
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    test = d.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+
+    tl = (
+        train.select("lang", F.explode(tokens_col()).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    # Class-level constants as BOUNDED driver folds (<= |langs| rows
+    # each, house pattern): keeping them as lazy branches re-scans the
+    # fact once for the priors and again for their total — 2 extra
+    # full passes at 100 TB for 5-row tables.
+    v = tl.select("w").distinct().count()  # vocab size: 1-row fold
+    lt_rows = {
+        r["lang"]: int(r["tot"])
+        for r in tl.groupBy("lang").agg(F.sum("c").alias("tot")).collect()
+    }
+    pri_rows = {
+        r["lang"]: int(r["nd"])
+        for r in train.groupBy("lang")
+        .agg(F.count("*").alias("nd"))
+        .collect()
+    }
+    ndall = sum(pri_rows.values())
+    langs = spark.createDataFrame(
+        [
+            (
+                lang,
+                tot,
+                _mn_scalar(pri_rows[lang] / ndall),
+                _mn_scalar(1.0 / (tot + v)),
+            )
+            for lang, tot in sorted(lt_rows.items())
+        ],
+        "lang string, tot bigint, prior_mn bigint, dflt_mn bigint",
+    )
+    llp = tl.join(F.broadcast(langs.select("lang", "tot")), "lang").select(
+        "lang",
+        "w",
+        _mn_log(
+            (F.col("c") + 1).cast("double")
+            / (F.col("tot") + F.lit(v)).cast("double")
+        ).alias("mn"),
+    )
+
+    # actual_lang rides the exploded tokens (one narrow column) so the
+    # argmax chain never joins back on doc_id — saves a corpus-keyed
+    # shuffle join vs the textbook predict-then-join shape
+    test_words = test.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.explode(tokens_col()).alias("w"),
+    )
+    per = (
+        test_words.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(llp), ["lang", "w"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(F.coalesce("mn", "dflt_mn")) + F.min("prior_mn")
+            ).alias("score"),
+            F.min("actual_lang").alias("actual_lang"),
+        )
+    )
+    pred = (
+        per.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"), F.col("lang").alias("l")
+                )
+            ).alias("m"),
+            F.min("actual_lang").alias("actual_lang"),
+        )
+        .select("actual_lang", F.col("m.l").alias("pred_lang"))
+    )
+    return pred.groupBy("actual_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+# ------------------------------------------------- exact ROC-AUC eval
+
+_AUC_POS_LANG = "en"
+_AUC_BUCKETS = 64
+
+
+@register(
+    "eval_auc_roc",
+    extra=True,
+    oracle=rf"""
+    WITH train AS (
+        SELECT * FROM documents WHERE doc_id % {NB_TEST_MOD} <> 0
+    ),
+    test AS (
+        SELECT * FROM documents WHERE doc_id % {NB_TEST_MOD} = 0
+    ),
+    tw AS (
+        SELECT CASE WHEN lang = '{_AUC_POS_LANG}' THEN 1 ELSE 0 END
+                   AS cls,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM train
+    ),
+    tc AS (
+        SELECT w,
+               CAST(SUM(cls) AS BIGINT) AS c1,
+               CAST(SUM(1 - cls) AS BIGINT) AS c0
+        FROM tw GROUP BY w
+    ),
+    consts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tc) AS v,
+               (SELECT CAST(SUM(c1) AS BIGINT) FROM tc) AS tot1,
+               (SELECT CAST(SUM(c0) AS BIGINT) FROM tc) AS tot0,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM train
+                WHERE lang = '{_AUC_POS_LANG}') AS nd1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS ndall
+    ),
+    lo AS (
+        SELECT w,
+               CAST(ROUND(1000000.0 * LN(CAST(c1 + 1 AS DOUBLE)
+                   / CAST(tot1 + v AS DOUBLE))) AS BIGINT)
+               - CAST(ROUND(1000000.0 * LN(CAST(c0 + 1 AS DOUBLE)
+                   / CAST(tot0 + v AS DOUBLE))) AS BIGINT) AS w_lo
+        FROM tc CROSS JOIN consts
+    ),
+    k AS (
+        SELECT CAST(ROUND(1000000.0 * LN(1.0
+                   / CAST(tot1 + v AS DOUBLE))) AS BIGINT)
+               - CAST(ROUND(1000000.0 * LN(1.0
+                   / CAST(tot0 + v AS DOUBLE))) AS BIGINT) AS dflt_lo,
+               CAST(ROUND(1000000.0 * LN(CAST(nd1 AS DOUBLE)
+                   / ndall)) AS BIGINT)
+               - CAST(ROUND(1000000.0 * LN(CAST(ndall - nd1 AS DOUBLE)
+                   / ndall)) AS BIGINT) AS prior_lo
+        FROM consts
+    ),
+    tstw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS w
+        FROM test
+    ),
+    per AS (
+        SELECT t.doc_id,
+               SUM(COALESCE(l.w_lo, (SELECT dflt_lo FROM k)))
+                   + MIN((SELECT prior_lo FROM k)) AS s
+        FROM tstw t LEFT JOIN lo l ON l.w = t.w
+        GROUP BY t.doc_id
+    ),
+    lab AS (
+        SELECT p.s,
+               CASE WHEN t.lang = '{_AUC_POS_LANG}' THEN 1 ELSE 0 END
+                   AS y
+        FROM per p JOIN test t ON t.doc_id = p.doc_id
+    ),
+    hist AS (
+        SELECT s,
+               CAST(SUM(y) AS BIGINT) AS pos_s,
+               CAST(SUM(1 - y) AS BIGINT) AS neg_s
+        FROM lab GROUP BY s
+    ),
+    c AS (
+        SELECT pos_s, neg_s,
+               CAST(COALESCE(SUM(neg_s) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cnb
+        FROM hist
+    )
+    SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(pos_s * (2 * cnb + neg_s)) AS DOUBLE)
+               / (2.0 * SUM(pos_s) * SUM(neg_s)), 6) AS auc
+    FROM c
+    """,
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC for a trained classifier — the evaluation half
+    every curation classifier needs (pairs with the NB trainer the
+    way zx_retrieval_eval_mrr/ndcg pair with the ANN family). The
+    scored model is the binary Naive Bayes log-odds (positive class =
+    lang '{pos}') on the held-out fold; AUC is the Mann-Whitney
+    rank-sum with the standard half-credit tie handling, computed
+    EXACTLY: AUC = sum_s pos_s*(2*cum_neg_below + neg_s) / (2*P*N)
+    over the SCORE HISTOGRAM, never per-pair.
+
+    Cross-engine exactness: scores are BIGINT micro-nat sums (each
+    log factor rounded once per distinct token), so ties align
+    bit-for-bit across engines and the U statistic is an exact
+    integer in both.
+
+    100 TB shape: scoring is the NB broadcast-join plan; the AUC
+    reduction runs on the DISTINCT-SCORE histogram, and the running
+    below-score negative count uses the bucket-prefix pattern (range
+    bucket off a 1-row min/max fold + <=64-row driver prefix fold +
+    bucket-partitioned local window) — no single-partition global
+    window anywhere, unlike the textbook rank-based AUC."""
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    test = d.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+    is_pos = (F.col("lang") == _AUC_POS_LANG).cast("int")
+
+    tc = (
+        train.select(is_pos.alias("cls"), F.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.sum("cls").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("cls")).cast("bigint").alias("c0"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # bounded driver folds (house pattern): vocab size + class totals
+    crow = tc.agg(
+        F.count("*").alias("v"),
+        F.sum("c1").alias("tot1"),
+        F.sum("c0").alias("tot0"),
+    ).first()
+    prow = train.agg(
+        F.sum(is_pos).alias("nd1"), F.count("*").alias("ndall")
+    ).first()
+    v, tot1, tot0 = int(crow.v), int(crow.tot1), int(crow.tot0)
+    nd1, ndall = int(prow.nd1), int(prow.ndall)
+
+    dflt_lo = _mn_scalar(1.0 / (tot1 + v)) - _mn_scalar(1.0 / (tot0 + v))
+    prior_lo = _mn_scalar(nd1 / ndall) - _mn_scalar((ndall - nd1) / ndall)
+
+    lo = tc.select(
+        "w",
+        (
+            _mn_log((F.col("c1") + 1).cast("double") / F.lit(float(tot1 + v)))
+            - _mn_log(
+                (F.col("c0") + 1).cast("double") / F.lit(float(tot0 + v))
+            )
+        ).alias("w_lo"),
+    )
+    per = (
+        test.select("doc_id", F.explode(tokens_col()).alias("w"))
+        .join(F.broadcast(lo), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce("w_lo", F.lit(dflt_lo)))
+                + F.lit(prior_lo)
+            ).alias("s")
+        )
+    )
+    hist = (
+        per.join(test.select("doc_id", is_pos.alias("y")), "doc_id")
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("bigint").alias("pos_s"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg_s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lohi = hist.agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    ).first()
+    slo, shi = float(lohi.lo), float(lohi.hi)
+    width = (shi - slo) / _AUC_BUCKETS if shi > slo else 1.0
+    b = hist.withColumn(
+        "_bk",
+        F.least(
+            F.floor((F.col("s").cast("double") - slo) / width),
+            F.lit(_AUC_BUCKETS - 1),
+        ).cast("int"),
+    )
+    from eventstream_notify_spark.functions.ranking import bucket_prefix_expr
+
+    bneg = b.groupBy("_bk").agg(F.sum("neg_s").alias("nb"))
+    off = bucket_prefix_expr(bneg, "_bk", "nb", op="sum")
+    w_local = (
+        Window.partitionBy("_bk")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = b.select(
+        "pos_s",
+        "neg_s",
+        (
+            F.coalesce(off, F.lit(0))
+            + F.coalesce(F.sum("neg_s").over(w_local), F.lit(0))
+        ).alias("cnb"),
+    )
+    return c.agg(
+        F.sum("pos_s").cast("bigint").alias("n_pos"),
+        F.sum("neg_s").cast("bigint").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("pos_s") * (F.lit(2) * F.col("cnb") + F.col("neg_s"))
+            ).cast("double")
+            / (F.lit(2.0) * F.sum("pos_s") * F.sum("neg_s")),
+            6,
+        ).alias("auc"),
+    )

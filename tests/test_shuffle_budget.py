@@ -149,6 +149,13 @@ BUDGETS = {
     "did_prepost": 2,  # 1-row bounds agg (broadcast back) + ONE
     # conditional-aggregate pass over the fact — no pivot join,
     # no second fact scan
+    "text_nb_lang_classifier": 3,  # (doc, lang) score agg + doc argmax
+    # + confusion agg; model tables broadcast, lang dims driver-folded,
+    # actual_lang rides the token explode so predict never re-joins
+    # the fact
+    "eval_auc_roc": 2,  # score-histogram agg off the checkpointed
+    # per-doc scores + final reduction; cum-below-neg uses the
+    # bucket-prefix pattern, no global window exchange
 }
 
 
