@@ -355,6 +355,8 @@ def recall_mode() -> None:
         "ivf_kmeans": 0.8,
         "ivfpq": 0.7,  # composed losses (cell miss + residual-code
         # error); measured 0.815 at sf0.1, 0.90 at sf0.01
+        "bq": 0.7,  # 1-bit codes rank coarsely; corpus-scaled
+        # shortlist measured 0.78 at sf0.01 / 0.76 at sf0.1
     }
     for key, qname in [
         ("sq8", "zx_sim_search_sq8"),
@@ -362,6 +364,7 @@ def recall_mode() -> None:
         ("ivf", "zx_sim_search_ivf"),
         ("ivf_kmeans", "zx_sim_search_ivf_kmeans"),
         ("ivfpq", "zx_sim_search_ivfpq"),
+        ("bq", "zx_sim_search_bq"),
     ]:
         if qname in qs:
             table[key] = overlap(exact5, topk(qname))

@@ -916,6 +916,189 @@ def sim_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BQ_SHORTLIST_MIN = 50  # Hamming shortlist floor ahead of the re-rank
+BQ_SHORTLIST_CAP = 1000  # ~10% of corpus between floor and cap — the
+# same corpus-scaled depth rule the PQ ADC shortlist settled on after
+# a FIXED 50 dropped recall 0.84 -> 0.62 at 10x corpus (here a fixed
+# 50 measured 0.78 at sf0.01 but 0.445 at sf0.1; 1-bit codes rank
+# coarsely, so coverage must track N until the absolute cap)
+BQ_WORD = 32  # bits packed per code word — shifts stay < 32, so the
+# packed BIGINT words never touch the sign bit and shift/xor/popcount
+# semantics are identical across engines (no overflow edge anywhere)
+
+
+@register(
+    "sim_search_bq",
+    extra=True,
+    oracle=f"""
+    WITH thr AS (
+        SELECT i AS d,
+               (CAST(MIN(x) AS DOUBLE) + CAST(MAX(x) AS DOUBLE)) / 2 AS t
+        FROM (
+            SELECT UNNEST(embedding) AS x,
+                   UNNEST(range(1, len(embedding) + 1)) AS i
+            FROM embeddings
+        )
+        GROUP BY 1
+    ),
+    codes AS (
+        SELECT vec_id, (i - 1) // {BQ_WORD} AS w,
+               CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > t
+                    THEN CAST(1 AS BIGINT) << ((i - 1) % {BQ_WORD})
+                    ELSE 0 END) AS BIGINT) AS word
+        FROM (
+            SELECT vec_id, UNNEST(embedding) AS x,
+                   UNNEST(range(1, len(embedding) + 1)) AS i
+            FROM embeddings
+        )
+        JOIN thr ON thr.d = i
+        GROUP BY 1, 2
+    ),
+    ham AS (
+        SELECT qb.vec_id AS query_id, cb.vec_id AS vec_id,
+               CAST(SUM(bit_count(xor(qb.word, cb.word))) AS BIGINT)
+                   AS hamming
+        FROM codes qb
+        JOIN codes cb ON qb.w = cb.w AND cb.vec_id <> qb.vec_id
+        WHERE qb.vec_id % {QUERY_MOD} = 0
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, vec_id, hamming FROM ham
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming, vec_id
+        ) <= LEAST({BQ_SHORTLIST_CAP}, GREATEST({BQ_SHORTLIST_MIN},
+                 (SELECT COUNT(*) FROM embeddings) / 10))
+    )
+    SELECT s.query_id, s.vec_id, s.hamming,
+           ROUND({cosine_sql('qv.embedding', 'cv.embedding')}, 6) AS score
+    FROM short s
+    JOIN embeddings qv ON qv.vec_id = s.query_id
+    JOIN embeddings cv ON cv.vec_id = s.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY s.query_id ORDER BY score DESC, s.vec_id
+    ) <= {TOP_K}
+    """,
+)
+def sim_search_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization similarity search — the 1-bit-per-dimension
+    compression tier below SQ8 (32x smaller residency; the default
+    coarse tier in modern vector stores): each dimension becomes the
+    sign bit against its corpus midrange (min+max)/2, 32 bits pack
+    into one BIGINT word, and candidate generation is XOR + popcount
+    over 2 words per 64-dim vector. Corpus-scaled Hamming shortlist
+    (~10% of N between 50 and 1000, sized in-plan like PQ's), then
+    exact-cosine re-rank restores precision — the same
+    shortlist/re-rank split as zx_sim_search_pq/_ivfpq, but with a
+    codes table 4x smaller than PQ's and a distance kernel that is
+    pure integer ALU (no LUT join, no float math until re-rank).
+
+    Fully ORACLE-PAIRED, unlike the SQ8/PQ siblings: the midrange
+    threshold is one IEEE double op on order-independent MIN/MAX (no
+    float-sum drift), bits/packing/Hamming are integers, and the
+    re-rank reuses sim_search_cosine's bit-reproducible fold — so the
+    whole ANN pipeline, shortlist cut included, hash-matches DuckDB.
+
+    Scale shape: thresholds are a 64-row groupBy folded back as one
+    broadcast array (same pattern as SQ8's ranges); codes build in one
+    scan with higher-order transforms (no UDF); the Q x N Hamming pass
+    broadcasts only the query CODES (2 bigints each), never raw
+    vectors; the re-rank joins the (Q x shortlist)-row frame back to
+    the corpus as a broadcast equi-join. The corpus never shuffles."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            (
+                (F.min("x").cast("double") + F.max("x").cast("double")) / 2
+            ).alias("t")
+        )
+    )
+    thrs = F.broadcast(
+        dims.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("d", "t"))).alias("dt"))
+        .select(F.transform("dt", lambda r: r["t"]).alias("thrs"))
+    )
+    bitvals = F.expr(
+        "transform(embedding, (x, i) ->"
+        " IF(CAST(x AS DOUBLE) > element_at(thrs, i + 1),"
+        f" shiftleft(CAST(1 AS BIGINT), i % {BQ_WORD}), CAST(0 AS BIGINT)))"
+    )
+    words = F.expr(
+        f"transform(sequence(0, (size(bv) - 1) div {BQ_WORD}),"
+        f" w -> aggregate(slice(bv, w * {BQ_WORD} + 1, {BQ_WORD}),"
+        " CAST(0 AS BIGINT), (a, b) -> a | b))"
+    )
+    # lazy checkpoint: the query-side broadcast and the probe side both
+    # consume the codes; without the barrier the threshold aggregation
+    # subtree plans twice (2 extra Exchanges). Codes are 2 bigints per
+    # vector — the cheapest possible thing to materialize.
+    coded = (
+        e.crossJoin(thrs)
+        .select("vec_id", bitvals.alias("bv"))
+        .select("vec_id", words.alias("words"))
+        .localCheckpoint(eager=False)
+    )
+    qc = F.broadcast(
+        coded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("words").alias("qw")
+        )
+    )
+    ham = coded.join(qc, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(qw, words, (a, b) -> bit_count(a ^ b)),"
+            " 0, (acc, v) -> acc + v)"
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    wsh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    nrow = e.agg(F.count("*").alias("__n"))
+    short = (
+        ham.withColumn("rn", F.row_number().over(wsh))
+        .crossJoin(F.broadcast(nrow))
+        .filter(
+            F.col("rn")
+            <= F.least(
+                F.lit(BQ_SHORTLIST_CAP),
+                F.greatest(F.lit(BQ_SHORTLIST_MIN), F.col("__n") / 10),
+            )
+        )
+        .select("query_id", "vec_id", "hamming")
+    )
+    en = e.withColumn("nrm", l2_norm("embedding"))
+    qe = F.broadcast(
+        en.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    rer = (
+        en.join(F.broadcast(short), "vec_id")
+        .join(qe, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            F.round(
+                dot("qemb", "embedding") / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("score"),
+        )
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
 MMR_LAMBDA = 0.7
 MMR_CANDIDATES = 50
 MMR_K = 10

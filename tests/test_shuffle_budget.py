@@ -92,12 +92,18 @@ BUDGETS = {
     # the broadcast block join's pair expansion parallelizes past the
     # corpus's input-split count (one split = one core otherwise)
     "graph_triangles": 10,    # class-graph algebra (bounded frames)
+    "graph_triangle_count": 10,  # class compression (r8): class agg +
+    # rep-pair generation + nbr/per-class/cross/ctri aggs — all on
+    # class-graph-sized frames; the doc-pair list never materializes
     "corpus_curation": 2,
     "sim_search_ivfpq": 5,  # coarse-assign agg + encode agg + ADC agg
     # + shortlist window + re-rank window; sample/centroid collects
     # and every join side are broadcast
     "sim_search_pq": 6,  # +1: in-plan 1-row corpus-count agg sizing
     # the ADC shortlist (replaced a dedicated count() job)
+    "sim_search_bq": 3,  # threshold agg rides the lazy code
+    # checkpoint; shortlist-count agg + Hamming window + re-rank
+    # window; all joins broadcast
     "llm_bpe_encode": 2,
     "dedup_cluster": 0,       # driver-folded components broadcast back
     "llm_decontaminate": 2,
