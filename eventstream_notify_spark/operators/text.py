@@ -2560,59 +2560,162 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the one-row cohesion readout before choosing a clustering
     strategy (high transitivity ⇒ near-cliques ⇒ min-label CC
     converges in ~2 hops; low ⇒ chains ⇒ budget diameter).
-    Complements zx_graph_triangles' PER-NODE counts by a different
-    algorithm: that one exploits token-set equivalence classes for a
-    closed form; this one is the general oriented-edge ENUMERATION
-    that works on any edge list — two independently-derived,
-    independently-oracle-checked answers over the same graph. Each
-    triangle a<b<c is counted exactly once by orienting every edge
-    low→high and joining e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — the classic
-    distributed triangle enumeration: two EQUI-joins on the oriented
-    edge list, never an all-pairs product. Wedges are an integer
-    degree-sum; the only double is the final ratio.
 
-    Scale: edge orientation bounds each join's fan-out by the max
-    out-degree (sqrt-degree orientation is the refinement if a hub
-    appears); all joins key on doc ids — plain shuffles.
+    Algorithm: MULTIPLICITY-WEIGHTED CLASS COMPRESSION. Jaccard
+    similarity depends only on the token SET, so identical-set docs
+    form equivalence classes that are internally cliques and have
+    uniform cross-class adjacency. The first cut here was the classic
+    oriented-edge enumeration e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) over the
+    DOC-level pair list — correct, but the decade-scale audit showed
+    why it can't ship: a saturated vocabulary grows identical-set
+    cliques linearly in corpus size, a ~5,600-doc clique holds ~3e13
+    triangles, and for a COUNT the enumeration join's cost is pure
+    waste (the answer is one bigint). Compressing first makes every
+    stage closed-form:
+
+      n_edges  = Σ_A C(m_A,2) + Σ_{A~B} m_A·m_B
+      n_tri    = Σ_A C(m_A,3)
+               + Σ_{A~B} [C(m_A,2)·m_B + m_A·C(m_B,2)]
+               + Σ_{A<B<C class-triangle} m_A·m_B·m_C
+      deg(v∈A) = (m_A − 1) + Σ_{B~A} m_B
+      n_wedges = Σ_A m_A·C(deg_A,2);  n_nodes = Σ_{deg_A ≥ 1} m_A
+
+    The only enumeration left is class-triangles over the CLASS edge
+    list — and the pair generation itself (deletion-neighborhood /
+    prefix-filter, same strategy switch as dedup_near) runs on class
+    REPRESENTATIVES, so the quadratic doc-pair list never
+    materializes at all. All counts are exact bigints; the
+    brute-force SQL oracle is unchanged. zx_graph_triangles reaches
+    the per-node answer by the same compression — this is its global
+    twin, sharing the insight but independently aggregated.
+
+    Scale: candidate generation touches distinct token sets only
+    (class count grows far slower than the corpus under duplication —
+    the regime where triangle counting is interesting); everything
+    downstream of the class edge list is integer algebra on
+    class-graph-sized frames.
     """
-    # five branches consume the pair list (e1/e2/e3/degrees/edge
-    # count); a localCheckpoint barrier here was MEASURED SLOWER at
-    # sf0.1 (12.4-13.1 s vs 6.5-7 s): Spark's exchange reuse already
-    # deduplicates the identical dedup_near subplans inside the one
-    # plan, and the barrier costs a full materialization plus the loss
-    # of AQE's downstream re-planning. Leave it to the optimizer.
-    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
-        F.count("*").alias("n_tri")
+    d = table(spark, sf_dir, "documents")
+    # one class row per distinct token set: representative id = min
+    # doc_id (deterministic), multiplicity m; lazy checkpoint because
+    # the strategy probe, the pair join and three size joins all
+    # consume it
+    cs = (
+        _token_sets(d)
+        .withColumn("ck", F.md5(F.concat_ws(" ", "toks")))
+        .groupBy("ck")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("toks", "doc_id").alias("toks"),
+            F.count("*").alias("m"),
+        )
+        .withColumn("sz", F.size("toks").cast("long"))
+        .select("doc_id", "toks", "sz", "m")
+        .localCheckpoint(eager=False)
     )
-    deg = (
-        pairs.select(F.col("doc_a").alias("node"))
-        .unionAll(pairs.select(F.col("doc_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
+    # same exactness-preserving strategy switch as dedup_near, probed
+    # on the CLASS frame (one cheap scalar job)
+    prof = (
+        cs.select("sz", F.explode_outer("toks").alias("term"))
+        .agg(
+            F.max("sz").alias("max_sz"),
+            F.countDistinct("term").alias("vocab"),
+        )
+        .first()
     )
-    wed = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias(
-            "n_wedges"
+    max_sz, vocab = prof.max_sz or 0, prof.vocab or 0
+    delta = int((1 - JACCARD_T) * min(2 * max_sz, vocab))
+    pair_fn = jaccard_pairs_deletion if delta <= 1 else jaccard_pairs_prefix
+    ce = (
+        pair_fn(cs.select("doc_id", "toks", "sz"), JACCARD_T)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    sz_a = F.broadcast(cs.select(F.col("doc_id").alias("a"), F.col("m").alias("ma")))
+    sz_b = F.broadcast(cs.select(F.col("doc_id").alias("b"), F.col("m").alias("mb")))
+    sz_c = F.broadcast(cs.select(F.col("doc_id").alias("c"), F.col("m").alias("mc")))
+    ce_m = ce.join(sz_a, "a").join(sz_b, "b")
+    # cross-class contributions: edges and the 2-classes-of-3 triangles
+    cross = ce_m.agg(
+        F.coalesce(F.sum(F.col("ma") * F.col("mb")), F.lit(0)).alias(
+            "cross_edges"
         ),
-        F.count("*").alias("n_nodes"),
+        F.coalesce(
+            F.sum(
+                F.expr("ma * (ma - 1) div 2") * F.col("mb")
+                + F.col("ma") * F.expr("mb * (mb - 1) div 2")
+            ),
+            F.lit(0),
+        ).alias("cross_tri"),
     )
-    n_edges = pairs.agg(F.count("*").alias("n_edges"))
-    return (
-        tri.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(wed))
+    # class-triangle enumeration — over the CLASS edge list only
+    cw = ce.join(
+        ce.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    ctri = (
+        cw.join(ce.select("a", F.col("b").alias("c")), ["a", "c"])
+        .join(sz_a, "a")
+        .join(sz_b, "b")
+        .join(sz_c, "c")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("ma") * F.col("mb") * F.col("mc")), F.lit(0)
+            ).alias("tri3")
+        )
+    )
+    # per-class degree: internal clique + neighbor multiplicities
+    nbr = (
+        ce.select("a", F.col("b").alias("n"))
+        .union(ce.select(F.col("b").alias("a"), F.col("a").alias("n")))
+        .join(
+            F.broadcast(
+                cs.select(F.col("doc_id").alias("n"), F.col("m").alias("mn"))
+            ),
+            "n",
+        )
+        .groupBy("a")
+        .agg(F.sum("mn").alias("nb_sum"))
+    )
+    per_class = (
+        cs.select(F.col("doc_id").alias("a"), "m")
+        .join(nbr, "a", "left")
         .select(
-            F.col("n_tri").alias("n_triangles"),
+            "m",
+            (
+                (F.col("m") - 1) + F.coalesce(F.col("nb_sum"), F.lit(0))
+            ).alias("deg"),
+        )
+    )
+    totals = per_class.agg(
+        F.sum(F.expr("m * (m - 1) div 2")).alias("int_edges"),
+        F.sum(F.expr("m * (m - 1) * (m - 2) div 6")).alias("int_tri"),
+        F.sum(F.expr("m * (deg * (deg - 1) div 2)")).alias("n_wedges"),
+        F.sum(F.when(F.col("deg") >= 1, F.col("m")).otherwise(0)).alias(
+            "n_nodes"
+        ),
+    )
+    return (
+        totals.crossJoin(F.broadcast(cross))
+        .crossJoin(F.broadcast(ctri))
+        .select(
+            (F.col("int_tri") + F.col("cross_tri") + F.col("tri3"))
+            .cast("bigint")
+            .alias("n_triangles"),
+            (F.col("int_edges") + F.col("cross_edges"))
+            .cast("bigint")
+            .alias("n_edges"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        )
+        .select(
+            "n_triangles",
             "n_edges",
             "n_nodes",
             "n_wedges",
             F.round(
                 F.when(
                     F.col("n_wedges") > 0,
-                    3.0 * F.col("n_tri") / F.col("n_wedges"),
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("transitivity"),

@@ -58,24 +58,17 @@ FAMILY = [
     "zx_dedup_near_embedding_lsh",
     "zx_semdedup_prune",
     "zx_graph_triangles",
+    "zx_graph_triangle_count",
 ]
 
-# Measured and EXCLUDED, with the finding recorded in the artifact:
-# ops whose true ANSWER grows cubically on this corpus — no algorithm
-# outruns its own output size.
-EXCLUDED = {
-    "zx_graph_triangle_count": (
-        "general oriented-edge triangle ENUMERATION: the 10x corpus "
-        "contains a ~5,600-doc identical-token-set clique, so the true "
-        "triangle count is ~3e13 and enumeration cost IS the answer's "
-        "size (killed at 6+ min single query). The class-closed-form "
-        "sibling zx_graph_triangles covers the triangle family at the "
-        "decade (20.0x time for 82.7x edges); compressing identical "
-        "token-set nodes into class nodes before enumeration is the "
-        "production fix if the general enumerator must run on "
-        "clique-heavy graphs."
-    ),
-}
+# Previously excluded, now closed: zx_graph_triangle_count's first cut
+# was oriented-edge ENUMERATION, and the 10x corpus's ~5,600-doc
+# identical-token-set clique (1.47e10 true triangles) killed it at
+# 6+ min. The round-8 fix applied this audit's own recommendation —
+# multiplicity-weighted class compression BEFORE pair generation, so
+# the count is closed-form integer algebra over the class graph — and
+# the decade now measures in seconds (same oracle, unchanged).
+EXCLUDED: dict[str, str] = {}
 
 # Each op's DECLARED work model — the audit pins time growth against
 # the workload its contract says it does, making the scaling contract
@@ -94,7 +87,9 @@ EXCLUDED = {
 WORK_MODEL = {
     "zx_dedup_cluster": "pairs",
     "zx_graph_triangles": "pairs",
-    "zx_graph_triangle_count": "pairs",
+    # zx_graph_triangle_count: default LINEAR — after class
+    # compression the count no longer pays for the doc-pair graph, so
+    # it is held to the strict <= 10x arm (measured well under it)
     "zx_dedup_near_embedding": "block_quadratic",  # exact; LSH sibling
     "zx_semdedup_prune": "block_quadratic",  # within-cluster all-pairs
     # In THIS experiment both the new batch and the corpus index grow
