@@ -1380,6 +1380,242 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_kn_score",
+    extra=True,
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 2
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM bg GROUP BY w1
+    ),
+    n1f AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM c12 GROUP BY w1
+    ),
+    n1b AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+        FROM c12 GROUP BY w2
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c12),
+    dbg AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM bg GROUP BY doc_id, w1, w2
+    ),
+    scored AS (
+        SELECT dbg.doc_id, dbg.n_occ,
+               (1000000 * ((4 * c12.c12 - 3) * tt.t
+                           + 3 * n1f.n1f * n1b.n1b))
+                   // (4 * c1.c1 * tt.t) AS p_micro
+        FROM dbg
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN n1f USING (w1)
+        JOIN n1b USING (w2)
+        CROSS JOIN tt
+    )
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n_occ * p_micro) AS BIGINT) AS sum_p_micro,
+           CAST(SUM(n_occ * p_micro) AS DOUBLE)
+               / CAST(SUM(n_occ) AS DOUBLE) AS kn_score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing KenLM
+    actually ships (Kneser & Ney '95; Chen & Goodman '98 found it
+    dominant), next to zx_llm_lm_score's add-one baseline. KN's two
+    ideas: absolute discounting (subtract a constant D from every
+    observed bigram count instead of add-one's inflation) and the
+    CONTINUATION unigram (back off to "how many distinct contexts
+    does w2 follow?", not raw frequency — 'francisco' is frequent but
+    only ever follows 'san', so its continuation probability is tiny):
+
+        P(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T
+
+    Exactness trick: D = 3/4 is RATIONAL, so with the same integer
+    micro-probability convention as lm_score the whole model is one
+    floor division of exact bigint products —
+    µP = 1e6·((4·c12−3)·T + 3·N1f·N1b) div (4·c1·T) — bit-identical
+    cross-engine, no log, no float accumulation. (Observed bigrams
+    always have c12 ≥ 1 > D, so the max(·,0) clamp never binds and is
+    dropped.) At true 100 TB counts the products want decimal(38,0)
+    headroom; bigint covers every test SF with 3+ orders to spare.
+
+    Shape mirrors lm_score (SURVEY §2 text family): class-compressed
+    per-doc bigrams (dbg) join the model on its natural (w1,w2) key —
+    the one token-volume shuffle; the continuation tables N1+(w1·),
+    N1+(·w2) and the type count T derive from the already-aggregated
+    bigram-type table (tiny) and ride in as broadcasts."""
+    d = table(spark, sf_dir, "documents")
+    tok_arr = d.select("doc_id", tokens_col().alias("ts"))
+    bg = (
+        tok_arr.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    n1f = c12.groupBy("w1").agg(F.count("*").alias("n1f"))
+    n1b = c12.groupBy("w2").agg(F.count("*").alias("n1b"))
+    tt = c12.agg(F.count("*").cast("bigint").alias("t"))
+    dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n_occ"))
+    scored = (
+        dbg.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(n1f), "w1")
+        .join(F.broadcast(n1b), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            "n_occ",
+            F.expr(
+                "(1000000 * ((4 * c12 - 3) * t + 3 * n1f * n1b))"
+                " div (4 * c1 * t)"
+            ).alias("p_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("p_micro"))
+            .cast("bigint")
+            .alias("sum_p_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_p_micro",
+            (
+                F.col("sum_p_micro").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("kn_score"),
+        )
+    )
+
+
+@register(
+    "llm_ppl_buckets",
+    extra=True,
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 2
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM bg GROUP BY w1
+    ),
+    n1f AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM c12 GROUP BY w1
+    ),
+    n1b AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+        FROM c12 GROUP BY w2
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c12),
+    dbg AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM bg GROUP BY doc_id, w1, w2
+    ),
+    scored AS (
+        SELECT dbg.doc_id, dbg.n_occ,
+               (1000000 * ((4 * c12.c12 - 3) * tt.t
+                           + 3 * n1f.n1f * n1b.n1b))
+                   // (4 * c1.c1 * tt.t) AS p_micro
+        FROM dbg
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN n1f USING (w1)
+        JOIN n1b USING (w2)
+        CROSS JOIN tt
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(n_occ * p_micro) AS DOUBLE)
+                   / CAST(SUM(n_occ) AS DOUBLE) AS kn_score
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.source,
+           CASE NTILE(3) OVER (
+               PARTITION BY d.source
+               ORDER BY p.kn_score DESC, p.doc_id
+           ) WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket,
+           p.doc_id, ROUND(p.kn_score, 6) AS kn_score
+    FROM per_doc p JOIN documents d USING (doc_id)
+    """,
+)
+def llm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-trained KN bigram model and split
+    each SOURCE into head / middle / tail terciles by model score —
+    the curation primitive behind 'train on head, sample middle, drop
+    tail'. High mean bigram probability = low perplexity = head
+    (order-isomorphic, same trade as lm_score's log-free ranking).
+
+    Exact terciles via NTILE(3) per source with a deterministic
+    (score DESC, doc_id) order — both engines fill earlier tiles
+    first, so the split is bit-reproducible. The tercile window
+    shuffles only (doc_id, source, score) — never text. At true
+    100 TB CCNet itself switches to sampled thresholds (compute the
+    two cut scores on a per-source sample, then assign by comparison
+    — an embarrassingly parallel map); the NTILE form here is the
+    exact-spec anchor that a sampled variant would be validated
+    against. Docs with <2 tokens have no bigram evidence and are
+    excluded (inner join), matching the scorer's domain."""
+    sc = llm_kn_score(spark, sf_dir).select("doc_id", "kn_score")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("kn_score").desc(), "doc_id"
+    )
+    return (
+        sc.join(d, "doc_id")
+        .withColumn("nt", F.ntile(3).over(w))
+        .select(
+            "source",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+            "doc_id",
+            F.round("kn_score", 6).alias("kn_score"),
+        )
+    )
+
+
 # ------------------------------------------------ graph analytics (r3)
 
 _PR_ITERS = 6

@@ -105,6 +105,11 @@ BUDGETS = {
     # checkpoint; shortlist-count agg + Hamming window + re-rank
     # window; all joins broadcast
     "llm_bpe_encode": 2,
+    "llm_kn_score": 10,  # model aggs (c12/c1/n1f/n1b/T) + dbg + the
+    # natural-key model join + per-doc agg; the c12 subtree plans 4x
+    # statically (runtime exchange reuse dedupes it at execution)
+    "llm_ppl_buckets": 11,  # + per-source NTILE window on (doc_id,
+    # source, score) rows only
     "dedup_cluster": 0,       # driver-folded components broadcast back
     "llm_decontaminate": 2,
     # --- r7 additions ---------------------------------------------
