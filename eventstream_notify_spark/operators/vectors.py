@@ -270,6 +270,180 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMPP_L = 4  # k-means|| oversampling factor per round
+KMPP_ROUNDS = 3
+_LEH_P = 2_147_483_647  # Lehmer modulus (shared with the KMV/perm ops)
+_LEH_A = 48_271
+_LEH_SALT = 1_000_003  # round stride into the hash stream
+
+
+def _lehmer_sql(col: str, r: int) -> str:
+    """Three multiply-mod rounds of the Lehmer stream on ``col`` —
+    the same derandomization zx_ab_permutation_test uses, identical
+    text on both engines so the sampled set is identical."""
+    h = f"(({col} + {r * _LEH_SALT}) % {_LEH_P})"
+    for _ in range(3):
+        h = f"(({h} * {_LEH_A}) % {_LEH_P})"
+    return h
+
+
+def _d2_sql(a: str, b: str) -> str:
+    """Squared L2 distance as a DuckDB left fold (dot_sql's twin)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i ->"
+        f" (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _kmpp_oracle() -> str:
+    """Unrolled k-means|| rounds: each round's CTE chain is cost ->
+    phi -> Lehmer-sampled candidates -> center union. Data-dependent
+    center SETS flow between rounds as rows, so no recursion is
+    needed — just KMPP_ROUNDS copies of the same three CTEs."""
+    ctes = [
+        """pts AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (
+        SELECT vec_id, embedding, 0 AS round_added FROM pts
+        WHERE vec_id = (SELECT MIN(vec_id) FROM pts)
+    )"""
+    ]
+    for r in range(1, KMPP_ROUNDS + 1):
+        d2 = _d2_sql("p.embedding", "c.embedding")
+        ctes.append(
+            f"""d{r} AS (
+        SELECT p.vec_id, p.embedding,
+               CAST(FLOOR(1000000 * MIN({d2})) AS BIGINT) AS cq
+        FROM pts p, c{r - 1} c GROUP BY p.vec_id, p.embedding
+    ),
+    phi{r} AS (SELECT SUM(cq) AS phi FROM d{r}),
+    s{r} AS (
+        SELECT d.vec_id, d.embedding, {r} AS round_added
+        FROM d{r} d, phi{r}
+        WHERE CAST({_lehmer_sql('d.vec_id', r)} AS DOUBLE) / {_LEH_P}
+              < (4.0 * d.cq) / phi
+    ),
+    c{r} AS (SELECT * FROM c{r - 1} UNION ALL SELECT * FROM s{r})"""
+        )
+    last = f"c{KMPP_ROUNDS}"
+    d2a = _d2_sql("p.embedding", "c.embedding")
+    return f"""
+    WITH {','.join(ctes)},
+    assign AS (
+        SELECT p.vec_id AS pid, c.vec_id AS cid
+        FROM pts p, {last} c
+        QUALIFY row_number() OVER (
+            PARTITION BY p.vec_id ORDER BY {d2a}, c.vec_id
+        ) = 1
+    )
+    SELECT c.vec_id AS center_vec_id, c.round_added,
+           CAST(COUNT(a.pid) AS BIGINT) AS weight
+    FROM {last} c LEFT JOIN assign a ON a.cid = c.vec_id
+    GROUP BY 1, 2
+    """
+
+
+@register("kmeans_parallel_init", extra=True, oracle=_kmpp_oracle())
+def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB 2012) — the
+    distributed answer to k-means++'s inherently sequential seeding,
+    and the init spark.ml's KMeans ships by default: instead of k
+    passes each picking ONE center by d²-weighted sampling, run a few
+    OVERSAMPLING rounds that each sample ~l points independently with
+    p = l·d²(x,C)/φ, then hand the ~l·R+1 weighted candidates to a
+    cheap final clustering (their weights = how many corpus points
+    they'd absorb). Completes the k-means lifecycle next to
+    sim_search_ivf_kmeans's Lloyd refinement: init -> iterate ->
+    serve.
+
+    Fully ORACLE-PAIRED — unusual for a sampling algorithm: the coin
+    flips are a Lehmer hash of (vec_id, round) (the
+    zx_ab_permutation_test derandomization), costs quantize to
+    integer micro-units before the φ sum (order-independent), and the
+    acceptance test compares two identically-computed doubles, so
+    DuckDB re-derives the exact candidate set, per-round membership
+    and weights. The oracle unrolls the rounds as CTE copies — the
+    center set flows between rounds as ROWS, no recursion.
+
+    Scale shape: per round ONE scan computing min-d² against ≤ l·r+1
+    BROADCAST-LITERAL centers (folded into codegen, no join), one
+    integer sum for φ (map-side combinable), and a filter whose
+    survivors — expected l rows — are the only data ever collected.
+    The final weighting pass is the same literal-centers argmin
+    (array_min over a struct array, no shuffle) plus a ≤13-group
+    count. The corpus never shuffles; driver traffic is O(l·R·dim)."""
+    pts = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = pts.orderBy("vec_id").limit(1).collect()[0]
+    centers = [
+        (int(first.vec_id), [float(v) for v in first.embedding], 0)
+    ]
+
+    def d2_lit(cvals: list) -> F.Column:
+        arr = F.array(*[F.lit(v).cast("double") for v in cvals])
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                arr,
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    for r in range(1, KMPP_ROUNDS + 1):
+        cq = (
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.least(*[d2_lit(c) for _, c, _ in centers])
+                if len(centers) > 1
+                else F.lit(1_000_000.0) * d2_lit(centers[0][1])
+            )
+        ).cast("bigint")
+        costed = pts.select("vec_id", "embedding", cq.alias("cq"))
+        phi = int(costed.agg(F.sum("cq")).collect()[0][0])
+        h = F.expr(_lehmer_sql("vec_id", r)).cast("double")
+        samp = (
+            costed.filter(
+                h / F.lit(float(_LEH_P))
+                < (F.lit(4.0) * F.col("cq").cast("double"))
+                / F.lit(float(phi))
+            )
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        centers += [
+            (int(s.vec_id), [float(v) for v in s.embedding], r)
+            for s in sorted(samp, key=lambda s: s.vec_id)
+        ]
+    # weights: nearest-candidate counts via a literal struct-array
+    # argmin — lexicographic array_min = (min d2, then min center id)
+    cand_arr = F.array(
+        *[
+            F.struct(
+                d2_lit(c).alias("d2"),
+                F.lit(cid).cast("bigint").alias("cid"),
+            )
+            for cid, c, _ in centers
+        ]
+    )
+    counts = {
+        int(row.cid): int(row.w)
+        for row in pts.select(
+            F.array_min(cand_arr).getField("cid").alias("cid")
+        )
+        .groupBy("cid")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    }
+    rows = [
+        (cid, rnd, counts.get(cid, 0)) for cid, _, rnd in centers
+    ]
+    return spark.createDataFrame(
+        rows, "center_vec_id bigint, round_added int, weight bigint"
+    )
+
+
 @register("sim_search_ivf_kmeans", extra=True)  # rows-only: iterative float refinement
 def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #3 — IVF with k-means-refined centroids: start

@@ -101,6 +101,9 @@ BUDGETS = {
     # and every join side are broadcast
     "sim_search_pq": 6,  # +1: in-plan 1-row corpus-count agg sizing
     # the ADC shortlist (replaced a dedicated count() job)
+    "kmeans_parallel_init": 0,  # result frame is driver-built; the
+    # per-round cost/phi/sample jobs are literal-center scans + map-
+    # side-combinable sums — no corpus shuffle anywhere
     "sim_search_bq": 3,  # threshold agg rides the lazy code
     # checkpoint; shortlist-count agg + Hamming window + re-rank
     # window; all joins broadcast
