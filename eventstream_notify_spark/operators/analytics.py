@@ -4185,3 +4185,229 @@ def did_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("post_t") - F.col("post_c")) / 1000.0, 6
         ).alias("naive_diff"),
     )
+
+
+# ------------------------------------------------ target encoding (r8)
+
+TE_SMOOTH_M = 20  # pseudo-count weight of the global prior
+
+
+@register(
+    "target_encode_loo",
+    extra=True,
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS gs,
+               CAST(COUNT(*) AS BIGINT) AS gc
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(SUM(n_chars) AS BIGINT) AS ss,
+               CAST(COUNT(*) AS BIGINT) AS sc
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           ROUND(CAST(s.ss - d.n_chars AS DOUBLE)
+                 / NULLIF(s.sc - 1, 0), 6) AS te_loo,
+           ROUND(CAST((s.ss - d.n_chars) * g.gc
+                      + {TE_SMOOTH_M} * g.gs AS DOUBLE)
+                 / CAST((s.sc - 1 + {TE_SMOOTH_M}) * g.gc AS DOUBLE),
+                 6) AS te_smooth
+    FROM documents d JOIN s USING (source) CROSS JOIN g
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature — the
+    leakage-safe way to turn high-cardinality categories into model
+    features (each row's encoding excludes its OWN target, so the
+    feature never memorizes the label it will be asked to predict),
+    plus the smoothed variant that shrinks rare categories toward the
+    global prior with m pseudo-counts (the Micci-Barreca 2001 /
+    CatBoost-style estimator). Category = source, target = n_chars.
+
+    Exactness: both encodings are ratios of exact BIGINT sums — the
+    smoothed one clears its denominators ((s-own)·G_cnt + m·G_sum
+    over (c-1+m)·G_cnt) so no float prior ever enters the
+    accumulation; a single-member category's LOO is NULL (NULLIF),
+    identically in both engines.
+
+    Scale: one groupBy(source) aggregation (map-side combinable) and
+    one 1-row global agg, both folded back as broadcasts onto the
+    fact scan — the per-row encode is arithmetic in codegen. The
+    fact table never shuffles."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    g = F.broadcast(
+        d.agg(
+            F.sum("n_chars").cast("bigint").alias("gs"),
+            F.count("*").cast("bigint").alias("gc"),
+        )
+    )
+    s = F.broadcast(
+        d.groupBy("source").agg(
+            F.sum("n_chars").cast("bigint").alias("ss"),
+            F.count("*").cast("bigint").alias("sc"),
+        )
+    )
+    return (
+        d.join(s, "source")
+        .crossJoin(g)
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                (F.col("ss") - F.col("n_chars")).cast("double")
+                / F.nullif((F.col("sc") - 1).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("te_loo"),
+            F.round(
+                (
+                    (F.col("ss") - F.col("n_chars")) * F.col("gc")
+                    + TE_SMOOTH_M * F.col("gs")
+                ).cast("double")
+                / (
+                    (F.col("sc") - 1 + TE_SMOOTH_M) * F.col("gc")
+                ).cast("double"),
+                6,
+            ).alias("te_smooth"),
+        )
+    )
+
+
+# ------------------------------------------------ conformal intervals (r8)
+
+CONF_ALPHA_PCT = 10  # 90% target coverage
+
+
+@register(
+    "conformal_interval",
+    extra=True,
+    oracle=f"""
+    WITH train AS (
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS pred_milli
+        FROM events WHERE event_id % 3 = 0
+        GROUP BY event_type
+    ),
+    cal AS (
+        SELECT e.event_type, e.event_id,
+               ABS(CAST(ROUND(e.value * 1000) AS BIGINT)
+                   - t.pred_milli) AS r
+        FROM events e JOIN train t USING (event_type)
+        WHERE e.event_id % 3 = 1
+    ),
+    ncal AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal
+        FROM cal GROUP BY event_type
+    ),
+    q AS (
+        SELECT c.event_type, n.n_cal, c.r AS q_milli
+        FROM cal c JOIN ncal n USING (event_type)
+        QUALIFY row_number() OVER (
+            PARTITION BY c.event_type ORDER BY c.r, c.event_id
+        ) = LEAST(n.n_cal,
+                  CAST(CEIL((n.n_cal + 1) * {100 - CONF_ALPHA_PCT} / 100.0)
+                       AS BIGINT))
+    )
+    SELECT q.event_type, q.n_cal, t.pred_milli, q.q_milli,
+           ROUND(SUM(CASE WHEN ABS(CAST(ROUND(e.value * 1000) AS BIGINT)
+                                   - t.pred_milli) <= q.q_milli
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS coverage
+    FROM events e
+    JOIN train t USING (event_type)
+    JOIN q USING (event_type)
+    WHERE e.event_id % 3 = 2
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    2018) — the distribution-free way to attach finite-sample-valid
+    uncertainty to ANY point predictor, and the calibration primitive
+    production ML systems bolt on after training: fit on a train
+    fold, take the ceil((n+1)(1-alpha))-th smallest absolute residual
+    on a CALIBRATION fold as the interval half-width q, and the
+    interval pred +- q covers a fresh point with probability >=
+    1-alpha, no distributional assumptions. Folds split by
+    event_id % 3 (train/calibrate/test); predictor = per-type train
+    mean; the emitted coverage on the held-out test fold is the
+    empirical check of the 90% guarantee.
+
+    Exactness: values quantize to milli-units, the predictor is one
+    integer floor-division, residuals and q are integers, and the
+    order statistic is a row_number with a deterministic (r,
+    event_id) tie-break — the quantile is EXACT, not an approximate
+    percentile. Coverage is a ratio of exact counts.
+
+    Scale: two groupBy(event_type) aggs and one per-type rank window
+    over the calibration fold (only (type, residual, id) rows
+    shuffle); the domain-bounded model/quantile tables broadcast back
+    onto the test scan. At 100 TB the calibration fold is a fixed-
+    size sample by construction — conformal needs only thousands of
+    calibration points per group for tight quantiles."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+    )
+    train = e.filter(F.col("event_id") % 3 == 0)
+    model = F.broadcast(
+        train.groupBy("event_type").agg(
+            F.expr("sum(v_milli) div count(*)").alias("pred_milli")
+        )
+    )
+    cal = (
+        e.filter(F.col("event_id") % 3 == 1)
+        .join(model, "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("v_milli") - F.col("pred_milli")).alias("r"),
+        )
+    )
+    ncal = cal.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_cal")
+    )
+    wq = Window.partitionBy("event_type").orderBy("r", "event_id")
+    q = (
+        cal.join(F.broadcast(ncal), "event_type")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.col("n_cal"),
+                # ((n+1)*90)/100.0 EXACTLY as the oracle writes it —
+                # (n+1)*0.9 is a different float and its ceil differs
+                # at integral boundaries (10*0.9 = 9.000000000000002)
+                F.ceil(
+                    ((F.col("n_cal") + 1) * (100 - CONF_ALPHA_PCT))
+                    / F.lit(100.0)
+                ).cast("bigint"),
+            )
+        )
+        .select("event_type", "n_cal", F.col("r").alias("q_milli"))
+    )
+    test = e.filter(F.col("event_id") % 3 == 2)
+    return (
+        test.join(model, "event_type")
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_cal", "pred_milli", "q_milli")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("v_milli") - F.col("pred_milli"))
+                        <= F.col("q_milli"),
+                        1,
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("coverage")
+        )
+    )

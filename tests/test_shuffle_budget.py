@@ -101,6 +101,10 @@ BUDGETS = {
     # and every join side are broadcast
     "sim_search_pq": 6,  # +1: in-plan 1-row corpus-count agg sizing
     # the ADC shortlist (replaced a dedicated count() job)
+    "target_encode_loo": 2,  # source agg + 1-row global agg, both
+    # broadcast back; the fact scan never shuffles
+    "conformal_interval": 6,  # train/cal/ncal aggs + per-type rank
+    # window + test agg; model/quantile tables broadcast
     "kmeans_parallel_init": 0,  # result frame is driver-built; the
     # per-round cost/phi/sample jobs are literal-center scans + map-
     # side-combinable sums — no corpus shuffle anywhere
