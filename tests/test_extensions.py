@@ -456,6 +456,33 @@ def test_graph_triangles_matches_python_reference(spark, sf_dir):
     assert got == want
 
 
+def test_graph_triangle_count_matches_python_closure(spark, sf_dir):
+    """The class-compressed GLOBAL counts (triangles, edges, nodes,
+    wedges) must equal a brute-force python closure over the expanded
+    dedup_near edge list — guards the multiplicity combinatorics
+    (C(m,3) internal, C(m,2)*m' cross, m*m'*m'' class-triangle, the
+    (m-1)+sum(m_B) degree law) against the enumeration ground truth."""
+    from eventstream_notify_spark.operators.text import (
+        dedup_near,
+        graph_triangle_count,
+    )
+
+    edges = {
+        (r.doc_a, r.doc_b) for r in dedup_near(spark, sf_dir).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = sum(len(adj[a] & adj[b]) for a, b in edges) // 3
+    degs = {n: len(v) for n, v in adj.items()}
+    row = graph_triangle_count(spark, sf_dir).collect()[0]
+    assert row.n_triangles == n_tri
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+    assert row.n_wedges == sum(d * (d - 1) // 2 for d in degs.values())
+
+
 def test_stream_agg_chain_consistency(spark, sf_dir):
     """Chained streaming aggs: hourly totals must equal the batch
     per-hour counts for every finalized hour."""
