@@ -1092,3 +1092,68 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("logw_micro") / (1_000_000.0 * F.col("n_tokens")), 6
         ).alias("logw_per_token"),
     )
+
+
+_LDIV_L = 3
+
+
+@register(
+    "l_diversity",
+    extra=True,
+    oracle=f"""
+    WITH qi AS (
+        SELECT user_id % 100 AS user_bucket,
+               event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(DISTINCT CAST(ROUND(value) AS BIGINT))
+                   AS BIGINT) AS diversity,
+               CAST(COUNT(*) AS BIGINT) AS grp_size
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN diversity < {_LDIV_L} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violating,
+           CAST(SUM(CASE WHEN diversity < {_LDIV_L} THEN grp_size
+                    ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(MIN(diversity) AS BIGINT) AS min_diversity
+    FROM qi
+    GROUP BY event_type
+    """,
+)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit — k-anonymity's necessary second check
+    (Machanavajjhala et al. 2007): a QI group can have >= k members
+    yet expose everyone if they all share the same SENSITIVE value
+    (the homogeneity attack k-anonymity misses). Same QI tuple as
+    zx_k_anonymity (user bucket, event_type, day); sensitive
+    attribute = the event's integer-rounded value; a group is
+    l-diverse iff it contains >= l distinct sensitive values. Emits
+    per event_type the group count, under-l group count, rows in
+    those groups, and the achieved minimum diversity.
+
+    Shape: one hash-agg to QI groups with a COUNT(DISTINCT) (expand +
+    two-phase agg — the same two-shuffle plan as agg_distinct), one
+    domain-bounded rollup. The QI-group table is bounded by the QI
+    domain at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    qi = ev.groupBy(
+        (F.col("user_id") % 100).alias("user_bucket"),
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(
+        F.countDistinct(F.round("value").cast("bigint"))
+        .cast("bigint")
+        .alias("diversity"),
+        F.count("*").cast("bigint").alias("grp_size"),
+    )
+    under = F.col("diversity") < _LDIV_L
+    return qi.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(under.cast("bigint")).cast("bigint").alias("n_violating"),
+        F.sum(F.when(under, F.col("grp_size")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("diversity").cast("bigint").alias("min_diversity"),
+    )
