@@ -126,6 +126,14 @@ def time_query(spark, name, sf_dir, reps) -> tuple[float, int]:
 
         gc.collect()
         spark._jvm.System.gc()
+        # The ContextCleaner unpins asynchronously, so by the time the
+        # next measurement starts the blocks may still be resident
+        # (measured: the async-only hygiene left zx_dedup_ngram at 66s
+        # in-sweep vs 15.7s isolated at 10x). Unpersist every still-
+        # registered RDD BLOCKING — refs were dropped above, so
+        # anything left is exactly the leaked checkpoint blocks.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
     return median(times), n
 
 
