@@ -39,7 +39,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from eventstream_notify_spark.registry import register
 from eventstream_notify_spark.sources.documents import file_documents_stream
-from eventstream_notify_spark.streaming.pipeline import run_bounded
+from eventstream_notify_spark.streaming.pipeline import (
+    run_bounded,
+    run_bounded_files,
+)
 
 # Per-bucket index budget (the NN_BUCKET_CAP precedent, arrival-order
 # deterministic): members beyond the cap still PROBE the bucket (their
@@ -117,10 +120,31 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(res)
 
 
+_PAIR_CHUNK = 2_000_000  # rows per yielded frame: bounds the Arrow
+# batch a mega-bucket can hand back to the JVM in one transfer
+
+
 def make_minhash_indexer(bucket_cap: int | None):
     """Kernel factory: per (band_no, bucket), emit candidate pairs of
     each arriving doc against the bucket's indexed members, then index
-    the doc (subject to the cap)."""
+    the doc (subject to the cap).
+
+    VECTORIZED: the first cut walked python lists per arriving doc,
+    and on a saturated-vocabulary corpus (identical token sets put
+    ~the whole corpus in a handful of buckets) one kernel invocation
+    appended ~12.5M pair ints through the interpreter — 78 s at sf0.1
+    standalone and a JVM heap OOM mid-bench that killed the 61
+    queries after it. The pair set decomposes into three dense blocks
+    — (arrivals x existing members) + triangular(indexed arrivals) +
+    (overflow arrivals x indexed arrivals) — each a numpy
+    repeat/tile/triu_indices construction, yielded in bounded chunks
+    so a mega-bucket can never hand the JVM one giant Arrow batch.
+    Semantics (incl. the cap's probe-but-don't-index rule and
+    arrival-order indexing) are unchanged: arrivals are sorted by
+    doc_id, the first (cap - |members|) of them are indexed, every
+    arrival pairs with all pre-existing members plus the arrivals
+    indexed before it."""
+    import numpy as np
 
     def index_fn(
         key: tuple[Any, ...],
@@ -132,21 +156,44 @@ def make_minhash_indexer(bucket_cap: int | None):
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         band_no = int(key[0])
-        members: list[int] = list(state.get[0]) if state.exists else []
-        pa, pb = [], []
-        for did in pdf["doc_id"]:
-            did = int(did)
-            for m in members:
-                if m == did:
-                    continue
-                pa.append(min(m, did))
-                pb.append(max(m, did))
-            if bucket_cap is None or len(members) < bucket_cap:
-                members.append(did)
-        state.update((members,))
-        if pa:
+        members = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        q = (
+            ids.size
+            if bucket_cap is None
+            else max(0, bucket_cap - members.size)
+        )
+        blocks = []
+        if members.size and ids.size:
+            a = np.repeat(ids, members.size)
+            b = np.tile(members, ids.size)
+            blocks.append((np.minimum(a, b), np.maximum(a, b)))
+        if q > 1:
+            iu, ju = np.triu_indices(min(q, ids.size), 1)
+            blocks.append((ids[iu], ids[ju]))  # ids sorted ascending
+        if q < ids.size and q > 0:
+            a = np.repeat(ids[q:], q)
+            b = np.tile(ids[:q], ids.size - q)
+            blocks.append((np.minimum(a, b), np.maximum(a, b)))
+        state.update((np.concatenate([members, ids[:q]]).tolist(),))
+        if not blocks:
+            return
+        pa = np.concatenate([x for x, _ in blocks])
+        pb = np.concatenate([y for _, y in blocks])
+        for lo in range(0, pa.size, _PAIR_CHUNK):
+            hi = lo + _PAIR_CHUNK
             yield pd.DataFrame(
-                {"doc_a": pa, "doc_b": pb, "band_no": band_no}
+                {
+                    "doc_a": pa[lo:hi],
+                    "doc_b": pb[lo:hi],
+                    "band_no": np.full(
+                        min(hi, pa.size) - lo, band_no, dtype=np.int32
+                    ),
+                }
             )
 
     return index_fn
@@ -228,7 +275,10 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``STREAM_BUCKET_CAP`` knob, whose everyone-keeps-a-candidate
     coverage property is tested separately. Rows-only like the batch
     sibling (xxhash64 has no DuckDB twin)."""
-    pairs = run_bounded(
+    # file sink, NOT the memory sink: the pair stream is data-sized
+    # (11.2M events at sf0.1) and the memory sink would gather it all
+    # on the driver heap — the measured bench-OOM failure mode
+    pairs = run_bounded_files(
         stream_minhash_pairs(
             file_documents_stream(spark, sf_dir), bucket_cap=None
         )

@@ -33,6 +33,35 @@ from eventstream_notify_spark.streaming.state import rate_limit_stream
 _LATENESS_BUCKETS = 64
 
 
+def run_bounded_files(stream_df: DataFrame) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow) into a
+    temp PARQUET sink and return the result re-read as a batch frame.
+
+    Use this instead of :func:`run_bounded` whenever the stream's
+    output volume is DATA-sized rather than result-sized: the memory
+    sink materializes every emitted row on the DRIVER heap, which is
+    fine for windowed aggregates but fatal for event streams — the
+    streaming minhash pair stream emits 11.2M pair events at sf0.1,
+    and collecting them into the memory sink was measured as the
+    bench-killing driver OOM (61 downstream queries dead) that the
+    kernel itself was wrongly blamed for. A file sink writes from the
+    executors, exactly like production would."""
+    out = tempfile.mkdtemp(prefix="sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    query = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        stream_df.sparkSession.read.schema(stream_df.schema).parquet(out)
+    )
+
+
 def run_bounded(
     stream_df: DataFrame, name: str | None = None, output_mode: str = "append"
 ) -> DataFrame:
