@@ -52,7 +52,15 @@ def get_spark(app_name: str = "eventstream-notify-spark") -> SparkSession:
             "RocksDBStateStoreProvider",
         )
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 12g default: local[32] means driver heap = the WHOLE JVM
+        # (all 32 executor threads' operators + state stores + any
+        # sink residue). 8g left ~0 headroom in a 276-query session —
+        # the r8 bench OOM needed the memory-sink fix AND margin; the
+        # box has 128 GiB, so 12g is still conservative.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
