@@ -3819,9 +3819,13 @@ def als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     type_map = F.create_map(
         *[c for t, i in ((t, i) for i, t in enumerate(types)) for c in (F.lit(t), F.lit(i))]
     )
+    # lazy checkpoint: every iteration's user solve AND the final
+    # scoring join re-read the ratings — materialize the tiny
+    # (user, item, r) table once instead of re-running the fact
+    # aggregation 2*ITERS+1 times
     ri = r.select(
         "user_id", type_map[F.col("event_type")].alias("item"), "r"
-    )
+    ).localCheckpoint(eager=False)
     y = np.array(_als_init_y(n_items), dtype=np.float64)
 
     x_schema = "user_id long, xs array<long>"
@@ -3848,7 +3852,14 @@ def als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
             xs = np.rint(x * ALS_SCALE).astype(np.int64)
             return pd.DataFrame({"user_id": [uid], "xs": [list(xs)]})
 
-        X = ri.groupBy("user_id").applyInPandas(solve_users, x_schema)
+        # lazy checkpoint: the XtX agg, the per-item moment agg and
+        # (last iteration) the scoring pass are three separate actions
+        # over X — without the barrier each one re-runs the whole
+        # user-solve applyInPandas (measured: 25.7 s for a 3-iteration
+        # rank-4 fit; ~3x the work executed twice over)
+        X = ri.groupBy("user_id").applyInPandas(
+            solve_users, x_schema
+        ).localCheckpoint(eager=False)
 
         # item step: exact integer moments. XtX over all users + the
         # per-item confidence-weighted moments; both collect bounded
