@@ -4422,3 +4422,82 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage")
         )
     )
+
+
+# ------------------------------------------------ compaction planner (r8)
+
+COMPACT_TARGET = 65_536  # target bin payload in bytes (test-scale; a
+# lakehouse OPTIMIZE targets 128-1024 MiB — the plan is scale-free)
+
+
+@register(
+    "compaction_plan",
+    extra=True,
+    oracle=f"""
+    WITH files AS (
+        SELECT source, doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, bytes,
+               CAST((SUM(bytes) OVER (
+                   PARTITION BY source
+                   ORDER BY bytes DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - 1) // {COMPACT_TARGET} AS BIGINT) AS bin_id
+        FROM files
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planning — the table-maintenance pass
+    every lakehouse runs (Delta OPTIMIZE / Iceberg rewrite_data_files):
+    assign each partition's files to target-size output bins so a
+    rewrite job turns thousands of small files into few near-target
+    ones. Planner = sorted-greedy sequential packing: order files
+    large-to-small (the first-fit-decreasing ordering), take a running
+    byte sum per partition, and cut a new bin every TARGET bytes —
+    bin_id = (cumsum - 1) div TARGET. This is the shuffle-free
+    formulation: the classic FFD bin-search loop is inherently
+    sequential, but the running-sum cut gives the same <= 2x-of-
+    optimal class of guarantee for the compaction use case (bins
+    may overflow by at most one file, never undershoot by design)
+    while being ONE window over (partition, size) metadata.
+
+    Files here are the documents themselves (octet_length(text) per
+    doc, partition = source) since the testdata ships as one parquet
+    per table; against a real catalog the same plan runs over the
+    manifest's (partition, file, size) rows — metadata-sized input at
+    any corpus size, never the data. Emits per (source, bin): file
+    count, payload bytes, first doc — the rewrite task list."""
+    d = table(spark, sf_dir, "documents")
+    files = d.select(
+        "source",
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("bigint").alias(
+            "bytes"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bytes").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer div, not float-div-then-cast: at real manifest scales a
+    # float64 quotient can land on the wrong side of a bin boundary
+    packed = files.withColumn("__cum", F.sum("bytes").over(w)).withColumn(
+        "bin_id",
+        F.expr(f"(__cum - 1) div {COMPACT_TARGET}").cast("bigint"),
+    ).drop("__cum")
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )

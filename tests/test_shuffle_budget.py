@@ -101,6 +101,8 @@ BUDGETS = {
     # and every join side are broadcast
     "sim_search_pq": 6,  # +1: in-plan 1-row corpus-count agg sizing
     # the ADC shortlist (replaced a dedicated count() job)
+    "compaction_plan": 1,  # one (source) window shuffle over file
+    # metadata; the bin agg reuses its partitioning
     "target_encode_loo": 2,  # source agg + 1-row global agg, both
     # broadcast back; the fact scan never shuffles
     "conformal_interval": 6,  # train/cal/ncal aggs + per-type rank
