@@ -57,7 +57,7 @@ DEDUP_EXACT_STATE = "min_id long"
 
 MINHASH_N_HASHES = 16  # must match operators/text.py dedup_minhash
 MINHASH_BAND_ROWS = 4
-MINHASH_OUTPUT = "doc_a long, doc_b long, band_no int"
+MINHASH_OUTPUT = "band_no int, doc_id long, partners array<long>"
 MINHASH_STATE = "members array<long>"
 
 
@@ -120,30 +120,36 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(res)
 
 
-_PAIR_CHUNK = 2_000_000  # rows per yielded frame: bounds the Arrow
-# batch a mega-bucket can hand back to the JVM in one transfer
+_PARTNER_CHUNK = 2_000_000  # total list elements per yielded frame:
+# bounds the Arrow batch a mega-bucket can hand back in one transfer
 
 
 def make_minhash_indexer(bucket_cap: int | None):
-    """Kernel factory: per (band_no, bucket), emit candidate pairs of
-    each arriving doc against the bucket's indexed members, then index
-    the doc (subject to the cap).
+    """Kernel factory: per (band_no, bucket), emit each arriving doc's
+    PARTNER SNAPSHOT — the bucket members indexed at its arrival —
+    then index the doc (subject to the cap). Pair rows materialize
+    later, JVM-side, as a parallel batch explode.
 
-    VECTORIZED: the first cut walked python lists per arriving doc,
-    and on a saturated-vocabulary corpus (identical token sets put
-    ~the whole corpus in a handful of buckets) one kernel invocation
-    appended ~12.5M pair ints through the interpreter — 78 s at sf0.1
-    standalone and a JVM heap OOM mid-bench that killed the 61
-    queries after it. The pair set decomposes into three dense blocks
-    — (arrivals x existing members) + triangular(indexed arrivals) +
-    (overflow arrivals x indexed arrivals) — each a numpy
-    repeat/tile/triu_indices construction, yielded in bounded chunks
-    so a mega-bucket can never hand the JVM one giant Arrow batch.
+    Two redesigns, both measured on the saturated-vocabulary corpus
+    (identical token sets put a 2,319-doc bucket at sf0.1):
+    - the first cut walked python lists per arriving doc and exploded
+      pairs IN the kernel: ~11.2M pair rows built in the interpreter
+      and pushed row-form through Arrow and the sink — 78 s
+      standalone, and (with the memory sink) the JVM OOM that killed
+      61 downstream bench queries;
+    - the vectorized-pairs cut (numpy repeat/tile/triu) fixed the
+      interpreter cost but still shipped 11.2M 2-column rows through
+      the single-task stateful stage and its sink — 28 s.
+    Emitting one (doc, partners array<long>) row per arrival keeps
+    the kernel to memcpys, halves the serialized volume (each pair
+    appears once as a list element, not as two row columns), lets
+    parquet list-encode it, and defers the 11.2M-row expansion to the
+    batch side where it parallelizes across the full core count.
     Semantics (incl. the cap's probe-but-don't-index rule and
-    arrival-order indexing) are unchanged: arrivals are sorted by
-    doc_id, the first (cap - |members|) of them are indexed, every
-    arrival pairs with all pre-existing members plus the arrivals
-    indexed before it."""
+    arrival-order indexing) are unchanged: arrivals sorted by doc_id,
+    the first (cap - |members|) arrivals are indexed, every arrival's
+    snapshot is the pre-existing members plus arrivals indexed before
+    it."""
     import numpy as np
 
     def index_fn(
@@ -167,32 +173,37 @@ def make_minhash_indexer(bucket_cap: int | None):
             if bucket_cap is None
             else max(0, bucket_cap - members.size)
         )
-        blocks = []
-        if members.size and ids.size:
-            a = np.repeat(ids, members.size)
-            b = np.tile(members, ids.size)
-            blocks.append((np.minimum(a, b), np.maximum(a, b)))
-        if q > 1:
-            iu, ju = np.triu_indices(min(q, ids.size), 1)
-            blocks.append((ids[iu], ids[ju]))  # ids sorted ascending
-        if q < ids.size and q > 0:
-            a = np.repeat(ids[q:], q)
-            b = np.tile(ids[:q], ids.size - q)
-            blocks.append((np.minimum(a, b), np.maximum(a, b)))
         state.update((np.concatenate([members, ids[:q]]).tolist(),))
-        if not blocks:
-            return
-        pa = np.concatenate([x for x, _ in blocks])
-        pb = np.concatenate([y for _, y in blocks])
-        for lo in range(0, pa.size, _PAIR_CHUNK):
-            hi = lo + _PAIR_CHUNK
+        docs: list[int] = []
+        parts: list[np.ndarray] = []
+        elems = 0
+        for i in range(ids.size):
+            ni = min(i, q)
+            if members.size + ni == 0:
+                continue
+            snap = (
+                np.concatenate([members, ids[:ni]]) if ni else members
+            )
+            docs.append(int(ids[i]))
+            parts.append(snap)
+            elems += snap.size
+            if elems >= _PARTNER_CHUNK:
+                yield pd.DataFrame(
+                    {
+                        "band_no": np.full(
+                            len(docs), band_no, dtype=np.int32
+                        ),
+                        "doc_id": docs,
+                        "partners": parts,
+                    }
+                )
+                docs, parts, elems = [], [], 0
+        if docs:
             yield pd.DataFrame(
                 {
-                    "doc_a": pa[lo:hi],
-                    "doc_b": pb[lo:hi],
-                    "band_no": np.full(
-                        min(hi, pa.size) - lo, band_no, dtype=np.int32
-                    ),
+                    "band_no": np.full(len(docs), band_no, dtype=np.int32),
+                    "doc_id": docs,
+                    "partners": parts,
                 }
             )
 
@@ -248,8 +259,10 @@ def _doc_band_rows(docs: DataFrame) -> DataFrame:
 def stream_minhash_pairs(
     docs: DataFrame, bucket_cap: int | None = STREAM_BUCKET_CAP
 ) -> DataFrame:
-    """Streaming banded-minhash candidate pairs: one event per (pair,
-    band) collision, emitted when the LATER document arrives."""
+    """Streaming banded-minhash candidate snapshots: one row per
+    (arriving doc, band) carrying the partner array — explode it
+    batch-side for the per-(pair, band) collision events, each
+    emitted when the LATER document arrives."""
     rows = _doc_band_rows(docs)
     return rows.groupBy("band_no", "bucket").applyInPandasWithState(
         make_minhash_indexer(bucket_cap),
@@ -275,17 +288,27 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``STREAM_BUCKET_CAP`` knob, whose everyone-keeps-a-candidate
     coverage property is tested separately. Rows-only like the batch
     sibling (xxhash64 has no DuckDB twin)."""
-    # file sink, NOT the memory sink: the pair stream is data-sized
-    # (11.2M events at sf0.1) and the memory sink would gather it all
-    # on the driver heap — the measured bench-OOM failure mode
-    pairs = run_bounded_files(
+    # file sink, NOT the memory sink: the snapshot stream is
+    # data-sized (11.2M partner elements at sf0.1) and the memory sink
+    # would gather it all on the driver heap — the measured bench-OOM
+    # failure mode. The pair expansion happens HERE, batch-side: the
+    # compact list-encoded parquet reads back as a couple of splits,
+    # so repartition first or the 11.2M-row explode runs on one core.
+    snaps = run_bounded_files(
         stream_minhash_pairs(
             file_documents_stream(spark, sf_dir), bucket_cap=None
         )
     )
+    pairs = (
+        snaps.repartition(32, "doc_id")
+        .select("doc_id", F.explode("partners").alias("m"))
+        .select(
+            F.least("doc_id", "m").alias("doc_a"),
+            F.greatest("doc_id", "m").alias("doc_b"),
+        )
+    )
     return (
-        pairs.select("doc_a", "doc_b")
-        .distinct()
+        pairs.distinct()
         .groupBy("doc_a")
         .agg(F.count("*").alias("n_candidates"))
     )

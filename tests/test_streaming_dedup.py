@@ -52,16 +52,28 @@ def test_stream_minhash_bucket_cap_keeps_coverage(spark):
     """With a binding cap (64 << the hottest bucket), every document
     that has any candidate uncapped still has at least one candidate:
     probes are never capped, only index membership."""
-    uncapped = run_bounded(
-        stream_minhash_pairs(
-            file_documents_stream(spark, SF), bucket_cap=None
+    def pairs_of(snaps):
+        return snaps.select(
+            "doc_id", F.explode("partners").alias("m")
+        ).select(
+            F.least("doc_id", "m").alias("doc_a"),
+            F.greatest("doc_id", "m").alias("doc_b"),
         )
-    ).select("doc_a", "doc_b")
-    capped = run_bounded(
-        stream_minhash_pairs(
-            file_documents_stream(spark, SF), bucket_cap=64
+
+    uncapped = pairs_of(
+        run_bounded(
+            stream_minhash_pairs(
+                file_documents_stream(spark, SF), bucket_cap=None
+            )
         )
-    ).select("doc_a", "doc_b")
+    )
+    capped = pairs_of(
+        run_bounded(
+            stream_minhash_pairs(
+                file_documents_stream(spark, SF), bucket_cap=64
+            )
+        )
+    )
 
     def participants(df):
         return {
