@@ -54,6 +54,7 @@ def _latency_run(spark, duration_s: float, rate: int) -> dict:
     warm_skip_s = 3.0  # first commits still pay codegen/state-open cost
     latencies: list[tuple[float, float]] = []  # (sink wall clock, latency)
     first_commit: list[float] = []
+    state_rows: dict[int, int] = {}  # batchId -> total state-store rows
 
     def probe_sink(batch_df, epoch_id: int) -> None:
         now = time.time()
@@ -62,6 +63,17 @@ def _latency_run(spark, duration_s: float, rate: int) -> dict:
             first_commit.append(now)
         for r in rows:
             latencies.append((now, now - r.ts.timestamp()))
+
+    def sample_state(q) -> None:
+        # record stateOperators numRowsTotal per committed batch — the
+        # loud-failure channel for unbounded-state regressions (the
+        # r8 weak flag: an uncapped index looks fine in a latency
+        # number and only shows up in state growth)
+        p = q.lastProgress
+        if p and p.get("stateOperators"):
+            state_rows[p["batchId"]] = sum(
+                op.get("numRowsTotal", 0) for op in p["stateOperators"]
+            )
 
     with tempfile.TemporaryDirectory() as ckpt:
         t0 = time.time()
@@ -73,6 +85,13 @@ def _latency_run(spark, duration_s: float, rate: int) -> dict:
             # would admit only ~5*5 events. Small window => steady flow.
             rate_window_s=1,
             rate_limit=rate,
+            # 5 s dedup TTL (vs the pipeline's 60 s default): rate-
+            # source ids are unique so the TTL drops nothing, but it
+            # pulls the dedup state's GC plateau inside the probe
+            # window — which is what makes the flat-trend assertion on
+            # state rows MEASURABLE instead of vacuous (a 60 s TTL is
+            # still in its linear fill phase when a 23 s probe ends)
+            ttl="5 seconds",
         )
         try:
             # barrier: the measurement clock starts at the first
@@ -87,9 +106,11 @@ def _latency_run(spark, duration_s: float, rate: int) -> dict:
                 raise RuntimeError("no committed batch within 90 s")
             t_end = first_commit[0] + warm_skip_s + duration_s
             while time.time() < t_end:
+                sample_state(q)
                 time.sleep(0.2)
         finally:
             try:
+                sample_state(q)
                 q.stop()
             except Exception:  # noqa: BLE001 — shutdown noise, run already captured
                 pass
@@ -100,10 +121,27 @@ def _latency_run(spark, duration_s: float, rate: int) -> dict:
             f"zero steady-state events captured ({len(latencies)} total) — "
             "harness failure, not a latency measurement"
         )
+    series = [state_rows[b] for b in sorted(state_rows)]
+    # flat-trend gate: once past the TTL fill phase, state must
+    # plateau — the tail of the series may not exceed its middle by
+    # more than noise. Linear growth (no GC / unbounded index) makes
+    # tail ~2x middle and fails loudly.
+    flat = True
+    if len(series) >= 6:
+        mid = series[len(series) // 2 - 1 : len(series) // 2 + 2]
+        tail = series[-3:]
+        flat = max(tail) <= max(mid) * 1.6 + 10
+    if not flat:
+        raise RuntimeError(
+            f"state rows still growing at probe end ({series}) — "
+            "bounded-state regression, not box noise"
+        )
     return {
         "first_commit_s": round(first_commit[0] - t0, 2),
         "steady": _pcts(steady),
         "all": _pcts([lat for _, lat in latencies]),
+        "state_rows": series,
+        "state_rows_flat": flat,
     }
 
 
@@ -355,8 +393,9 @@ def recall_mode() -> None:
         "ivf_kmeans": 0.8,
         "ivfpq": 0.7,  # composed losses (cell miss + residual-code
         # error); measured 0.815 at sf0.1, 0.90 at sf0.01
-        "bq": 0.7,  # 1-bit codes rank coarsely; corpus-scaled
-        # shortlist measured 0.78 at sf0.01 / 0.76 at sf0.1
+        "bq": 0.8,  # asymmetric refine (raw query vs bit reps over a
+        # 4x Hamming pre-cut) measured 0.935 at sf0.1 — symmetric
+        # Hamming-only shortlists measured 0.76 and hugged a 0.7 floor
     }
     for key, qname in [
         ("sq8", "zx_sim_search_sq8"),

@@ -3780,10 +3780,14 @@ def als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (items = event types) and one side is the data (users):
 
     - USER STEP (distributed): the item factors broadcast as literals
-      and each user's rank-4 normal equations solve independently in
-      one ``applyInPandas`` pass — per-entity linear solves are the
-      case the built-in operators genuinely can't express. Solved
-      factors quantize to 1e-5 fixed-point BIGINTs.
+      and each user's rank-4 normal equations solve in one
+      ``mapInPandas`` pass over the once-materialized per-user rating
+      rows — BATCHED per Arrow chunk (dense confidence scatter +
+      einsum Gram + batched LAPACK solve), thousands of users per
+      numpy call instead of one python invocation per user.
+      Per-entity linear solves are the case the built-in operators
+      genuinely can't express. Solved factors quantize to 1e-5
+      fixed-point BIGINTs.
     - ITEM STEP (aggregate + bounded driver fold): XtX and the
       per-item confidence-weighted moments are sums of PRODUCTS OF
       INTEGERS (the quantized factors), so the shuffle-reduced sums
@@ -3826,6 +3830,18 @@ def als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ri = r.select(
         "user_id", type_map[F.col("event_type")].alias("item"), "r"
     ).localCheckpoint(eager=False)
+    # ratings never change across alternations: densify each user's
+    # rating row ONCE (one shuffle total, not one per iteration) and
+    # let every user step re-read the checkpointed per-user table
+    ur = (
+        ri.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("item", "r"))).alias(
+                "ratings"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
     y = np.array(_als_init_y(n_items), dtype=np.float64)
 
     x_schema = "user_id long, xs array<long>"
@@ -3837,29 +3853,52 @@ def als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(ALS_ITERS):
         y_list = y.tolist()  # broadcast as plain literals via closure
 
-        def solve_users(pdf: pd.DataFrame) -> pd.DataFrame:
+        def solve_users_batch(pdfs):
+            # BATCHED user step: one dense scatter + one einsum + one
+            # batched LAPACK solve per Arrow batch, replacing the
+            # per-user python loop (the r8 verdict's last Python-per-
+            # row cost; per-group applyInPandas paid one function call
+            # + one DataFrame per user). Every float op is per-output-
+            # cell independent (naive einsum, per-matrix dgesv), so
+            # results don't depend on how users land in batches — the
+            # numpy twin replays the IDENTICAL expressions and pins
+            # exact equality.
             yl = np.array(y_list, dtype=np.float64)
-            yty = yl.T @ yl
-            pdf = pdf.sort_values("item")  # fixed accumulation order
-            uid = int(pdf["user_id"].iloc[0])
-            a = yty + ALS_LAMBDA * np.eye(ALS_RANK)
-            b = np.zeros(ALS_RANK)
-            for it, rv in zip(pdf["item"], pdf["r"]):
-                yi = yl[int(it)]
-                a = a + ALS_ALPHA * float(rv) * np.outer(yi, yi)
-                b = b + (1.0 + ALS_ALPHA * float(rv)) * yi
-            x = np.linalg.solve(a, b)
-            xs = np.rint(x * ALS_SCALE).astype(np.int64)
-            return pd.DataFrame({"user_id": [uid], "xs": [list(xs)]})
+            base = yl.T @ yl + ALS_LAMBDA * np.eye(ALS_RANK)
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                n_u = len(pdf)
+                w_conf = np.zeros((n_u, n_items))  # alpha * r (observed)
+                c_lin = np.zeros((n_u, n_items))  # 1 + alpha*r (observed)
+                for u, rats in enumerate(pdf["ratings"]):
+                    for s in rats:
+                        it, rv = int(s["item"]), float(s["r"])
+                        w_conf[u, it] = ALS_ALPHA * rv
+                        c_lin[u, it] = 1.0 + ALS_ALPHA * rv
+                a = base[None, :, :] + np.einsum(
+                    "ui,ik,il->ukl", w_conf, yl, yl
+                )
+                b = np.einsum("ui,ik->uk", c_lin, yl)
+                xs = np.rint(
+                    np.linalg.solve(a, b[:, :, None])[:, :, 0]
+                    * ALS_SCALE
+                ).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"].astype("int64"),
+                        "xs": list(xs),
+                    }
+                )
 
         # lazy checkpoint: the XtX agg, the per-item moment agg and
         # (last iteration) the scoring pass are three separate actions
         # over X — without the barrier each one re-runs the whole
-        # user-solve applyInPandas (measured: 25.7 s for a 3-iteration
+        # user-solve pass (measured: 25.7 s for a 3-iteration
         # rank-4 fit; ~3x the work executed twice over)
-        X = ri.groupBy("user_id").applyInPandas(
-            solve_users, x_schema
-        ).localCheckpoint(eager=False)
+        X = ur.mapInPandas(solve_users_batch, x_schema).localCheckpoint(
+            eager=False
+        )
 
         # item step: exact integer moments. XtX over all users + the
         # per-item confidence-weighted moments; both collect bounded

@@ -2266,13 +2266,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket regardless of skew."""
     e = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     d = table(spark, sf_dir, "documents")
+    # token-less docs are NOT an internal clique: Jaccard over two
+    # empty sets is 0/0 -> NULL in the oracle (and dedup_near emits no
+    # such pair), so the empty-set class must not claim the closed-form
+    # C(s-1,2) internal triangles — drop it before sizing
     cmap = d.select(
         "doc_id",
-        F.md5(
-            F.concat_ws(
-                " ", F.array_sort(F.array_distinct(tokens_col()))
-            )
-        ).alias("ck"),
+        F.array_sort(F.array_distinct(tokens_col())).alias("toks"),
+    ).filter(F.size("toks") >= 1).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "toks")).alias("ck"),
     )
     sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
     tagged = e.join(
@@ -2846,6 +2849,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("m"),
         )
         .withColumn("sz", F.size("toks").cast("long"))
+        # token-less docs form no edges: Jaccard over two empty sets is
+        # 0/0 -> NULL in the oracle's pair CTE and dedup_near emits no
+        # pair either, so the empty-set class must contribute neither
+        # internal-clique edges/triangles nor degrees here
+        .filter(F.col("sz") >= 1)
         .select("doc_id", "toks", "sz", "m")
         .localCheckpoint(eager=False)
     )

@@ -1090,12 +1090,21 @@ def sim_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BQ_SHORTLIST_MIN = 50  # Hamming shortlist floor ahead of the re-rank
+BQ_SHORTLIST_MIN = 50  # shortlist floor ahead of the exact re-rank
 BQ_SHORTLIST_CAP = 1000  # ~10% of corpus between floor and cap — the
 # same corpus-scaled depth rule the PQ ADC shortlist settled on after
 # a FIXED 50 dropped recall 0.84 -> 0.62 at 10x corpus (here a fixed
 # 50 measured 0.78 at sf0.01 but 0.445 at sf0.1; 1-bit codes rank
 # coarsely, so coverage must track N until the absolute cap)
+BQ_PRECUT = 4  # Hamming pre-cut width multiplier: the popcount tier
+# keeps the bulk Q x N pass in integer ALU and admits PRECUT x depth
+# candidates; only those pay the 64-term asymmetric fold. r8 measured
+# symmetric-Hamming-only shortlists at 0.76 recall@5 (floor-hugging):
+# 1-bit symmetric distance double-quantizes — the query's own
+# quantization error stacks on the corpus's. Scoring the RAW query
+# against per-dim bit representatives (asymmetric distance, the
+# FAISS/SQ convention) removes the query-side error for free at
+# search time; only the refine tier pays float math.
 BQ_WORD = 32  # bits packed per code word — shifts stay < 32, so the
 # packed BIGINT words never touch the sign bit and shift/xor/popcount
 # semantics are identical across engines (no overflow edge anywhere)
@@ -1105,9 +1114,9 @@ BQ_WORD = 32  # bits packed per code word — shifts stay < 32, so the
     "sim_search_bq",
     extra=True,
     oracle=f"""
-    WITH thr AS (
+    WITH dims AS (
         SELECT i AS d,
-               (CAST(MIN(x) AS DOUBLE) + CAST(MAX(x) AS DOUBLE)) / 2 AS t
+               CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx
         FROM (
             SELECT UNNEST(embedding) AS x,
                    UNNEST(range(1, len(embedding) + 1)) AS i
@@ -1115,32 +1124,62 @@ BQ_WORD = 32  # bits packed per code word — shifts stay < 32, so the
         )
         GROUP BY 1
     ),
+    reps AS (
+        SELECT list((mn + (mn + mx) / 2) / 2 ORDER BY d) AS los,
+               list(((mn + mx) / 2 + mx) / 2 ORDER BY d) AS his
+        FROM dims
+    ),
     codes AS (
-        SELECT vec_id, (i - 1) // {BQ_WORD} AS w,
-               CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > t
-                    THEN CAST(1 AS BIGINT) << ((i - 1) % {BQ_WORD})
-                    ELSE 0 END) AS BIGINT) AS word
-        FROM (
-            SELECT vec_id, UNNEST(embedding) AS x,
-                   UNNEST(range(1, len(embedding) + 1)) AS i
-            FROM embeddings
+        SELECT vec_id, list(word ORDER BY w) AS words FROM (
+            SELECT vec_id, (i - 1) // {BQ_WORD} AS w,
+                   CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > t
+                        THEN CAST(1 AS BIGINT) << ((i - 1) % {BQ_WORD})
+                        ELSE 0 END) AS BIGINT) AS word
+            FROM (
+                SELECT vec_id, UNNEST(embedding) AS x,
+                       UNNEST(range(1, len(embedding) + 1)) AS i
+                FROM embeddings
+            )
+            JOIN (SELECT d, (mn + mx) / 2 AS t FROM dims) thr ON thr.d = i
+            GROUP BY 1, 2
         )
-        JOIN thr ON thr.d = i
-        GROUP BY 1, 2
+        GROUP BY 1
     ),
     ham AS (
         SELECT qb.vec_id AS query_id, cb.vec_id AS vec_id,
-               CAST(SUM(bit_count(xor(qb.word, cb.word))) AS BIGINT)
-                   AS hamming
+               cb.words AS cwords,
+               CAST(list_sum(list_transform(range(1, len(qb.words) + 1),
+                   i -> bit_count(xor(qb.words[i], cb.words[i]))))
+                   AS BIGINT) AS hamming
         FROM codes qb
-        JOIN codes cb ON qb.w = cb.w AND cb.vec_id <> qb.vec_id
+        JOIN codes cb ON cb.vec_id <> qb.vec_id
         WHERE qb.vec_id % {QUERY_MOD} = 0
-        GROUP BY 1, 2
     ),
-    short AS (
-        SELECT query_id, vec_id, hamming FROM ham
+    pre AS (
+        SELECT query_id, vec_id, cwords, hamming FROM ham
         QUALIFY row_number() OVER (
             PARTITION BY query_id ORDER BY hamming, vec_id
+        ) <= {BQ_PRECUT} * LEAST({BQ_SHORTLIST_CAP},
+                 GREATEST({BQ_SHORTLIST_MIN},
+                 (SELECT COUNT(*) FROM embeddings) / 10))
+    ),
+    refine AS (
+        SELECT p.query_id, p.vec_id, p.hamming,
+               ROUND(list_sum(list_transform(
+                   range(1, len(qv.embedding) + 1),
+                   i -> CAST(qv.embedding[i] AS DOUBLE) *
+                        (CASE WHEN ((p.cwords[(i - 1) // {BQ_WORD} + 1]
+                                     >> ((i - 1) % {BQ_WORD})) & 1) = 1
+                              THEN r.his[i] ELSE r.los[i] END))), 6)
+                   AS asym
+        FROM pre p
+        JOIN embeddings qv ON qv.vec_id = p.query_id
+        CROSS JOIN reps r
+    ),
+    short AS (
+        SELECT query_id, vec_id, hamming FROM refine
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY asym DESC, vec_id
         ) <= LEAST({BQ_SHORTLIST_CAP}, GREATEST({BQ_SHORTLIST_MIN},
                  (SELECT COUNT(*) FROM embeddings) / 10))
     )
@@ -1160,12 +1199,17 @@ def sim_search_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse tier in modern vector stores): each dimension becomes the
     sign bit against its corpus midrange (min+max)/2, 32 bits pack
     into one BIGINT word, and candidate generation is XOR + popcount
-    over 2 words per 64-dim vector. Corpus-scaled Hamming shortlist
-    (~10% of N between 50 and 1000, sized in-plan like PQ's), then
-    exact-cosine re-rank restores precision — the same
-    shortlist/re-rank split as zx_sim_search_pq/_ivfpq, but with a
-    codes table 4x smaller than PQ's and a distance kernel that is
-    pure integer ALU (no LUT join, no float math until re-rank).
+    over 2 words per 64-dim vector. THREE-TIER search: (1) the bulk
+    Q x N pass is pure-integer Hamming, admitting BQ_PRECUT x depth
+    candidates; (2) an ASYMMETRIC refine scores the raw query against
+    each survivor's per-dim bit representatives (side midpoints from
+    MIN/MAX — the FAISS ADC convention applied to 1-bit codes;
+    symmetric Hamming alone stacked the query's own quantization
+    error on the corpus's and hugged its 0.7 recall floor at 0.76)
+    and keeps the corpus-scaled depth (~10% of N between 50 and
+    1000, sized in-plan like PQ's); (3) exact-cosine re-rank restores
+    precision. Codes table stays 4x smaller than PQ's; float math
+    touches only PRECUT x depth rows per query before the re-rank.
 
     Fully ORACLE-PAIRED, unlike the SQ8/PQ siblings: the midrange
     threshold is one IEEE double op on order-independent MIN/MAX (no
@@ -1184,16 +1228,38 @@ def sim_search_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.posexplode("embedding").alias("d", "x"))
         .groupBy("d")
         .agg(
-            (
-                (F.min("x").cast("double") + F.max("x").cast("double")) / 2
-            ).alias("t")
+            F.min("x").cast("double").alias("mn"),
+            F.max("x").cast("double").alias("mx"),
+        )
+        .select("d", "mn", "mx", ((F.col("mn") + F.col("mx")) / 2).alias("t"))
+        .select(
+            "d",
+            "t",
+            # per-dim bit representatives for the asymmetric refine:
+            # side midpoints, derived from the same order-independent
+            # MIN/MAX as the threshold (no float-sum drift anywhere)
+            ((F.col("mn") + F.col("t")) / 2).alias("lo"),
+            ((F.col("t") + F.col("mx")) / 2).alias("hi"),
         )
     )
-    thrs = F.broadcast(
+    # one broadcast row carrying all three per-dim arrays; lazily
+    # checkpointed so the codes build AND the asym refine share one
+    # materialization of the dim-stats subtree
+    arrs = (
         dims.groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("d", "t"))).alias("dt"))
-        .select(F.transform("dt", lambda r: r["t"]).alias("thrs"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", "t", "lo", "hi"))
+            ).alias("a")
+        )
+        .select(
+            F.transform("a", lambda r: r["t"]).alias("thrs"),
+            F.transform("a", lambda r: r["lo"]).alias("los"),
+            F.transform("a", lambda r: r["hi"]).alias("his"),
+        )
+        .localCheckpoint(eager=False)
     )
+    thrs = F.broadcast(arrs.select("thrs"))
     bitvals = F.expr(
         "transform(embedding, (x, i) ->"
         " IF(CAST(x AS DOUBLE) > element_at(thrs, i + 1),"
@@ -1222,6 +1288,7 @@ def sim_search_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = coded.join(qc, F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
+        "words",
         F.expr(
             "aggregate(zip_with(qw, words, (a, b) -> bit_count(a ^ b)),"
             " 0, (acc, v) -> acc + v)"
@@ -1229,18 +1296,43 @@ def sim_search_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hamming"),
     )
+    depth = F.least(
+        F.lit(BQ_SHORTLIST_CAP),
+        F.greatest(F.lit(BQ_SHORTLIST_MIN), F.col("__n") / 10),
+    )
     wsh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
     nrow = e.agg(F.count("*").alias("__n"))
-    short = (
+    pre = (
         ham.withColumn("rn", F.row_number().over(wsh))
         .crossJoin(F.broadcast(nrow))
-        .filter(
-            F.col("rn")
-            <= F.least(
-                F.lit(BQ_SHORTLIST_CAP),
-                F.greatest(F.lit(BQ_SHORTLIST_MIN), F.col("__n") / 10),
-            )
+        .filter(F.col("rn") <= F.lit(BQ_PRECUT) * depth)
+        .select("query_id", "vec_id", "words", "hamming", "__n")
+    )
+    # asymmetric refine: the RAW query against each candidate's bit
+    # representatives — only PRECUT x depth candidates per query pay
+    # this 64-term fold; the bulk Q x N pass above stayed XOR+popcount
+    qraw = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
         )
+    )
+    asym_expr = F.expr(
+        "aggregate(transform(qe, (x, i) -> CAST(x AS DOUBLE) *"
+        f" IF(((shiftright(element_at(words, CAST(i div {BQ_WORD} AS INT) + 1),"
+        f" i % {BQ_WORD})) & 1) = 1,"
+        " element_at(his, i + 1), element_at(los, i + 1))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    wsa = Window.partitionBy("query_id").orderBy(
+        F.col("asym").desc(), "vec_id"
+    )
+    short = (
+        pre.join(qraw, "query_id")
+        .crossJoin(F.broadcast(arrs.select("los", "his")))
+        .withColumn("asym", F.round(asym_expr, 6))
+        .withColumn("rn", F.row_number().over(wsa))
+        .filter(F.col("rn") <= depth)
         .select("query_id", "vec_id", "hamming")
     )
     en = e.withColumn("nrm", l2_norm("embedding"))
@@ -1917,7 +2009,6 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "embedding", (1 - F.col("label") % 2).cast("double").alias("y")
     )
-    n = e.count()
     dim = 64
     w = [0.0] * dim
     b = 0.0
@@ -1937,13 +2028,22 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
         scored = e.select("embedding", (p - F.col("y")).alias("r"))
+        # corpus size and the bias gradient both fall out of the SAME
+        # gradient aggregate (every pos group holds each row's r
+        # exactly once), so no dedicated count()/sum() jobs — the PQ
+        # in-plan-count fix applied here: ONE job per iteration
         grad = (
             scored.select("r", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("pos")
-            .agg(F.sum(F.col("r") * F.col("x").cast("double")).alias("g"))
+            .agg(
+                F.sum(F.col("r") * F.col("x").cast("double")).alias("g"),
+                F.sum("r").alias("rs"),
+                F.count("*").alias("cnt"),
+            )
             .collect()
         )
-        gb = scored.agg(F.sum("r").alias("gb")).collect()[0]["gb"]
+        n = grad[0].cnt
+        gb = grad[0].rs
         for row in grad:
             w[row.pos] -= LOGREG_LR * row.g / n
         b -= LOGREG_LR * gb / n

@@ -23,8 +23,17 @@ state is sharded exactly like the batch shuffles are:
 
 Ordered-replay contract (shared with the CEP fast path): first-seen =
 lowest doc_id because the bounded file replay delivers doc_id order.
-State is never timed out — it IS the index; production would hook a
-TTL or compaction policy where the ``STREAM_BUCKET_CAP`` budget sits.
+
+State posture: the REGISTERED minhash query is bounded on BOTH axes —
+``STREAM_BUCKET_CAP`` caps every posting list (probe-but-don't-index
+beyond the cap, so coverage holds) and a processing-time TTL
+(``STREAM_STATE_TTL_MS``, mirroring the reference's 60 s dedup EXPIRE,
+auto_kafka_redis.py:332-346) evicts idle buckets. The UNCAPPED,
+no-timeout kernel remains available as the batch-parity test harness
+(``stream_minhash_pairs(..., bucket_cap=None, ttl_ms=None)``) — it is
+deliberately NOT the registered default, because an uncapped stateful
+index does not survive an unbounded stream. Exact dedup keeps
+NoTimeout by contract: its oracle is all-history first-wins.
 """
 
 from __future__ import annotations
@@ -51,6 +60,12 @@ from eventstream_notify_spark.streaming.pipeline import (
 # pathological bucket. None = unbounded (test parity with the batch
 # operator, whose class compression has no doc-level cap).
 STREAM_BUCKET_CAP = 256
+
+# Idle-bucket eviction horizon (processing-time ms). A bucket that
+# sees no arrival for this long drops its posting list — the streaming
+# analogue of the reference's 60 s dedup-key EXPIRE. None = NoTimeout
+# (the batch-parity harness only).
+STREAM_STATE_TTL_MS = 60_000
 
 DEDUP_EXACT_OUTPUT = "doc_id long, canonical_id long, is_dup boolean"
 DEDUP_EXACT_STATE = "min_id long"
@@ -89,6 +104,21 @@ def dedup_exact_fn(
     yield out
 
 
+def stream_exact_flags(docs: DataFrame) -> DataFrame:
+    """The stateful exact-dedup frame over a document stream (builder
+    shared by the registered query and the decade-audit harness)."""
+    keyed = docs.select(
+        F.sha2(F.col("text"), 256).alias("h"), "doc_id"
+    )
+    return keyed.groupBy("h").applyInPandasWithState(
+        dedup_exact_fn,
+        DEDUP_EXACT_OUTPUT,
+        DEDUP_EXACT_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 @register(
     "stream_dedup_exact",
     extra=True,
@@ -106,25 +136,16 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch job can only make after the fact. On the ordered bounded
     replay first-seen = min doc_id, so the result hash-matches the
     batch window oracle exactly."""
-    docs = file_documents_stream(spark, sf_dir)
-    keyed = docs.select(
-        F.sha2(F.col("text"), 256).alias("h"), "doc_id"
+    return run_bounded(
+        stream_exact_flags(file_documents_stream(spark, sf_dir))
     )
-    res = keyed.groupBy("h").applyInPandasWithState(
-        dedup_exact_fn,
-        DEDUP_EXACT_OUTPUT,
-        DEDUP_EXACT_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
-    )
-    return run_bounded(res)
 
 
 _PARTNER_CHUNK = 2_000_000  # total list elements per yielded frame:
 # bounds the Arrow batch a mega-bucket can hand back in one transfer
 
 
-def make_minhash_indexer(bucket_cap: int | None):
+def make_minhash_indexer(bucket_cap: int | None, ttl_ms: int | None = None):
     """Kernel factory: per (band_no, bucket), emit each arriving doc's
     PARTNER SNAPSHOT — the bucket members indexed at its arrival —
     then index the doc (subject to the cap). Pair rows materialize
@@ -157,6 +178,12 @@ def make_minhash_indexer(bucket_cap: int | None):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-bucket eviction: the posting list expires like the
+            # reference's dedup:{id} keys (60 s EXPIRE) — later
+            # arrivals rebuild the index from scratch
+            state.remove()
+            return
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             return
@@ -168,12 +195,20 @@ def make_minhash_indexer(bucket_cap: int | None):
             else np.empty(0, dtype=np.int64)
         )
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        # a re-delivered id neither re-probes nor re-indexes: its pairs
+        # were emitted at first delivery, and indexing it twice would
+        # both grow state and put the doc in its own partner snapshot
+        if members.size:
+            ids = ids[~np.isin(ids, members)]
+        ids = np.unique(ids)  # already sorted; collapses in-batch dups
         q = (
             ids.size
             if bucket_cap is None
             else max(0, bucket_cap - members.size)
         )
         state.update((np.concatenate([members, ids[:q]]).tolist(),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         docs: list[int] = []
         parts: list[np.ndarray] = []
         elems = 0
@@ -257,51 +292,46 @@ def _doc_band_rows(docs: DataFrame) -> DataFrame:
 
 
 def stream_minhash_pairs(
-    docs: DataFrame, bucket_cap: int | None = STREAM_BUCKET_CAP
+    docs: DataFrame,
+    bucket_cap: int | None = STREAM_BUCKET_CAP,
+    ttl_ms: int | None = STREAM_STATE_TTL_MS,
 ) -> DataFrame:
     """Streaming banded-minhash candidate snapshots: one row per
     (arriving doc, band) carrying the partner array — explode it
     batch-side for the per-(pair, band) collision events, each
-    emitted when the LATER document arrives."""
+    emitted when the LATER document arrives.
+
+    Defaults are the BOUNDED posture (cap + idle TTL); pass
+    ``bucket_cap=None, ttl_ms=None`` only for batch-parity testing."""
     rows = _doc_band_rows(docs)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return rows.groupBy("band_no", "bucket").applyInPandasWithState(
-        make_minhash_indexer(bucket_cap),
+        make_minhash_indexer(bucket_cap, ttl_ms=ttl_ms),
         MINHASH_OUTPUT,
         MINHASH_STATE,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 
-@register("stream_dedup_minhash", extra=True)  # rows-only: LSH + JVM hashes
-def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING minhash near-dup candidates — ``zx_dedup_minhash``'s
-    incremental arrival shape: every arriving document probes its 4
-    band buckets against the accumulated index and emits its candidate
-    pairs immediately. Returns per-doc candidate degree keyed by the
-    pair's smaller id, the batch operator's exact output contract —
-    the distinct pair set is the same band-collision set, so the two
-    operators agree row-for-row (pinned by test at sf0.001 and
-    sf0.01). Runs UNCAPPED for parity: the batch sibling has no
-    doc-level cap either (its mega-class compression notes the cap as
-    the 100 TB policy hook, text.py); the capped kernel is the
-    ``STREAM_BUCKET_CAP`` knob, whose everyone-keeps-a-candidate
-    coverage property is tested separately. Rows-only like the batch
-    sibling (xxhash64 has no DuckDB twin)."""
-    # file sink, NOT the memory sink: the snapshot stream is
-    # data-sized (11.2M partner elements at sf0.1) and the memory sink
-    # would gather it all on the driver heap — the measured bench-OOM
-    # failure mode. The pair expansion happens HERE, batch-side: the
-    # compact list-encoded parquet reads back as a couple of splits,
-    # so repartition first or the 11.2M-row explode runs on one core.
-    snaps = run_bounded_files(
-        stream_minhash_pairs(
-            file_documents_stream(spark, sf_dir), bucket_cap=None
-        )
-    )
+def minhash_snapshot_degrees(snaps: DataFrame) -> DataFrame:
+    """Batch-side finish of the snapshot stream: explode partner
+    arrays into pairs, dedup across bands, count per-doc degree.
+
+    The file sink's compact list-encoded parquet reads back as a
+    couple of splits, so repartition first or the 11.2M-row explode
+    (sf0.1) runs on one core. The ``doc_id != m`` guard is
+    belt-and-braces against a snapshot ever containing the arriving
+    doc itself (the kernel skips re-delivered ids, but a self-pair
+    would silently inflate n_candidates)."""
     pairs = (
         snaps.repartition(32, "doc_id")
         .select("doc_id", F.explode("partners").alias("m"))
+        .filter(F.col("doc_id") != F.col("m"))
         .select(
             F.least("doc_id", "m").alias("doc_a"),
             F.greatest("doc_id", "m").alias("doc_b"),
@@ -312,3 +342,43 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a")
         .agg(F.count("*").alias("n_candidates"))
     )
+
+
+@register("stream_dedup_minhash", extra=True)  # rows-only: LSH + JVM hashes
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING minhash near-dup candidates — ``zx_dedup_minhash``'s
+    incremental arrival shape: every arriving document probes its 4
+    band buckets against the accumulated index and emits its candidate
+    pairs immediately. Returns per-doc candidate degree keyed by the
+    pair's smaller id, the batch operator's exact output contract.
+
+    Registered posture = BOUNDED STATE: ``STREAM_BUCKET_CAP`` (256)
+    caps every posting list — members beyond the cap still probe, so
+    every doc with any uncapped candidate keeps at least one (coverage
+    property pinned by test) — and idle buckets evict after
+    ``STREAM_STATE_TTL_MS``. This is the posture that survives an
+    unbounded stream; the uncapped/no-timeout variant exists purely as
+    the batch-parity test harness (equality with the batch operator
+    pinned at sf0.001 and sf0.01 in tests). Below the cap the two are
+    identical — at sf0.01 the hottest bucket holds ~230 docs, so the
+    registered output equals batch there too. Rows-only like the
+    batch sibling (xxhash64 has no DuckDB twin)."""
+    # file sink, NOT the memory sink: the snapshot stream is
+    # data-sized (11.2M partner elements at sf0.1) and the memory sink
+    # would gather it all on the driver heap — the measured bench-OOM
+    # failure mode. Pair expansion happens batch-side where it
+    # parallelizes across the full core count.
+    #
+    # ttl_ms=None HERE ONLY: an availableNow replay cannot terminate
+    # with pending processing-time timers — measured: the query loops
+    # timeout-processing micro-batches forever (state version 23+ on a
+    # 4-row corpus) and never exits. The TTL is the CONTINUOUS-trigger
+    # default (production posture, exercised by the eviction test);
+    # this bounded harness runs seconds, far under any sane TTL, so
+    # opting out changes nothing it would ever observe.
+    snaps = run_bounded_files(
+        stream_minhash_pairs(
+            file_documents_stream(spark, sf_dir), ttl_ms=None
+        )
+    )
+    return minhash_snapshot_degrees(snaps)

@@ -16,6 +16,8 @@ oracle-check streaming execution against DuckDB.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import uuid
 
@@ -32,6 +34,26 @@ from eventstream_notify_spark.streaming.state import rate_limit_stream
 # per-bucket offset table broadcasts for free)
 _LATENESS_BUCKETS = 64
 
+# bounded-run scratch dirs (parquet sink output, checkpoints): the
+# returned DataFrames read the output dirs LAZILY, so they cannot be
+# removed at return time — a long bench session would otherwise
+# accumulate data-sized temp dirs with no cleanup path. Swept at
+# process exit.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _sweep_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+
 
 def run_bounded_files(stream_df: DataFrame) -> DataFrame:
     """Execute a streaming frame to completion (availableNow) into a
@@ -46,8 +68,8 @@ def run_bounded_files(stream_df: DataFrame) -> DataFrame:
     bench-killing driver OOM (61 downstream queries dead) that the
     kernel itself was wrongly blamed for. A file sink writes from the
     executors, exactly like production would."""
-    out = tempfile.mkdtemp(prefix="sink_out_")
-    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    out = _scratch_dir("sink_out_")
+    ckpt = _scratch_dir("sink_ckpt_")
     query = (
         stream_df.writeStream.format("parquet")
         .option("path", out)
@@ -73,7 +95,7 @@ def run_bounded(
     append mode the trailing windows (not yet passed by the watermark
     at end-of-stream) are never emitted."""
     table_name = name or f"q_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{table_name}_")
+    ckpt = _scratch_dir(f"ckpt_{table_name}_")
     query = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)

@@ -44,21 +44,29 @@ def _twin(sf_dir: str) -> set[tuple]:
     n_items = len(types)
     y = np.array(_als_init_y(n_items), dtype=np.float64)
 
+    users = sorted(int(u) for u in r["user_id"].unique())
+    uidx = {u: k for k, u in enumerate(users)}
     xs_by_user: dict[int, np.ndarray] = {}
     for _ in range(ALS_ITERS):
-        yty = y.T @ y
-        # user step, accumulation in item order (as the kernel sorts)
-        for uid, g in r.sort_values("item").groupby("user_id"):
-            a = yty + ALS_LAMBDA * np.eye(ALS_RANK)
-            b = np.zeros(ALS_RANK)
-            for it, rv in zip(g["item"], g["r"]):
-                yi = y[int(it)]
-                a = a + ALS_ALPHA * float(rv) * np.outer(yi, yi)
-                b = b + (1.0 + ALS_ALPHA * float(rv)) * yi
-            x = np.linalg.solve(a, b)
-            xs_by_user[int(uid)] = np.rint(x * ALS_SCALE).astype(
-                np.int64
-            )
+        # user step: the kernel's BATCHED formulation verbatim (dense
+        # confidence scatter, naive einsum, batched LAPACK solve) —
+        # every float op is per-output-cell independent, so one
+        # all-users batch here equals the kernel's arbitrary Arrow
+        # batching bit-for-bit
+        base = y.T @ y + ALS_LAMBDA * np.eye(ALS_RANK)
+        w_conf = np.zeros((len(users), len(types)))
+        c_lin = np.zeros((len(users), len(types)))
+        for u, it, rv in zip(r["user_id"], r["item"], r["r"]):
+            k = uidx[int(u)]
+            w_conf[k, int(it)] = ALS_ALPHA * float(rv)
+            c_lin[k, int(it)] = 1.0 + ALS_ALPHA * float(rv)
+        a = base[None, :, :] + np.einsum("ui,ik,il->ukl", w_conf, y, y)
+        b = np.einsum("ui,ik->uk", c_lin, y)
+        xs_all = np.rint(
+            np.linalg.solve(a, b[:, :, None])[:, :, 0] * ALS_SCALE
+        ).astype(np.int64)
+        for u in users:
+            xs_by_user[u] = xs_all[uidx[u]]
         # item step: exact integer moments (python ints, order-free)
         s2 = float(ALS_SCALE) ** 2
         xtx = np.zeros((ALS_RANK, ALS_RANK))

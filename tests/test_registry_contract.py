@@ -54,3 +54,36 @@ def test_contract_fills_the_driver_window():
 def test_lookup_is_prefix_agnostic():
     assert lookup("agg_pivot").name == "zx_agg_pivot"
     assert lookup("pipeline_e2e").name == "pipeline_e2e"
+
+
+def test_coverage_md_matches_registry():
+    """COVERAGE.md is generated from the registry; a query added
+    without regenerating it (the r8 drift: zx_compaction_plan landed
+    after the regen) must fail loudly. Names and verification modes
+    are pinned; implementation line numbers are allowed to drift
+    between regens (they carry no coverage information)."""
+    import re
+    from pathlib import Path
+
+    from eventstream_notify_spark.registry import registered
+
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "COVERAGE.md"
+    ).read_text()
+    rows = re.findall(
+        r"^\| `(\S+)` \| (contract|extra) \| `[^`]+` \| (oracle|rows-only) \|",
+        text,
+        re.M,
+    )
+    committed = {name: mode for name, _, mode in rows}
+    live = {
+        name: ("oracle" if reg.oracle else "rows-only")
+        for name, reg in registered().items()
+    }
+    assert committed == live, (
+        "COVERAGE.md is stale — regenerate: "
+        "python tools/coverage_map.py > COVERAGE.md; "
+        f"missing={set(live) - set(committed)} "
+        f"extra={set(committed) - set(live)} "
+        f"mode_flips={[n for n in set(live) & set(committed) if live[n] != committed[n]]}"
+    )

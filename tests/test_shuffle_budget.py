@@ -147,7 +147,9 @@ BUDGETS = {
     # domain-bounded duration aggregation and curve windows; censor
     # horizon is a bounded 1-row driver fold
     "stream_dedup_exact": 0,    # memory-sink read of the bounded run
-    "stream_dedup_minhash": 2,  # post-stream distinct + degree agg
+    "stream_dedup_minhash": 3,  # deliberate repartition(doc_id) so the
+    # 11.2M-row partner explode parallelizes (streaming/dedup.py), then
+    # post-stream distinct + degree agg
     "als_implicit": 4,  # final scoring plan: user solve pass + seen
     # join + top-k window; training iterations run at build time with
     # one user shuffle + one integer moment agg each

@@ -1,12 +1,19 @@
 """Streaming corpus dedup (streaming/dedup.py): exactness of the
-stateful kernels against their batch siblings, plus the bucket-cap
-coverage property."""
+stateful kernels against their batch siblings, the bucket-cap
+coverage property, and the bounded-state posture of the REGISTERED
+minhash query (cap + idle-TTL eviction)."""
+
+import os
+import time
 
 from pyspark.sql import functions as F
 
 from eventstream_notify_spark.registry import lookup
 from eventstream_notify_spark.sources.documents import file_documents_stream
-from eventstream_notify_spark.streaming.dedup import stream_minhash_pairs
+from eventstream_notify_spark.streaming.dedup import (
+    minhash_snapshot_degrees,
+    stream_minhash_pairs,
+)
 from eventstream_notify_spark.streaming.pipeline import run_bounded
 
 SF = "/root/testdata/sf0.001"
@@ -35,17 +42,32 @@ def test_stream_dedup_exact_matches_batch_window(spark):
 
 
 def test_stream_dedup_minhash_matches_batch_degrees(spark):
-    """The streaming band-collision pair set equals the batch
-    operator's — per-doc candidate degrees agree row-for-row."""
+    """Batch parity, both postures: the UNCAPPED/no-timeout harness is
+    the contract pin (its band-collision pair set equals the batch
+    operator's exactly), and the REGISTERED capped query also agrees
+    at this SF because no bucket exceeds the cap here."""
     batch = {
         r.doc_a: r.n_candidates
         for r in lookup("dedup_minhash").fn(spark, SF).collect()
     }
-    stream = {
+    uncapped = {
+        r.doc_a: r.n_candidates
+        for r in minhash_snapshot_degrees(
+            run_bounded(
+                stream_minhash_pairs(
+                    file_documents_stream(spark, SF),
+                    bucket_cap=None,
+                    ttl_ms=None,
+                )
+            )
+        ).collect()
+    }
+    assert uncapped == batch
+    registered = {
         r.doc_a: r.n_candidates
         for r in lookup("stream_dedup_minhash").fn(spark, SF).collect()
     }
-    assert stream == batch
+    assert registered == batch
 
 
 def test_stream_minhash_bucket_cap_keeps_coverage(spark):
@@ -63,14 +85,18 @@ def test_stream_minhash_bucket_cap_keeps_coverage(spark):
     uncapped = pairs_of(
         run_bounded(
             stream_minhash_pairs(
-                file_documents_stream(spark, SF), bucket_cap=None
+                file_documents_stream(spark, SF),
+                bucket_cap=None,
+                ttl_ms=None,
             )
         )
     )
     capped = pairs_of(
         run_bounded(
             stream_minhash_pairs(
-                file_documents_stream(spark, SF), bucket_cap=64
+                file_documents_stream(spark, SF),
+                bucket_cap=64,
+                ttl_ms=None,
             )
         )
     )
@@ -87,3 +113,118 @@ def test_stream_minhash_bucket_cap_keeps_coverage(spark):
     assert pc == pu
     # and the cap genuinely binds (fewer pair events than uncapped)
     assert capped.count() < uncapped.count()
+
+
+def _write_doc_file(spark, path: str, rows, mtime: float) -> None:
+    before = set(os.listdir(path)) if os.path.exists(path) else set()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    # FileStreamSource orders by modification time: pin each NEW
+    # file's mtime so the 1-file-per-trigger replay is deterministic
+    # (earlier files keep their earlier pins)
+    for name in set(os.listdir(path)) - before:
+        if name.endswith(".parquet"):
+            fp = os.path.join(path, name)
+            os.utime(fp, (mtime, mtime))
+
+
+def _doc_stream(spark, path: str):
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+def test_stream_minhash_state_is_bounded(spark, tmp_path):
+    """The registered posture's state bound, proven from the output:
+    every partner snapshot IS the bucket's index at that arrival, so
+    max(|partners|) <= cap across a multi-batch run means the posting
+    list never exceeded the cap."""
+    src = str(tmp_path / "docs")
+    now = time.time()
+    # one hot bucket: 24 identical docs across 2 micro-batches
+    _write_doc_file(
+        spark, src, [(i, "alpha beta gamma") for i in range(12)], now - 20
+    )
+    _write_doc_file(
+        spark,
+        src,
+        [(i, "alpha beta gamma") for i in range(100, 112)],
+        now - 10,
+    )
+    cap = 4
+    snaps = run_bounded(
+        stream_minhash_pairs(
+            _doc_stream(spark, src), bucket_cap=cap, ttl_ms=None
+        )
+    )
+    stats = snaps.agg(
+        F.max(F.size("partners")).alias("mx"),
+        F.countDistinct("doc_id").alias("probing"),
+    ).first()
+    assert stats.mx <= cap
+    # probes are never capped: every doc after the first still probes
+    assert stats.probing == 23
+
+
+def test_stream_minhash_ttl_evicts_idle_buckets(spark, tmp_path):
+    """Idle-bucket eviction on a CONTINUOUS query (the production
+    posture — availableNow replay cannot carry processing-time timers,
+    see the registered query's docstring): with a tiny TTL, a bucket
+    untouched for a whole trigger is dropped, so a third-batch
+    re-appearance of the same content pairs only within its own batch;
+    with a large TTL the index survives and pairs cross batches."""
+    import tempfile
+    import uuid
+
+    now = time.time()
+    batches = [
+        [(i, "alpha beta gamma") for i in range(4)],
+        [(i, "delta epsilon zeta") for i in range(100, 104)],
+        [(i, "alpha beta gamma") for i in range(200, 204)],
+    ]
+
+    def cross_batch_pairs(ttl_ms, tag):
+        src = str(tmp_path / tag)
+        for k, rows in enumerate(batches):
+            _write_doc_file(spark, src, rows, now - 30 + 10 * k)
+        name = f"ttl_{tag}_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_minhash_pairs(
+                _doc_stream(spark, src), bucket_cap=256, ttl_ms=ttl_ms
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            # wait until all 12 docs flowed through (3 x 4-doc files)
+            deadline = time.time() + 120
+            seen = 0
+            while time.time() < deadline and seen < 12:
+                time.sleep(1)
+                seen = sum(
+                    p["numInputRows"] for p in (q.recentProgress or [])
+                )
+            assert seen >= 12, f"stream stalled at {seen} input rows"
+            # one more trigger so the last batch commits to the sink
+            time.sleep(2)
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .select("doc_id", F.explode("partners").alias("m"))
+            .filter((F.col("doc_id") >= 200) & (F.col("m") < 100))
+            .count()
+        )
+
+    # TTL = 1 ms: the alpha bucket is idle during trigger 2 (> TTL), so
+    # trigger 3's alpha docs find an EMPTY index — no cross-batch pair
+    assert cross_batch_pairs(1, "evict") == 0
+    # TTL = 10 min: index survives, batch-3 docs pair with batch-1's
+    assert cross_batch_pairs(600_000, "keep") > 0
