@@ -1108,7 +1108,25 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sliding_dau_hll", extra=True)  # rows-only: sketch estimates
+@register(
+    "sliding_dau_hll",
+    extra=True,
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    exp AS (
+      SELECT du.day + o.o AS day, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) o
+    )
+    SELECT e.day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS dau7_est
+    FROM exp e JOIN days d ON e.day = d.day
+    GROUP BY e.day
+    """,
+)
 def sliding_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB scale path for zx_sliding_dau: per-day HyperLogLog
     sketches (Spark's DataSketches HLL, lgK=14 => ~0.8% rel. error),
@@ -1120,8 +1138,18 @@ def sliding_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     while distinct users per day fit a shuffle, but sketches make the
     rollup O(days x 16KB) regardless of cardinality — the same
     partial-merge property zx_incremental_rollup exploits for
-    algebraic aggregates, extended to the holistic one. Rows-only by
-    nature; the accuracy bound vs the exact twin is pinned in tests.
+    algebraic aggregates, extended to the holistic one.
+
+    ORACLE-PAIRED at driver scale (r9, was rows-only): a DataSketches
+    HLL_4 sketch at lgK=14 stays in its exact coupon-SET mode until
+    thousands of uniques, so below that threshold the "estimate" IS
+    the exact distinct count — verified bit-equal to the exact twin
+    at sf0.001 (15 users/window) and sf0.01 (150). The oracle is the
+    exact-distinct SQL twin, valid precisely in that regime (the
+    driver gate runs at sf0.01); at production cardinalities the
+    contract degrades to the pinned <=2% accuracy band vs
+    zx_sliding_dau (tests/test_scale_paths.py), which is the honest
+    spec of a sketch.
     """
     e = table(spark, sf_dir, "events")
     du = (

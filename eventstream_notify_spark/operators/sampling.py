@@ -343,3 +343,121 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _NEG_K)
         .select("query_id", "neg_id", "rank")
     )
+
+
+_NEYMAN_BUDGET = 1000  # total sample size across strata
+
+
+@register(
+    "sample_neyman",
+    extra=True,
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                   AS mv
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(mv) AS DECIMAL(38, 0)) AS sv,
+               CAST(SUM(mv * mv) AS DECIMAL(38, 0)) AS sv2
+        FROM ev GROUP BY 1
+    ),
+    wgt AS (
+        SELECT event_type, n,
+               sqrt(CAST(CAST(n AS DECIMAL(38, 0)) * sv2 - sv * sv
+                         AS DOUBLE)) AS w
+        FROM stats
+    ),
+    tot AS (
+        SELECT list_sum(list(w ORDER BY event_type)) AS tw FROM wgt
+    ),
+    alloc AS (
+        SELECT event_type,
+               CAST(FLOOR({_NEYMAN_BUDGET} * w / tw) AS BIGINT) AS n_h
+        FROM wgt, tot
+    )
+    SELECT e.event_id, e.event_type, CAST(r.rk AS BIGINT) AS rank
+    FROM (
+        SELECT event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM ev
+    ) r
+    JOIN ev e USING (event_id)
+    JOIN alloc a ON a.event_type = e.event_type
+    WHERE r.rk <= a.n_h
+    """,
+)
+def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-ALLOCATION stratified sampling — the variance-optimal
+    split of a fixed sample budget across strata (n_h proportional to
+    N_h * S_h, Neyman 1934): high-variance strata get more rows, so a
+    downstream estimator of the stratified mean hits minimum variance
+    for the budget. The statistically-correct upgrade over
+    zx_sample_stratified's fixed keep-rates when the sample feeds an
+    ESTIMATE rather than a training mix.
+
+    Exactness engineering: per-stratum std enters only through
+    sqrt(N*sum(v^2) - sum(v)^2) over MILLI-QUANTIZED integers carried
+    as DECIMAL(38,0) (the product overflows bigint at sf0.1 already —
+    exact decimals are the 100 TB posture); the cross-strata weight
+    total folds over the event_type-SORTED weight list (a 5-double
+    sum is order-sensitive; a sorted-list fold is deterministic in
+    both engines); the draw itself is the md5-rank hash sampler every
+    sampling op here uses. Shape: one stats aggregation (5 rows), a
+    broadcast allocation table, one per-stratum rank window over the
+    scan."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value").cast("double") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("mv"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("mv").cast("decimal(38,0)").alias("sv"),
+        F.sum(F.col("mv") * F.col("mv")).cast("decimal(38,0)").alias("sv2"),
+    )
+    wgt = stats.select(
+        "event_type",
+        "n",
+        F.sqrt(
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sv2")
+                - F.col("sv") * F.col("sv")
+            ).cast("double")
+        ).alias("w"),
+    )
+    tot = wgt.groupBy().agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "w"))),
+                lambda r: r["w"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("tw")
+    )
+    alloc = F.broadcast(
+        wgt.crossJoin(F.broadcast(tot)).select(
+            "event_type",
+            F.floor(F.lit(_NEYMAN_BUDGET) * F.col("w") / F.col("tw"))
+            .cast("bigint")
+            .alias("n_h"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .join(alloc, "event_type")
+        .filter(F.col("rank") <= F.col("n_h"))
+        .select("event_id", "event_type", "rank")
+    )

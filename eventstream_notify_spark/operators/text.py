@@ -511,6 +511,106 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_quality_pick",
+    extra=True,
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id AS node, doc_id AS lab FROM documents
+        UNION
+        SELECT e.d AS node, r.lab
+        FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cc AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    qual AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(
+                   regexp_extract_all(lower(text), '{TOKEN_RE}')))
+                   AS BIGINT) AS q_distinct,
+               CAST(n_chars AS BIGINT) AS q_chars
+        FROM documents
+    ),
+    j AS (
+        SELECT c.cluster_id, q.doc_id, q.q_distinct, q.q_chars
+        FROM cc c JOIN qual q USING (doc_id)
+    ),
+    best AS (
+        SELECT cluster_id, doc_id AS rep_doc_id, q_distinct
+        FROM j
+        QUALIFY row_number() OVER (
+            PARTITION BY cluster_id
+            ORDER BY q_distinct DESC, q_chars DESC, doc_id
+        ) = 1
+    )
+    SELECT b.cluster_id, b.rep_doc_id, b.q_distinct,
+           s.cluster_size, s.cluster_size - 1 AS n_dropped
+    FROM best b
+    JOIN (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY 1
+    ) s USING (cluster_id)
+    """,
+)
+def dedup_quality_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE representative selection per near-dup cluster —
+    the curation step after clustering: instead of keeping the min-id
+    doc (dedup_cluster's canonical), keep the HIGHEST-QUALITY member
+    (most distinct tokens, then most chars, then smallest id) and drop
+    the rest. This is what production dedup actually ships: first-seen
+    keeps whichever crawl copy arrived first; quality-pick keeps the
+    least-truncated / least-boilerplate copy (the Gopher/FineWeb
+    practice of scoring before dropping).
+
+    The quality key is deliberately ALL-INTEGER (distinct-token count,
+    char count) so the per-cluster argmax is oracle-exact; swapping in
+    a float model score is a one-line change whose ranking would then
+    need the quantization discipline. Shape: rides dedup_cluster's
+    converged labels (one pair-graph + min-label propagation), one
+    per-cluster argmax window over cluster-sized groups, one size
+    aggregation."""
+    clusters = dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    d = table(spark, sf_dir, "documents")
+    qual = d.select(
+        "doc_id",
+        F.size(F.array_distinct(tokens_col()))
+        .cast("bigint")
+        .alias("q_distinct"),
+        F.col("n_chars").cast("bigint").alias("q_chars"),
+    )
+    j = clusters.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q_distinct").desc(), F.col("q_chars").desc(), F.col("doc_id")
+    )
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "q_distinct",
+        )
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return best.join(sizes, "cluster_id").select(
+        "cluster_id",
+        "rep_doc_id",
+        "q_distinct",
+        "cluster_size",
+        (F.col("cluster_size") - 1).alias("n_dropped"),
+    )
+
+
 NGRAM_T = 0.9  # shingle-Jaccard threshold (order-sensitive near-dup)
 
 
@@ -806,6 +906,85 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(F.array_distinct("toks")) * 1.0 / F.size("toks")).alias(
                 "unique_ratio"
             ),
+        )
+    )
+
+
+@register(
+    "text_readability",
+    extra=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                    AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables,
+               CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS BIGINT) AS n_sentences
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           ROUND(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * (n_words / n_sentences)
+                 - CAST(84.6 AS DOUBLE) * (n_syllables / n_words), 6)
+               AS flesch_ease,
+           ROUND(CAST(0.39 AS DOUBLE) * (n_words / n_sentences)
+                 + CAST(11.8 AS DOUBLE) * (n_syllables / n_words)
+                 - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+    FROM t WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY scoring — Flesch reading ease + Flesch-Kincaid
+    grade per document, the classic complexity heuristics next to
+    zx_text_quality's ratio battery (curation stacks gate on both:
+    quality ratios catch boilerplate, readability catches
+    impenetrable or trivially-simple text).
+
+    Syllables = vowel-group count ([aeiouy]+ runs) over the WHOLE
+    lowered text in one regexp pass — word boundaries break vowel
+    runs, so this equals the per-word sum without any explode; the
+    whole operator is a single codegen'd projection over the scan
+    (zero shuffles, zero UDFs). Sentences = [.!?]+ runs floored at 1.
+    Counts are exact integers; the two formulas are deterministic
+    double expressions over them with every literal CAST to DOUBLE
+    (DuckDB folds bare decimal literals in DECIMAL arithmetic — the
+    MMR lambda lesson), rounded 6 d.p. both engines."""
+    d = table(spark, sf_dir, "documents")
+    words = F.size(tokens_col()).cast("bigint")
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            words.alias("n_words"),
+            syl.alias("n_syllables"),
+            sent.alias("n_sentences"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_syllables",
+            "n_sentences",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+                6,
+            ).alias("flesch_ease"),
+            F.round(
+                F.lit(0.39) * (F.col("n_words") / F.col("n_sentences"))
+                + F.lit(11.8) * (F.col("n_syllables") / F.col("n_words"))
+                - F.lit(15.59),
+                6,
+            ).alias("fk_grade"),
         )
     )
 
@@ -3210,6 +3389,283 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- phrase search
+
+
+# ------------------------------------------------- WordPiece family
+
+_WP_ROUNDS = 8
+
+
+def wordpiece_syms(word: str) -> list:
+    """Initial WordPiece symbolization: first char bare, continuation
+    chars carry the ## prefix (the BERT convention)."""
+    return [word[0]] + ["##" + c for c in word[1:]]
+
+
+def _wp_merge_token(a: str, b: str) -> str:
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def wordpiece_reference_merges(word_freqs: dict, rounds: int) -> list:
+    """Pure-python WordPiece trainer (the exact reference the
+    distributed loop must reproduce): per round pick the pair with the
+    highest LIKELIHOOD score count(pair) / (count(a) * count(b)) —
+    the criterion that separates WordPiece from BPE's raw-count greedy
+    (Schuster & Nakajima 2012; the HF tokenizers formulation). Score
+    compared as the identical float64 expression the Spark side
+    computes; ties break on the lexicographically smallest pair."""
+    vocab = {tuple(wordpiece_syms(w)): f for w, f in word_freqs.items()}
+    out = []
+    for rnd in range(rounds):
+        pair_c: dict = {}
+        unit_c: dict = {}
+        for syms, f in vocab.items():
+            for s in syms:
+                unit_c[s] = unit_c.get(s, 0) + f
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_c[p] = pair_c.get(p, 0) + f
+        if not pair_c:
+            break
+        def score(p):
+            return float(pair_c[p]) / (
+                float(unit_c[p[0]]) * float(unit_c[p[1]])
+            )
+        best_s = max(score(p) for p in pair_c)
+        best = min(p for p in pair_c if score(p) == best_s)
+        a, b = best
+        out.append((rnd + 1, a, b, pair_c[best], best_s))
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            merged = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(_wp_merge_token(a, b))
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return out
+
+
+def wordpiece_reference_encode(word: str, vocab: set) -> list:
+    """Canonical WordPiece encode: greedy LONGEST-MATCH-FIRST against
+    the vocab, continuation pieces ##-prefixed; a position with no
+    matching piece makes the whole word [UNK] (the BERT rule)."""
+    toks = []
+    i = 0
+    while i < len(word):
+        j = len(word)
+        cur = None
+        while j > i:
+            piece = word[i:j] if i == 0 else "##" + word[i:j]
+            if piece in vocab:
+                cur = piece
+                break
+            j -= 1
+        if cur is None:
+            return ["[UNK]"]
+        toks.append(cur)
+        i = j
+    return toks
+
+
+def _wordpiece_train(spark: SparkSession, sf_dir: str):
+    """Distributed WordPiece training loop: per round, one distributed
+    pair count + one distributed unit count over the word-TYPE table
+    (vocab-sized, corpus-row-count-independent), score = pair /
+    (unit_a * unit_b) as one deterministic double expression, 1-row
+    argmax, merge applied by a partition-local mapInPandas kernel —
+    the _bpe_train_pairs shape with the likelihood argmax swapped in.
+    Returns (merge rows, base unit list)."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr(rf"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(
+            F.expr(
+                "transform(filter(split(w, ''), x -> x != ''),"
+                " (x, i) -> IF(i = 0, x, concat('##', x)))"
+            ).alias("syms"),
+            "f",
+        )
+        .localCheckpoint(eager=True)
+    )
+    base_units = [
+        r.s
+        for r in words.select(F.explode("syms").alias("s"))
+        .distinct()
+        .collect()
+    ]
+    results = []
+    vocab = words
+    for rnd in range(_WP_ROUNDS):
+        units = vocab.select(F.explode("syms").alias("s"), "f").groupBy(
+            "s"
+        ).agg(F.sum("f").alias("uc"))
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(x, i) -> struct(x AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("cnt"))
+            .join(
+                F.broadcast(units.select(F.col("s").alias("a"), F.col("uc").alias("ua"))),
+                "a",
+            )
+            .join(
+                F.broadcast(units.select(F.col("s").alias("b"), F.col("uc").alias("ub"))),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                "cnt",
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("ua").cast("double") * F.col("ub").cast("double"))
+                ).alias("score"),
+            )
+        )
+        best = (
+            pairs.orderBy(F.col("score").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        results.append(
+            (rnd + 1, a, b, int(best[0]["cnt"]), float(best[0]["score"]))
+        )
+
+        def make_merger(ma: str, mb: str, mt: str):
+            def merge_batches(batches):
+                for pdf in batches:
+                    out_syms = []
+                    for syms in pdf["syms"]:
+                        merged = []
+                        i = 0
+                        n = len(syms)
+                        while i < n:
+                            if (
+                                i + 1 < n
+                                and syms[i] == ma
+                                and syms[i + 1] == mb
+                            ):
+                                merged.append(mt)
+                                i += 2
+                            else:
+                                merged.append(syms[i])
+                                i += 1
+                        out_syms.append(merged)
+                    yield pd.DataFrame({"syms": out_syms, "f": pdf["f"]})
+
+            return merge_batches
+
+        vocab = vocab.mapInPandas(
+            make_merger(a, b, _wp_merge_token(a, b)),
+            "syms array<string>, f bigint",
+        ).localCheckpoint(eager=True)
+    return results, base_units
+
+
+@register("llm_wordpiece_train", extra=True)  # rows-only: iterative loop
+def llm_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece TRAINING (Schuster & Nakajima 2012) — the third
+    subword family next to zx_llm_bpe_train (count-greedy) and
+    zx_llm_unigram_train (EM pruning), completing the triad every
+    production tokenizer stack draws from. Identical distributed
+    shape to the BPE loop; the difference is the ARGMAX CRITERION —
+    likelihood gain count(pair)/(count(a)*count(b)) instead of raw
+    count, computed as one deterministic double over exact integer
+    counts (both the kernel and the pure-python reference evaluate
+    the same float64 expression, so ties and ordering agree exactly).
+    Emits (round, merge, pair_count, score); pinned by the reference
+    twin test."""
+    rows = [
+        (r, _wp_merge_token(a, b), c, s)
+        for r, a, b, c, s in _wordpiece_train(spark, sf_dir)[0]
+    ]
+    return spark.createDataFrame(
+        rows, "round int, merge string, pair_count bigint, score double"
+    )
+
+
+@register("llm_wordpiece_encode", extra=True)  # rows-only: greedy kernel
+def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODING — greedy longest-match-first against the
+    trained vocab (base units + merge tokens), ##-prefixed
+    continuations, whole-word [UNK] on a dead position (the BERT
+    rule). Same deployment shape as zx_llm_bpe_encode: encode once
+    per DISTINCT word via mapInPandas, broadcast the (word ->
+    n_tokens) map back onto exploded doc-words, one doc-keyed agg —
+    text bodies never shuffle; directly comparable per-doc
+    chars-per-token against the BPE and unigram encoders on the same
+    corpus."""
+    import pandas as pd
+
+    merges, base_units = _wordpiece_train(spark, sf_dir)
+    vocab = set(base_units)
+    for _, a, b, _, _ in merges:
+        vocab.add(_wp_merge_token(a, b))
+    d = table(spark, sf_dir, "documents")
+    doc_words = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(rf"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("w"),
+    )
+    wvocab = doc_words.select("w").distinct()
+
+    def encode_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_tok": [
+                        len(wordpiece_reference_encode(w, vocab))
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    enc = wvocab.mapInPandas(encode_batches, "w string, n_tok int")
+    return (
+        doc_words.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_chars") / F.col("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 _PHRASES = ("table value", "fast spark", "agg row scan")

@@ -930,7 +930,74 @@ def holt_winters_reference(ys: list) -> list:
     ]
 
 
-@register("ts_holt_winters", extra=True)  # rows-only: sequential recurrence
+@register(
+    "ts_holt_winters",
+    extra=True,
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+        FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, UNNEST(range(mn, mx + 1)) AS day FROM bounds
+    ),
+    series AS (
+        SELECT g.event_type,
+               list(CAST(COALESCE(d.n, 0) AS DOUBLE) ORDER BY g.day)
+                   AS ys
+        FROM grid g
+        LEFT JOIN daily d
+          ON d.event_type = g.event_type AND d.day = g.day
+        GROUP BY 1
+    ),
+    init AS (
+        SELECT event_type, ys, len(ys) AS n,
+               list_sum(ys[1:{HW_SEASON}]) / {HW_SEASON} AS l0
+        FROM series WHERE len(ys) >= 2 * {HW_SEASON}
+    ),
+    rec AS (
+        SELECT 0 AS t, event_type, n, ys,
+               l0 AS lev,
+               (list_sum(ys[{HW_SEASON} + 1:2 * {HW_SEASON}])
+                / {HW_SEASON} - l0) / {HW_SEASON} AS tr,
+               list_transform(range(1, {HW_SEASON} + 1),
+                              i -> ys[i] - l0) AS seas
+        FROM init
+        UNION ALL
+        SELECT u.t + 1, u.event_type, u.n, u.ys,
+               u.lev_new,
+               CAST({HW_BETA} AS DOUBLE) * (u.lev_new - u.lev)
+               + (1 - CAST({HW_BETA} AS DOUBLE)) * u.tr,
+               list_transform(range(1, {HW_SEASON} + 1), i ->
+                   CASE WHEN i = (u.t % {HW_SEASON}) + 1
+                        THEN CAST({HW_GAMMA} AS DOUBLE)
+                             * (u.ys[u.t + 1] - u.lev_new)
+                             + (1 - CAST({HW_GAMMA} AS DOUBLE))
+                             * u.seas[(u.t % {HW_SEASON}) + 1]
+                        ELSE u.seas[i] END)
+        FROM (
+            SELECT r.*,
+                   CAST({HW_ALPHA} AS DOUBLE)
+                   * (r.ys[r.t + 1] - r.seas[(r.t % {HW_SEASON}) + 1])
+                   + (1 - CAST({HW_ALPHA} AS DOUBLE)) * (r.lev + r.tr)
+                       AS lev_new
+            FROM rec r WHERE r.t < r.n
+        ) u
+    )
+    SELECT event_type, CAST(hh + 1 AS INT) AS h,
+           lev + (hh + 1) * tr
+               + seas[((n + hh) % {HW_SEASON}) + 1] AS forecast
+    FROM (
+        SELECT *, UNNEST(range(0, {HW_HORIZON})) AS hh
+        FROM rec WHERE t = n
+    )
+    """,
+)
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORECASTING — additive Holt-Winters (level + trend + weekly
     seasonality) over each event type's daily count series, emitting
@@ -968,7 +1035,11 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "event_type": [et] * len(fc),
                 "h": list(range(1, len(fc) + 1)),
-                "forecast": [round(v, 6) for v in fc],
+                # UNROUNDED: the oracle CTE replays the identical IEEE
+                # op sequence, so the doubles match bit-for-bit;
+                # rounding would reintroduce the python-round vs
+                # SQL-ROUND midpoint mismatch (the MMR lesson)
+                "forecast": [float(v) for v in fc],
             }
         )
 

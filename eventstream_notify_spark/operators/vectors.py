@@ -1017,7 +1017,51 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
 
-@register("sim_search_sq8", extra=True)  # rows-only: quantized scores
+@register(
+    "sim_search_sq8",
+    extra=True,
+    oracle=f"""
+    WITH dims AS (
+        SELECT i AS d,
+               CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx
+        FROM (
+            SELECT UNNEST(embedding) AS x,
+                   UNNEST(range(1, len(embedding) + 1)) AS i
+            FROM embeddings
+        )
+        GROUP BY 1
+    ),
+    rng AS (
+        SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        FROM dims
+    ),
+    eq AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1), i ->
+                   coalesce(
+                       r.mns[i]
+                       + FLOOR(LEAST(GREATEST(
+                             (CAST(embedding[i] AS DOUBLE) - r.mns[i])
+                             / nullif(r.mxs[i] - r.mns[i],
+                                      CAST(0.0 AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+                           * 255 + CAST(0.5 AS DOUBLE))
+                         * (r.mxs[i] - r.mns[i]) / 255,
+                       r.mns[i])) AS dq
+        FROM embeddings, rng r
+    ),
+    q AS (
+        SELECT vec_id AS query_id, dq AS qdq FROM eq
+        WHERE vec_id % {QUERY_MOD} = 0
+    )
+    SELECT q.query_id, e.vec_id,
+           ROUND({cosine_sql('q.qdq', 'e.dq')}, 6) AS score
+    FROM q JOIN eq e ON e.vec_id <> q.query_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.query_id ORDER BY score DESC, e.vec_id
+    ) <= {TOP_K}
+    """,
+)
 def sim_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain similarity search — scalar quantization
     (SQ8): each float32 dimension compresses to one byte against
@@ -1032,13 +1076,17 @@ def sim_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim-indexed arrays — no driver collect; quantize + dequantize are
     higher-order transforms (JVM-side, no UDF); then the standard
     broadcast-queries top-k. Recall vs the exact search is pinned in
-    tests, not oracled (quantized scores are engine-local by
-    design)."""
+    tests AND (r9) the quantized search itself is ORACLE-PAIRED: with
+    explicit-double dequantize and floor(x+0.5) rounding, DuckDB
+    replays codes, reconstructions, and the top-k bit-for-bit."""
     e = table(spark, sf_dir, "embeddings")
     dims = (
         e.select(F.posexplode("embedding").alias("d", "x"))
         .groupBy("d")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.min("x").cast("double").alias("mn"),
+            F.max("x").cast("double").alias("mx"),
+        )
     )
     ranges = F.broadcast(
         dims.groupBy().agg(
@@ -1051,14 +1099,21 @@ def sim_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # quantize to uint8 codes, dequantize back — both as one fused
-    # expression; scale guards the mx == mn degenerate dimension
+    # expression; scale guards the mx == mn degenerate dimension.
+    # Every step is EXPLICIT double arithmetic and the rounding is
+    # floor(x + 0.5) — engine-neutral, which is what flipped this op
+    # from rows-only to oracle-paired in r9 (Spark's round() and
+    # DuckDB's disagree at binary-vs-shortest-repr midpoints; float
+    # intermediates would diverge from DuckDB's double lists)
     deq = F.expr(
         "transform(embedding, (x, i) -> coalesce("
         " element_at(mns, i + 1) +"
-        " round(least(greatest((x - element_at(mns, i + 1)) /"
-        "   nullif(element_at(mxs, i + 1) - element_at(mns, i + 1), 0.0),"
-        "   0.0), 1.0) * 255)"
-        " * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 255.0,"
+        " floor(least(greatest((CAST(x AS DOUBLE) - element_at(mns, i + 1)) /"
+        "   nullif(element_at(mxs, i + 1) - element_at(mns, i + 1),"
+        "          CAST(0.0 AS DOUBLE)),"
+        "   CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) * 255"
+        "   + CAST(0.5 AS DOUBLE))"
+        " * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 255,"
         " element_at(mns, i + 1)))"  # mx == mn: the dim is a constant
     )
     eq = (
@@ -1370,7 +1425,91 @@ MMR_CANDIDATES = 50
 MMR_K = 10
 
 
-@register("mmr_rerank", extra=True)  # rows-only: iterative greedy argmax
+@register(
+    "mmr_rerank",
+    extra=True,
+    oracle=f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS rel,
+               list_transform(e.embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT)) AS qv
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id ORDER BY rel DESC, e.vec_id
+        ) <= {MMR_CANDIDATES}
+    ),
+    gram AS (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               list_sum(list_transform(range(1, len(a.qv) + 1),
+                   i -> a.qv[i] * b.qv[i])) AS dp
+        FROM cand a JOIN cand b USING (query_id)
+    ),
+    nrm AS (
+        SELECT query_id, va AS vec_id, sqrt(CAST(dp AS DOUBLE)) AS nq
+        FROM gram WHERE va = vb
+    ),
+    sims AS (
+        SELECT g.query_id, g.va, g.vb,
+               CAST(g.dp AS DOUBLE) / (na.nq * nb.nq) AS sim
+        FROM gram g
+        JOIN nrm na ON na.query_id = g.query_id AND na.vec_id = g.va
+        JOIN nrm nb ON nb.query_id = g.query_id AND nb.vec_id = g.vb
+    ),
+    rec AS (
+        SELECT 0 AS iter, query_id, vec_id, rel,
+               CAST(0.0 AS DOUBLE) AS max_sim,
+               CAST(NULL AS INT) AS sel_iter,
+               CAST(NULL AS DOUBLE) AS sel_score
+        FROM cand
+        UNION ALL
+        SELECT w.iter + 1, w.query_id, w.vec_id, w.rel,
+               GREATEST(w.max_sim, s.sim),
+               CASE WHEN w.sel_iter IS NULL AND w.vec_id = w.win
+                    THEN w.iter + 1 ELSE w.sel_iter END,
+               CASE WHEN w.sel_iter IS NULL AND w.vec_id = w.win
+                    THEN w.win_score ELSE w.sel_score END
+        FROM (
+            SELECT t.*,
+                   first_value(t.vec_id) OVER (
+                       PARTITION BY t.query_id
+                       ORDER BY (CASE WHEN t.sel_iter IS NULL
+                                      THEN t.mmr END) DESC NULLS LAST,
+                                (CASE WHEN t.sel_iter IS NULL
+                                      THEN t.vec_id END) ASC NULLS LAST
+                   ) AS win,
+                   first_value(t.mmr) OVER (
+                       PARTITION BY t.query_id
+                       ORDER BY (CASE WHEN t.sel_iter IS NULL
+                                      THEN t.mmr END) DESC NULLS LAST,
+                                (CASE WHEN t.sel_iter IS NULL
+                                      THEN t.vec_id END) ASC NULLS LAST
+                   ) AS win_score
+            FROM (
+                -- CAST the lambda literals to DOUBLE: DuckDB folds
+                -- bare (1 - 0.7) in DECIMAL (exactly 0.3) while the
+                -- kernel's float64 (1 - 0.7) is 0.30000000000000004 —
+                -- a one-ulp score skew that breaks the hash
+                SELECT r.*,
+                       CAST({MMR_LAMBDA} AS DOUBLE) * r.rel
+                       - (1 - CAST({MMR_LAMBDA} AS DOUBLE)) * r.max_sim
+                           AS mmr
+                FROM rec r WHERE r.iter < {MMR_K}
+            ) t
+        ) w
+        JOIN sims s ON s.query_id = w.query_id
+                   AND s.va = w.vec_id AND s.vb = w.win
+    )
+    SELECT query_id, sel_iter AS rank, vec_id,
+           sel_score AS mmr_score
+    FROM rec WHERE iter = {MMR_K} AND sel_iter IS NOT NULL
+    """,
+)
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking: take each query's top-50
     cosine candidates and greedily pick 10 that trade off relevance
@@ -1383,8 +1522,16 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas kernel per query group — numpy over a 50 x dim
     block, Arrow-batched, thousands of queries in parallel. This is
     the canonical 'small iterative core after a distributed cut'
-    split. Rows-only: the greedy recurrence is not SQL-expressible;
-    a python-reference test pins the kernel exactly.
+    split.
+
+    ORACLE-PAIRED (r9, was rows-only): candidate-pair similarities
+    come from integer micro-unit Gram products (exact, summation-
+    order-free) with IEEE sqrt/divide — so a DuckDB RECURSIVE CTE
+    replays the greedy argmax loop decision-for-decision (winner per
+    iteration via a first_value window over the non-selected rows,
+    max_sim folded forward with GREATEST) and the full 10-pick output
+    hash-matches. A python-reference test additionally pins the
+    kernel.
     """
     import pandas as pd
 
@@ -1424,13 +1571,19 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values(["score", "vec_id"], ascending=[False, True])
         pdf = pdf.reset_index(drop=True)
-        # Arrow delivers array<float> as float32; accumulate the
-        # similarity matrix in float64 so the 6-d.p. rounded scores and
-        # the greedy argmax match the float64 python reference exactly
-        # regardless of dim or testdata regen.
+        # candidate-pair similarities from INTEGER-QUANTIZED dots
+        # (floor(x*1e6 + 0.5) micro-units): the int64 Gram matrix is
+        # exact and summation-order-free, and the only float ops left
+        # (sqrt of the diagonal, one division) are bit-deterministic
+        # IEEE — which is what lets a DuckDB recursive CTE replay the
+        # whole greedy loop and hash-match (the nearest-centroid
+        # discipline applied to MMR). A float32 matmul here would be
+        # BLAS-summation-ordered and engine-specific.
         embs = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-        nrms = pdf["cnrm"].to_numpy(dtype=np.float64)
-        sims = (embs @ embs.T) / np.outer(nrms, nrms)
+        q = np.floor(embs * 1e6 + 0.5).astype(np.int64)
+        gram = q @ q.T  # exact int64
+        nq = np.sqrt(np.diag(gram).astype(np.float64))
+        sims = gram.astype(np.float64) / np.outer(nq, nq)
         rel = pdf["score"].to_numpy(dtype=np.float64)
         vec_ids = pdf["vec_id"].to_numpy()
         n = len(pdf)
@@ -1448,7 +1601,12 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(pdf["query_id"].iloc[0]),
                     rank + 1,
                     int(vec_ids[best]),
-                    round(float(mmr_score[best]), 6),
+                    # UNROUNDED: both engines build this double from
+                    # the same exact-integer sims and the same two-term
+                    # expression, so it is bit-identical by
+                    # construction — rounding would only reintroduce
+                    # the half-way-tie engine mismatch it usually fixes
+                    float(mmr_score[best]),
                 )
             )
             max_sim = np.maximum(max_sim, sims[:, best])
@@ -2290,6 +2448,319 @@ def nearest_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("correct"),
         )
+    )
+
+
+@register(
+    "cluster_silhouette",
+    extra=True,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, i, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT label, UNNEST(qv) AS x,
+                   UNNEST(range(1, len(qv) + 1)) AS i
+            FROM q
+        )
+        GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT label AS c_label, MAX(n) AS n,
+               list(s ORDER BY i) AS cs
+        FROM sums GROUP BY 1
+    ),
+    dists AS (
+        SELECT q.vec_id, q.label, c.c_label,
+               sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> CAST(q.qv[i] * c.n - c.cs[i] AS DOUBLE)
+                        * CAST(q.qv[i] * c.n - c.cs[i] AS DOUBLE))))
+                   / c.n AS d
+        FROM q CROSS JOIN cents c
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN c_label = label THEN d END) AS a,
+               MIN(CASE WHEN c_label <> label THEN d END) AS b
+        FROM dists GROUP BY 1, 2
+    )
+    SELECT vec_id, label, ROUND(a, 6) AS a_dist, ROUND(b, 6) AS b_dist,
+           ROUND(CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+                      ELSE (b - a) / GREATEST(a, b) END, 6) AS silhouette
+    FROM ab
+    """,
+)
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING-QUALITY eval — the SIMPLIFIED SILHOUETTE
+    (centroid-based; Hruschka et al. 2004): per point, a = distance to
+    its own label centroid, b = distance to the nearest other
+    centroid, s = (b - a) / max(a, b). The eval that tells you whether
+    the label structure the ANN family banks on (IVF cells, SemDeDup
+    clusters, centroid classifier) actually separates — O(N x K)
+    where the full silhouette's pairwise a/b is O(N^2), which is the
+    only formulation that exists at 100 TB.
+
+    Oracle-exact by the nearest-centroid discipline, extended to
+    EUCLIDEAN distance without any engine-dependent division: with
+    quantized integers q and centroid SUM S over n members,
+    (q_j - S_j/n) = (q_j*n - S_j)/n, so per-dim diffs are EXACT
+    INTEGERS (<= ~4e9, exact as doubles) squared/summed in one
+    deterministic fold; sqrt and the single /n are bit-stable IEEE.
+    Shape: one (label, dim) hash-agg builds K sum-vectors (broadcast),
+    scoring is a per-row HOF fold against K centroids, one
+    vec_id-keyed aggregation extracts a/b — no point-pair ever
+    materializes."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " * 1000000 + 0.5) as bigint))"
+        ).alias("qv"),
+    )
+    cent = (
+        e.select("label", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda r: r["s"],
+            ).alias("cs"),
+            F.max("cnt").alias("n"),
+        )
+        .select(F.col("label").alias("c_label"), "cs", "n")
+    )
+    d = (
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(qv, cs,"
+                " (x, s) -> CAST(x * n - s AS DOUBLE)"
+                " * CAST(x * n - s AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+            )
+        )
+        / F.col("n")
+    )
+    ab = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "c_label", d.alias("d"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.when(F.col("c_label") == F.col("label"), F.col("d"))
+            ).alias("a"),
+            F.min(
+                F.when(F.col("c_label") != F.col("label"), F.col("d"))
+            ).alias("b"),
+        )
+    )
+    return ab.select(
+        "vec_id",
+        "label",
+        F.round("a", 6).alias("a_dist"),
+        F.round("b", 6).alias("b_dist"),
+        F.round(
+            F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+                (F.col("b") - F.col("a")) / F.greatest("a", "b")
+            ),
+            6,
+        ).alias("silhouette"),
+    )
+
+
+@register(
+    "eval_calibration",
+    extra=True,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y,
+               list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label % 2 AS par, i, CAST(SUM(x) AS BIGINT) AS s
+        FROM (
+            SELECT label, UNNEST(qv) AS x,
+                   UNNEST(range(1, len(qv) + 1)) AS i
+            FROM q
+        )
+        GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT par, list(s ORDER BY i) AS cs FROM sums GROUP BY 1
+    ),
+    scored AS (
+        SELECT vec_id, y,
+               (
+                 list_sum(list_transform(range(1, len(qv) + 1), i ->
+                     CAST(qv[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qv, x ->
+                        CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(ce, s ->
+                        CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))))
+                 -
+                 list_sum(list_transform(range(1, len(qv) + 1), i ->
+                     CAST(qv[i] AS DOUBLE) * CAST(co[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qv, x ->
+                        CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(co, s ->
+                        CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))))
+                 + 2
+               ) / 4 AS p
+        FROM q,
+             (SELECT cs AS ce FROM cents WHERE par = 0),
+             (SELECT cs AS co FROM cents WHERE par = 1)
+    ),
+    binned AS (
+        SELECT vec_id, y,
+               CAST(FLOOR(p * 1000000 + 0.5) AS BIGINT) AS pq
+        FROM scored
+    ),
+    agg AS (
+        SELECT LEAST(pq // 100000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(pq) AS BIGINT) AS sum_pq,
+               CAST(SUM((pq - y * 1000000) * (pq - y * 1000000))
+                    AS BIGINT) AS sq
+        FROM binned GROUP BY 1
+        UNION ALL
+        SELECT -1, CAST(COUNT(*) AS BIGINT), CAST(SUM(y) AS BIGINT),
+               CAST(SUM(pq) AS BIGINT),
+               CAST(SUM((pq - y * 1000000) * (pq - y * 1000000))
+                    AS BIGINT)
+        FROM binned
+    )
+    SELECT CAST(bin AS INT) AS bin, n, n_pos,
+           ROUND(CAST(sum_pq AS DOUBLE) / n / 1000000, 6) AS conf,
+           ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
+           ROUND(ABS(CAST(n_pos AS DOUBLE) / n
+                     - CAST(sum_pq AS DOUBLE) / n / 1000000), 6) AS gap,
+           ROUND(CAST(sq AS DOUBLE) / n / 1000000000000, 6) AS brier
+    FROM agg
+    """,
+)
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBABILITY-CALIBRATION eval — reliability table (10 equal-
+    width confidence bins: count, positives, mean confidence, observed
+    accuracy, |gap|) plus Brier score, per bin and overall (bin = -1,
+    the logreg sentinel-row convention). The eval behind 'is this
+    classifier's confidence usable as a probability' — gap-weighted
+    sum over bins is ECE, derivable from these columns.
+
+    The scored model is deterministic by construction: a two-centroid
+    (even/odd label) cosine margin mapped linearly into [0,1] —
+    p = (cos_even - cos_odd + 2) / 4 — built from integer micro-unit
+    centroid sums with all folds in deterministic double (no exp/
+    sigmoid: libm exp differs across engines, a linear link doesn't).
+    Probabilities then QUANTIZE to integer micro-units, so every
+    aggregate (sum p, sum (p-y)^2) is an exact integer sum — immune
+    to float-summation order — and the emitted doubles are single
+    division chains over exact integers. At 100 TB the squared sums
+    (~1e12/row) want decimal(38,0); bigint holds to ~1e6 rows/bin.
+
+    Shape: one (parity, dim) hash-agg builds the 2 centroid sum
+    vectors (broadcast); scoring + binning is scan-local; one 11-row
+    aggregation. The fact never pairs with itself."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("label") % 2 == 0).cast("int").alias("y"),
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " * 1000000 + 0.5) as bigint))"
+        ).alias("qv"),
+    )
+    cents = (
+        e.select((F.col("label") % 2).alias("par"), F.posexplode("qv").alias("pos", "x"))
+        .groupBy("par", "pos")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("par")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda r: r["s"],
+            ).alias("cs")
+        )
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("par") == 0, F.col("cs"))).alias("ce"),
+            F.max(F.when(F.col("par") == 1, F.col("cs"))).alias("co"),
+        )
+    )
+
+    def cos_to(cent_col: str) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(qv, {cent_col}, (x, s) ->"
+            " CAST(x AS DOUBLE) * CAST(s AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ) / (
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(qv, x -> CAST(x AS DOUBLE)"
+                    " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+                    " (a, v) -> a + v)"
+                )
+            )
+            * F.sqrt(
+                F.expr(
+                    f"aggregate(transform({cent_col}, s -> CAST(s AS DOUBLE)"
+                    " * CAST(s AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+                    " (a, v) -> a + v)"
+                )
+            )
+        )
+
+    p = (cos_to("ce") - cos_to("co") + F.lit(2)) / F.lit(4)
+    binned = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "y",
+        F.floor(p * 1000000 + F.lit(0.5)).cast("bigint").alias("pq"),
+    )
+    sq = (F.col("pq") - F.col("y") * 1000000) * (
+        F.col("pq") - F.col("y") * 1000000
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("pq").cast("bigint").alias("sum_pq"),
+        F.sum(sq).cast("bigint").alias("sq"),
+    ]
+    per_bin = binned.groupBy(
+        F.least(F.expr("pq div 100000"), F.lit(9)).cast("int").alias("bin")
+    ).agg(*aggs)
+    total = binned.groupBy().agg(*aggs).select(
+        F.lit(-1).cast("int").alias("bin"), "n", "n_pos", "sum_pq", "sq"
+    )
+    return per_bin.unionByName(total).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("sum_pq").cast("double") / F.col("n") / 1000000, 6)
+            .alias("conf"),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("acc"),
+        F.round(
+            F.abs(
+                F.col("n_pos").cast("double") / F.col("n")
+                - F.col("sum_pq").cast("double") / F.col("n") / 1000000
+            ),
+            6,
+        ).alias("gap"),
+        F.round(
+            F.col("sq").cast("double") / F.col("n") / 1000000000000, 6
+        ).alias("brier"),
     )
 
 

@@ -701,6 +701,41 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dau",
+    extra=True,
+    oracle="""
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING daily distinct actives — the live counterpart of
+    zx_sliding_dau's per-day leg and the dashboard's 'users' counter
+    (C3) held exactly per event-time day: a streaming HOLISTIC
+    aggregate (COUNT DISTINCT does not partial-merge as a count, so
+    the state is the per-day user set, exactly what the batch
+    first-appearance identity avoids). State is bounded by |users| x
+    |days| set entries; at production cardinalities the sketch tier
+    (zx_sliding_dau_hll's HLL union) replaces the exact set — this op
+    is the exact-spec anchor the sketch is audited against. Bounded
+    replay equals the batch per-day distinct count, so it
+    oracle-checks."""
+    src = file_events_stream(spark, sf_dir)
+    agg = (
+        src.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.collect_set("user_id").alias("us"))
+    )
+    return run_bounded(agg, output_mode="complete").select(
+        "day", F.size("us").cast("bigint").alias("dau")
+    )
+
+
+@register(
     "stream_agg_chain",
     extra=True,
     oracle="""

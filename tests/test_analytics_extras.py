@@ -329,16 +329,21 @@ def test_mmr_rerank_matches_python_reference(spark, sf_dir):
     rel = np.array([c[0] for c in cands])
     ids = np.array([c[1] for c in cands])
     V = np.stack([c[2] for c in cands])
-    N = np.array([c[3] for c in cands])
-    sims = (V @ V.T) / np.outer(N, N)
+    # the kernel's quantized-sim spec: integer micro-unit Gram, IEEE
+    # sqrt/divide — the discipline that makes the DuckDB oracle replay
+    # the greedy loop exactly
+    Q = np.floor(V * 1e6 + 0.5).astype(np.int64)
+    gram = Q @ Q.T
+    nq = np.sqrt(np.diag(gram).astype(np.float64))
+    sims = gram.astype(np.float64) / np.outer(nq, nq)
     max_sim = np.zeros(len(cands))
     sel, want = [], []
     for rank in range(10):
-        sc = 0.7 * rel - 0.3 * max_sim
+        sc = 0.7 * rel - (1 - 0.7) * max_sim
         sc[sel] = -np.inf
         best = int(np.lexsort((ids, -sc))[0])
         sel.append(best)
-        want.append((qid, rank + 1, int(ids[best]), round(float(sc[best]), 6)))
+        want.append((qid, rank + 1, int(ids[best]), float(sc[best])))
         max_sim = np.maximum(max_sim, sims[:, best])
     from pyspark.sql import functions as SF
 

@@ -923,7 +923,7 @@ def test_holt_winters_matches_reference(spark, sf_dir):
         full = list(range(min(cnt), max(cnt) + 1))
         ys = [float(cnt.get(d, 0)) for d in full]
         for h, v in enumerate(holt_winters_reference(ys), 1):
-            want[(et, h)] = round(v, 6)
+            want[(et, h)] = float(v)  # kernel emits unrounded (r9)
     assert got == want
     assert len(got) == len(series) * HW_HORIZON
 
@@ -1116,3 +1116,80 @@ def test_pca_power_matches_numpy_reference(spark, sf_dir):
     assert sorted(got) == sorted(expect)
     # top component explains a plausible share on the clustered corpus
     assert expect[0][4] > 0.01
+
+
+def test_wordpiece_train_matches_python_reference(spark, monkeypatch):
+    """The distributed WordPiece loop must reproduce the pure-python
+    likelihood-greedy trainer EXACTLY — merges, counts, scores, order,
+    tie-breaks. The corpus is chosen so the likelihood argmax picks a
+    DIFFERENT pair than BPE's raw-count argmax would (rare-unit pairs
+    score above frequent-unit pairs)."""
+    from eventstream_notify_spark.operators import text as tx
+
+    corpus = [
+        (1, "hello hello hello help zq zq"),
+        (2, "yellow mellow help hello zq"),
+        (3, "lull lull hull zqx"),
+    ]
+    d = docs(spark, corpus)
+    monkeypatch.setattr(tx, "table", lambda spark, sf_dir, name: d)
+    got = [
+        (r["round"], r.merge, r.pair_count, r.score)
+        for r in tx.llm_wordpiece_train(spark, "ignored").collect()
+    ]
+    words: dict = {}
+    import re
+
+    for _, t in corpus:
+        for w in re.findall(tx.TOKEN_RE, t.lower()):
+            if len(w) >= 2:
+                words[w] = words.get(w, 0) + 1
+    want = [
+        (r, tx._wp_merge_token(a, b), c, s)
+        for r, a, b, c, s in tx.wordpiece_reference_merges(
+            words, tx._WP_ROUNDS
+        )
+    ]
+    assert got == want
+
+
+def test_wordpiece_encode_matches_python_reference(spark, monkeypatch):
+    """Per-doc WordPiece token accounting == pure-python pipeline
+    (reference trainer -> greedy longest-match encode -> per-doc
+    sums); includes a word that hits the [UNK] whole-word rule (a
+    1-char word whose char never starts a trained word)."""
+    import re
+
+    from eventstream_notify_spark.operators import text as tx
+
+    corpus = [
+        (1, "hello hello hello help lo q"),
+        (2, "yellow mellow help hello shell"),
+        (3, "lull lull hull hell hello"),
+    ]
+    d = docs(spark, corpus)
+    monkeypatch.setattr(tx, "table", lambda spark, sf_dir, name: d)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.chars_per_token)
+        for r in tx.llm_wordpiece_encode(spark, "ignored").collect()
+    }
+    freqs: dict = {}
+    for _, t in corpus:
+        for w in re.findall(tx.TOKEN_RE, t.lower()):
+            if len(w) >= 2:
+                freqs[w] = freqs.get(w, 0) + 1
+    merges = tx.wordpiece_reference_merges(freqs, tx._WP_ROUNDS)
+    vocab = set()
+    for w in freqs:
+        vocab.update(tx.wordpiece_syms(w))
+    for _, a, b, _, _ in merges:
+        vocab.add(tx._wp_merge_token(a, b))
+    want = {}
+    for doc_id, t in corpus:
+        ws = re.findall(tx.TOKEN_RE, t.lower())
+        n_tok = sum(
+            len(tx.wordpiece_reference_encode(w, vocab)) for w in ws
+        )
+        n_chars = sum(len(w) for w in ws)
+        want[doc_id] = (len(ws), n_tok, round(n_chars / n_tok, 6))
+    assert got == want

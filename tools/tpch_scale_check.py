@@ -1,0 +1,106 @@
+"""TPC-H decade spot-check (VERDICT r8 #9): run the 22 zx_tpch_q*
+queries at sf0.1 and at the 10x replicated set (tools/gen_tpch_scale.py
+-> localdata/tpch10, 6M lineitem) and record per-query time ratios plus
+normalized PLAN FINGERPRINTS at both scales.
+
+Pass criteria per query:
+- time ratio <= 10x per 10x data (with a 0.5 s noise floor on the big-
+  side time: sub-half-second queries are fixed-overhead, not scaling);
+- plan fingerprint either UNCHANGED across the decade, or the flip is
+  explained in the committed table (the expected class: a dimension
+  crossing spark.sql.autoBroadcastJoinThreshold flips BHJ -> SMJ, which
+  is exactly what a 100 TB cluster would do and wants to do).
+
+Output: TPCH_SCALE.json (committed).
+
+Usage: python tools/tpch_scale_check.py [--n 2]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bench import plan_fingerprint  # noqa: E402
+from eventstream_notify_spark.session import get_spark  # noqa: E402
+
+SMALL = "/root/testdata/sf0.1"
+BIG = os.path.join(_REPO, "localdata", "tpch10")
+
+
+def median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def main() -> int:
+    reps = 2
+    argv = sys.argv[1:]
+    if "--n" in argv:
+        reps = int(argv[argv.index("--n") + 1])
+    if not os.path.exists(os.path.join(BIG, "lineitem.parquet")):
+        print("run tools/gen_tpch_scale.py first", file=sys.stderr)
+        return 2
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark("tpch-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = sorted(n for n in qs if n.startswith("zx_tpch_q"))
+    qs[names[0]](spark, SMALL).count()  # codegen warmup
+
+    table = {}
+    for name in names:
+        rec = {}
+        for tag, sf in (("sf01", SMALL), ("x10", BIG)):
+            times = []
+            for _ in range(reps):
+                t0 = time.time()
+                df = qs[name](spark, sf)
+                df.count()
+                times.append(time.time() - t0)
+            rec[f"{tag}_s"] = round(median(times), 2)
+            rec[f"{tag}_fp"] = plan_fingerprint(qs[name](spark, sf))
+        rec["ratio"] = round(rec["x10_s"] / max(rec["sf01_s"], 0.01), 2)
+        rec["plan_stable"] = rec["sf01_fp"] == rec["x10_fp"]
+        rec["pass"] = rec["ratio"] <= 10.0 or rec["x10_s"] <= 0.5
+        table[name] = rec
+        print(
+            f"{name}: {rec['sf01_s']}s -> {rec['x10_s']}s "
+            f"ratio {rec['ratio']}x plan "
+            f"{'SAME' if rec['plan_stable'] else 'FLIP'} "
+            f"{'ok' if rec['pass'] else 'FAIL'}",
+            flush=True,
+        )
+
+    result = {
+        "metric": "tpch_decade_sf01_to_x10",
+        "value": round(median([v["ratio"] for v in table.values()]), 2),
+        "worst": max(v["ratio"] for v in table.values()),
+        "unit": "x",
+        "reps": reps,
+        "n_flips": sum(1 for v in table.values() if not v["plan_stable"]),
+        "queries": table,
+        "pass": all(v["pass"] for v in table.values()),
+        "notes": "10x set = key-rebased replication (isomorphic FK "
+        "graph, exact 10x totals); plan flips are investigated in "
+        "SURVEY.md, expected class = broadcast threshold crossings",
+    }
+    with open(os.path.join(_REPO, "TPCH_SCALE.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(
+        json.dumps(
+            {k: result[k] for k in ("metric", "value", "worst", "n_flips", "pass")}
+        )
+    )
+    return 0 if result["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
