@@ -2646,13 +2646,18 @@ def markov_removal_effects(trans: dict) -> dict:
     the removal effect of each channel — recompute with the channel's
     outgoing mass redirected to NULL, the drop in conversion is the
     channel's causal credit (Anderl et al. 2014, the 'Markov chain
-    attribution' standard). Pure python on a <=7x7 dict matrix."""
+    attribution' standard). Pure python on a <=7x7 dict matrix.
+
+    Every float reduction iterates states in SORTED order (dict
+    insertion order would depend on the nondeterministic collect()
+    order of the transition counts) — defined order is what lets the
+    DuckDB oracle replay the absorption fixpoint bit-for-bit."""
     states = sorted({s for s, _ in trans} | {d for _, d in trans})
     channels = [s for s in states if s not in ("START", "CONV", "NULL")]
 
     def conv_prob(removed: str | None) -> float:
         # row-stochastic transition probs, with `removed`'s outgoing
-        # (and incoming) edges redirected to NULL
+        # edges dropped and incoming edges redirected to NULL
         probs: dict = {}
         for (s, d), n in trans.items():
             if s == removed:
@@ -2661,17 +2666,18 @@ def markov_removal_effects(trans: dict) -> dict:
             probs.setdefault(s, {})
             probs[s][d2] = probs[s].get(d2, 0) + n
         for s, outs in probs.items():
-            tot = sum(outs.values())
+            tot = sum(outs.values())  # int — order-free
             probs[s] = {d: n / tot for d, n in outs.items()}
         # iterate absorption: p[s] = P(absorb at CONV | at s)
         p = {s: 0.0 for s in probs}
         p["CONV"], p["NULL"] = 1.0, 0.0
         for _ in range(200):
             nxt = dict(p)
-            for s, outs in probs.items():
+            for s in sorted(probs):
+                outs = probs[s]
                 nxt[s] = sum(
-                    w * p.get(d, 1.0 if d == "CONV" else 0.0)
-                    for d, w in outs.items()
+                    outs[d] * p.get(d, 1.0 if d == "CONV" else 0.0)
+                    for d in sorted(outs)
                 )
             if max(abs(nxt[s] - p[s]) for s in p) < 1e-12:
                 p = nxt
@@ -2684,14 +2690,169 @@ def markov_removal_effects(trans: dict) -> dict:
         c: (base - conv_prob(c)) / base if base > 0 else 0.0
         for c in channels
     }
-    tot = sum(rem.values())
+    tot = sum(rem[c] for c in channels)  # sorted-order float fold
     return {
         c: (rem[c], rem[c] / tot if tot > 0 else 0.0, base)
         for c in channels
     }
 
 
-@register("attribution_markov", extra=True)  # rows-only: absorption iteration
+# The Markov absorption fixpoint replayed in DuckDB: the same journey
+# SQL builds the transition counts, then ONE recursive CTE runs every
+# removal experiment in parallel rows (channels + '__BASE__'), each
+# carrying its redirected row-stochastic matrix in the recursion
+# state. All literals CAST to DOUBLE (a bare 1.0 is DECIMAL and the
+# UNION ALL would quantize the probability vector every iteration);
+# list_reduce is a left fold over states in sorted order, matching
+# the kernel's sorted-iteration discipline.
+MARKOV_ORACLE = f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (
+          PARTITION BY user_id ORDER BY ts_us, event_id) AS sess_id
+      FROM (SELECT *, CASE WHEN prev_ts IS NULL
+                                OR ts_us - prev_ts > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT *, LAG(ts_us) OVER (
+                      PARTITION BY user_id ORDER BY ts_us, event_id
+                  ) AS prev_ts FROM ev))
+    ),
+    jour AS (
+      SELECT *, CASE WHEN event_type = 'purchase' THEN 'CONV'
+                     ELSE event_type END AS state
+      FROM (SELECT *, SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id, sess_id
+                      ORDER BY ts_us, event_id) AS purch_seen
+            FROM sess)
+      WHERE purch_seen = 0
+         OR (purch_seen = 1 AND event_type = 'purchase')
+    ),
+    tr AS (
+      SELECT COALESCE(LAG(state) OVER (
+                 PARTITION BY user_id, sess_id
+                 ORDER BY ts_us, event_id), 'START') AS src,
+             state AS dst
+      FROM jour
+      UNION ALL
+      SELECT s, 'NULL' FROM (
+        SELECT (list(state ORDER BY ts_us, event_id))[-1] AS s,
+               MAX(CASE WHEN state = 'CONV' THEN 1 ELSE 0 END) AS conv
+        FROM jour GROUP BY user_id, sess_id
+      ) WHERE conv = 0
+    ),
+    counts AS MATERIALIZED (
+      SELECT src, dst, COUNT(*) AS n FROM tr GROUP BY 1, 2
+    ),
+    states AS (
+      SELECT list_sort(list(DISTINCT x)) AS s FROM
+        (SELECT src AS x FROM counts UNION SELECT dst FROM counts)
+    ),
+    sidx AS (
+      SELECT UNNEST(s) AS name, UNNEST(range(1, len(s) + 1)) AS i
+      FROM states
+    ),
+    removes AS (
+      SELECT name AS removed FROM sidx
+      WHERE name NOT IN ('START', 'CONV', 'NULL')
+      UNION ALL SELECT '__BASE__'
+    ),
+    redir AS (
+      SELECT r.removed, c.src,
+             CASE WHEN c.dst = r.removed THEN 'NULL' ELSE c.dst END
+                 AS dst,
+             SUM(c.n) AS n
+      FROM counts c CROSS JOIN removes r
+      WHERE c.src != r.removed
+      GROUP BY 1, 2, 3
+    ),
+    rowtot AS (
+      SELECT removed, src, SUM(n) AS tot FROM redir GROUP BY 1, 2
+    ),
+    probs AS (
+      SELECT rd.removed, rd.src, rd.dst,
+             CAST(rd.n AS DOUBLE) / CAST(rt.tot AS DOUBLE) AS pr
+      FROM redir rd
+      JOIN rowtot rt ON rd.removed = rt.removed AND rd.src = rt.src
+    ),
+    mrows AS (
+      SELECT g.removed, si.i AS i,
+             list(COALESCE(p.pr, CAST(0.0 AS DOUBLE))
+                  ORDER BY sj.i) AS row,
+             MAX(CASE WHEN rt.src IS NOT NULL THEN 1 ELSE 0 END)
+                 AS is_src
+      FROM removes g
+      CROSS JOIN sidx si
+      CROSS JOIN sidx sj
+      LEFT JOIN probs p ON p.removed = g.removed
+                       AND p.src = si.name AND p.dst = sj.name
+      LEFT JOIN rowtot rt ON rt.removed = g.removed
+                         AND rt.src = si.name
+      GROUP BY 1, 2
+    ),
+    mats AS (
+      SELECT removed,
+             list(row ORDER BY i) AS M,
+             list(is_src ORDER BY i) AS mask,
+             len(list(row)) AS ns
+      FROM mrows GROUP BY removed
+    ),
+    itM AS (
+      SELECT m.removed, m.M, m.mask, m.ns, 0 AS it,
+             list_transform(st.s,
+                 x -> CASE WHEN x = 'CONV' THEN CAST(1.0 AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END) AS p,
+             FALSE AS done
+      FROM mats m, states st
+      UNION ALL
+      SELECT removed, M, mask, ns, it + 1,
+             t.nxt,
+             list_max(list_transform(range(1, ns + 1),
+                      i -> abs(t.nxt[i] - itM.p[i]))) < 1e-12
+      FROM itM,
+           LATERAL (SELECT list_transform(range(1, itM.ns + 1),
+                      i -> CASE WHEN itM.mask[i] = 1
+                           THEN list_reduce(
+                                  list_transform(range(1, itM.ns + 1),
+                                    j -> itM.M[i][j] * itM.p[j]),
+                                  (a, b) -> a + b)
+                           ELSE itM.p[i] END) AS nxt) t
+      WHERE it < 200 AND NOT done
+    ),
+    finals AS (
+      SELECT removed,
+             p[(SELECT i FROM sidx WHERE name = 'START')] AS cv
+      FROM (SELECT removed, p, ROW_NUMBER() OVER (
+                PARTITION BY removed ORDER BY it DESC) AS rn
+            FROM itM)
+      WHERE rn = 1
+    ),
+    base AS (SELECT cv AS b FROM finals WHERE removed = '__BASE__'),
+    eff AS (
+      SELECT f.removed AS channel,
+             CASE WHEN base.b > 0 THEN (base.b - f.cv) / base.b
+                  ELSE CAST(0.0 AS DOUBLE) END AS rem,
+             base.b AS b
+      FROM finals f, base WHERE f.removed != '__BASE__'
+    ),
+    tot AS (
+      SELECT list_reduce(list(rem ORDER BY channel),
+                         (a, b) -> a + b) AS t
+      FROM eff
+    )
+    SELECT e.channel,
+           ROUND(e.rem, 6) AS removal_effect,
+           CASE WHEN tot.t > 0 THEN ROUND(e.rem / tot.t, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS attribution_share,
+           ROUND(e.b, 6) AS base_cvr
+    FROM eff e, tot
+    """
+
+
+@register("attribution_markov", extra=True, oracle=MARKOV_ORACLE)
 def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TOUCH ATTRIBUTION by Markov-chain removal effects — the
     data-driven answer to zx_attribution_last_touch's heuristic:
@@ -2704,10 +2865,13 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~7 states), the canonical distributed-count / driver-solve split.
     Emits (channel, removal_effect, attribution_share, base_cvr).
 
-    Rows-only: the absorption fixpoint is iterative; the math is
-    pinned by a hand-computable constructed-corpus unit test (a
-    corpus where one channel provably carries all conversions must
-    attribute 1.0 removal to it)."""
+    Oracle-paired (was rows-only): the kernel's sorted-order float
+    folds make the absorption fixpoint replayable — one DuckDB
+    recursive CTE runs all removal experiments as parallel rows, each
+    carrying its redirected transition matrix in the recursion state.
+    The math is additionally pinned by a hand-computable constructed-
+    corpus unit test (a corpus where one channel provably carries all
+    conversions must attribute 1.0 removal to it)."""
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",

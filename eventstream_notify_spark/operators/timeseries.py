@@ -30,7 +30,81 @@ MIN_OVERLAP = 10  # days both series must share
 DTW_CANDIDATES = 10  # cheap-distance survivors per anchor that get warped
 
 
-@register("ts_similarity_dtw", extra=True)  # rows-only: DTW is a Python kernel
+_DTW_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               SUM(value) / COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT user_id, day,
+               (v - AVG(v) OVER (PARTITION BY user_id))
+               / stddev_samp(v) OVER (PARTITION BY user_id) AS zv
+        FROM daily
+    ),
+    cheap AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               COUNT(*) AS n_common_days,
+               ROUND(sqrt(SUM((a.zv - b.zv) * (a.zv - b.zv)) / COUNT(*)),
+                     6) AS znorm_dist
+        FROM z a JOIN z b ON a.day = b.day AND a.user_id < b.user_id
+        WHERE a.user_id % {ANCHOR_MOD} = 0
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_OVERLAP}
+    ),
+    cand AS (
+        SELECT user_a, user_b, znorm_dist
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_a
+                  ORDER BY znorm_dist, user_b) AS rn FROM cheap)
+        WHERE rn <= {DTW_CANDIDATES}
+    ),
+    series AS (
+        SELECT user_id, list(v ORDER BY day) AS s
+        FROM daily GROUP BY user_id
+    ),
+    p AS (
+        SELECT c.user_a, c.user_b, c.znorm_dist,
+               sa.s AS av, sb.s AS bv, len(sa.s) AS n, len(sb.s) AS m
+        FROM cand c
+        JOIN series sa ON c.user_a = sa.user_id
+        JOIN series sb ON c.user_b = sb.user_id
+    ),
+    -- DTW DP replayed over ANTI-DIAGONALS: every cell of diagonal k
+    -- depends only on diagonals k-1 (up/left) and k-2 (diag), so one
+    -- recursion step advances every pair one diagonal. Diagonals are
+    -- fixed-length-n lists indexed by i+1 (cell (i, k-i)), inf
+    -- outside the valid range — identical d + min(up,left,diag)
+    -- float64 recurrence, identical op order as the numpy kernel.
+    dp AS (
+        SELECT user_a, user_b, znorm_dist, av, bv, n, m, 0 AS k,
+               list_transform(range(1, n + 1), ii ->
+                   CASE WHEN ii = 1 THEN abs(av[1] - bv[1])
+                        ELSE 'infinity'::DOUBLE END) AS cur,
+               list_transform(range(1, n + 1),
+                              ii -> 'infinity'::DOUBLE) AS prv
+        FROM p
+        UNION ALL
+        SELECT user_a, user_b, znorm_dist, av, bv, n, m, k + 1,
+               list_transform(range(1, n + 1), ii ->
+                   CASE WHEN ii - 1 BETWEEN greatest(0, k + 1 - m + 1)
+                                        AND least(n - 1, k + 1)
+                        THEN abs(av[ii] - bv[k + 1 - (ii - 1) + 1])
+                             + least(
+                                 coalesce(cur[ii - 1],
+                                          'infinity'::DOUBLE),
+                                 coalesce(cur[ii], 'infinity'::DOUBLE),
+                                 coalesce(prv[ii - 1],
+                                          'infinity'::DOUBLE))
+                        ELSE 'infinity'::DOUBLE END),
+               cur
+        FROM dp WHERE k < n + m - 2
+    )
+    SELECT user_a, user_b, znorm_dist, ROUND(cur[n], 6) AS dtw_dist
+    FROM dp WHERE k = n + m - 2
+    """
+
+
+@register("ts_similarity_dtw", extra=True, oracle=_DTW_ORACLE)
 def ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 (warping variant) — DTW between per-user daily series, with
     the production two-phase shape: the cheap declarative z-norm
@@ -39,7 +113,12 @@ def ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the LB-prune-then-warp pattern of the time-series literature).
     The Python stage therefore runs anchors·K pairs, not anchors·N —
     at 100 TB the kernel cost is governed by K, never corpus size.
-    Rows-only by design."""
+
+    Oracle-paired (was rows-only): the DP is pure abs/+/min float64 —
+    no transcendentals, no order-dependent reductions — so a DuckDB
+    recursive CTE sweeping ANTI-DIAGONALS (cells of diagonal k depend
+    only on k-1 and k-2; all cells of one diagonal are independent)
+    replays the numpy kernel bit-for-bit."""
     from eventstream_notify_spark.functions.udfs import dtw_distance
 
     # The daily aggregation appears in BOTH the cheap prune and the

@@ -3416,48 +3416,207 @@ def pca_power_components(
     s: "object", m: "object", n: int
 ) -> list[tuple[int, int, float, float, float]]:
     """Driver-side half of the PCA: covariance from EXACT integer
-    moments (S = sum q q^T, m = sum q, n rows; q = round(v*SCALE)),
+    moments (S = sum q q^T, m = sum q, n rows; q = floor(v*SCALE+.5)),
     then power iteration with deflation for the top components.
     Deterministic end to end: fixed start vector, fixed iteration
     count, sign fixed by the largest-|loading| coordinate. Shared by
-    the Spark operator and its numpy twin test. Returns rows
-    (component, dim, loading, eigenvalue, explained_ratio)."""
-    import numpy as np
+    the Spark operator and its numpy twin test.
 
-    sf = np.asarray(s, dtype=np.float64)
-    mf = np.asarray(m, dtype=np.float64)
-    cov = sf / n - np.outer(mf, mf) / (float(n) * n)
-    cov /= float(PCA_SCALE) ** 2  # back to raw units
-    d = cov.shape[0]
-    trace = float(np.trace(cov))
+    Every reduction is an explicit LEFT-TO-RIGHT float64 fold (no
+    BLAS): BLAS matvec/dot pick unspecified summation orders, and the
+    DuckDB oracle replays this kernel op-for-op with list_reduce —
+    defined order is what makes the iterative solver SQL-checkable.
+    Returns rows (component, dim, loading, eigenvalue,
+    explained_ratio)."""
+    import math
+
+    d = len(m)
+    nd = float(n)
+    scale2 = float(PCA_SCALE) ** 2
+    cov = [
+        [
+            ((float(s[i][j]) / nd) - (float(m[i]) * float(m[j])) / (nd * nd))
+            / scale2
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+
+    def mv(mat: list[list[float]], vec: list[float]) -> list[float]:
+        out = []
+        for i in range(d):
+            acc = mat[i][0] * vec[0]
+            for j in range(1, d):
+                acc = acc + mat[i][j] * vec[j]
+            out.append(acc)
+        return out
+
+    trace = cov[0][0]
+    for i in range(1, d):
+        trace = trace + cov[i][i]
     rows: list[tuple[int, int, float, float, float]] = []
-    work = cov.copy()
+    work = [row[:] for row in cov]
     for comp in range(PCA_COMPONENTS):
-        v = np.ones(d) / np.sqrt(d)
+        v = [1.0 / math.sqrt(float(d))] * d
         for _ in range(PCA_ITERS):
-            v = work @ v
-            nv = float(np.linalg.norm(v))
+            w = mv(work, v)
+            acc = w[0] * w[0]
+            for i in range(1, d):
+                acc = acc + w[i] * w[i]
+            nv = math.sqrt(acc)
             if nv == 0.0:
                 break
-            v = v / nv
-        lam = float(v @ work @ v)
-        if v[int(np.argmax(np.abs(v)))] < 0:
-            v = -v
+            v = [x / nv for x in w]
+        t = mv(work, v)
+        lam = v[0] * t[0]
+        for i in range(1, d):
+            lam = lam + v[i] * t[i]
+        absv = [abs(x) for x in v]
+        if v[absv.index(max(absv))] < 0:
+            v = [-x for x in v]
         for dim in range(d):
             rows.append(
                 (
                     comp + 1,
                     dim,
-                    round(float(v[dim]), 6),
+                    round(v[dim], 6),
                     round(lam, 6),
                     round(lam / trace, 6) if trace > 0 else 0.0,
                 )
             )
-        work = work - lam * np.outer(v, v)
+        work = [
+            [work[i][j] - lam * (v[i] * v[j]) for j in range(d)]
+            for i in range(d)
+        ]
     return rows
 
 
-@register("vec_pca_power", extra=True)  # rows-only: iterative solver
+# The power iteration replayed in DuckDB: covariance from the same
+# exact integer moments, then two 100-step recursions (one per
+# component). The work matrix W rides INSIDE the recursion state —
+# a CTE referenced from the recursive arm would be re-evaluated
+# (re-aggregated) on every iteration. list_reduce is a left fold,
+# matching the kernel's explicit left-to-right accumulation.
+PCA_ORACLE = f"""
+    WITH RECURSIVE qr AS (
+      SELECT list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {PCA_SCALE} + 0.5)
+                       AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    idx AS (SELECT UNNEST(range(1,
+                (SELECT len(q) FROM qr LIMIT 1) + 1)) AS i),
+    nrow AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM qr),
+    mvec AS (
+      SELECT i.i AS i, CAST(SUM(q[i.i]) AS DOUBLE) AS mi
+      FROM qr, idx i GROUP BY 1
+    ),
+    cells AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(q[a.i] * q[b.i]) AS DOUBLE) AS s
+      FROM qr, idx a, idx b GROUP BY 1, 2
+    ),
+    covm AS (
+      SELECT list(r ORDER BY i) AS W, len(list(r)) AS d
+      FROM (
+        SELECT c.i AS i,
+               list(((c.s / n.nd) - (ma.mi * mb.mi) / (n.nd * n.nd))
+                    / {float(PCA_SCALE) ** 2!r} ORDER BY c.j) AS r
+        FROM cells c
+        JOIN mvec ma ON c.i = ma.i
+        JOIN mvec mb ON c.j = mb.i
+        CROSS JOIN nrow n
+        GROUP BY c.i
+      )
+    ),
+    it1 AS (
+      SELECT 0 AS it, W, d,
+             list_transform(range(1, d + 1),
+                            x -> 1.0 / sqrt(CAST(d AS DOUBLE))) AS v
+      FROM covm
+      UNION ALL
+      SELECT it + 1, W, d,
+             (SELECT list_transform(t.w, x -> x / sqrt(list_reduce(
+                        list_transform(t.w, y -> y * y), (a, b) -> a + b)))
+              FROM (SELECT list_transform(range(1, it1.d + 1),
+                      i -> list_reduce(list_transform(range(1, it1.d + 1),
+                             j -> it1.W[i][j] * it1.v[j]),
+                           (a, b) -> a + b)) AS w) t)
+      FROM it1 WHERE it < {PCA_ITERS}
+    ),
+    lam1 AS (
+      SELECT f.v AS v, f.W AS W, f.d AS d,
+             (SELECT list_reduce(list_transform(range(1, f.d + 1),
+                       i -> f.v[i] * t.tv[i]), (a, b) -> a + b)
+              FROM (SELECT list_transform(range(1, f.d + 1),
+                      i -> list_reduce(list_transform(range(1, f.d + 1),
+                             j -> f.W[i][j] * f.v[j]),
+                           (a, b) -> a + b)) AS tv) t) AS lam
+      FROM (SELECT * FROM it1 WHERE it = {PCA_ITERS}) f
+    ),
+    sv1 AS (
+      SELECT CASE WHEN v[list_position(list_transform(v, x -> abs(x)),
+                         list_max(list_transform(v, x -> abs(x))))] < 0
+                  THEN list_transform(v, x -> -x) ELSE v END AS v,
+             lam,
+             list_transform(range(1, d + 1),
+               i -> list_transform(range(1, d + 1),
+                      j -> W[i][j] - lam * (v[i] * v[j]))) AS W2,
+             d
+      FROM lam1
+    ),
+    it2 AS (
+      SELECT 0 AS it, W2 AS W, d,
+             list_transform(range(1, d + 1),
+                            x -> 1.0 / sqrt(CAST(d AS DOUBLE))) AS v
+      FROM sv1
+      UNION ALL
+      SELECT it + 1, W, d,
+             (SELECT list_transform(t.w, x -> x / sqrt(list_reduce(
+                        list_transform(t.w, y -> y * y), (a, b) -> a + b)))
+              FROM (SELECT list_transform(range(1, it2.d + 1),
+                      i -> list_reduce(list_transform(range(1, it2.d + 1),
+                             j -> it2.W[i][j] * it2.v[j]),
+                           (a, b) -> a + b)) AS w) t)
+      FROM it2 WHERE it < {PCA_ITERS}
+    ),
+    lam2 AS (
+      SELECT f.v AS v, f.d AS d,
+             (SELECT list_reduce(list_transform(range(1, f.d + 1),
+                       i -> f.v[i] * t.tv[i]), (a, b) -> a + b)
+              FROM (SELECT list_transform(range(1, f.d + 1),
+                      i -> list_reduce(list_transform(range(1, f.d + 1),
+                             j -> f.W[i][j] * f.v[j]),
+                           (a, b) -> a + b)) AS tv) t) AS lam
+      FROM (SELECT * FROM it2 WHERE it = {PCA_ITERS}) f
+    ),
+    sv2 AS (
+      SELECT CASE WHEN v[list_position(list_transform(v, x -> abs(x)),
+                         list_max(list_transform(v, x -> abs(x))))] < 0
+                  THEN list_transform(v, x -> -x) ELSE v END AS v,
+             lam
+      FROM lam2
+    ),
+    tr AS (
+      SELECT list_reduce(list_transform(range(1, d + 1), i -> W[i][i]),
+                         (a, b) -> a + b) AS trace
+      FROM covm
+    ),
+    comps AS (
+      SELECT 1 AS component, v, lam FROM sv1
+      UNION ALL
+      SELECT 2 AS component, v, lam FROM sv2
+    )
+    SELECT c.component,
+           CAST(i.i - 1 AS INTEGER) AS dim,
+           ROUND(c.v[i.i], 6) AS loading,
+           ROUND(c.lam, 6) AS eigenvalue,
+           CASE WHEN t.trace > 0 THEN ROUND(c.lam / t.trace, 6)
+                ELSE 0.0 END AS explained_ratio
+    FROM comps c, idx i, tr t
+    """
+
+
+@register("vec_pca_power", extra=True, oracle=PCA_ORACLE)
 def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED PCA over the embedding corpus — the linear-algebra
     member of the vectors family (whitening / decorrelation /
@@ -3473,9 +3632,11 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical under any partitioning. The 64x64 eigenproblem then
     solves on the driver (fixed start, 100 iterations, deterministic
     sign) — at ANY corpus size the driver sees d^2 integers, never
-    rows. Rows-only by design (an iterative solver is not one SQL
-    query); pinned EXACTLY by a numpy twin recomputing the moments
-    single-node.
+    rows. Oracle-paired (was rows-only): the driver kernel uses
+    explicit left-to-right float64 folds instead of BLAS, so a DuckDB
+    recursive CTE carrying the work matrix in its state replays all
+    200 power-iteration steps bit-for-bit; also pinned EXACTLY by a
+    numpy twin recomputing the moments single-node.
 
     Reference scope: beyond-reference extension (embedding analytics
     family)."""
@@ -3490,7 +3651,10 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = 0
         for pdf in batches:
             vs = np.stack(pdf["embedding"].values).astype(np.float64)
-            q = np.rint(vs * PCA_SCALE).astype(np.int64)
+            # floor(x+0.5), not rint: rint rounds half-to-even, which
+            # no SQL engine exposes — half-up keeps the quantization
+            # replayable in the DuckDB oracle
+            q = np.floor(vs * PCA_SCALE + 0.5).astype(np.int64)
             s = q.T @ q if s is None else s + q.T @ q
             m = q.sum(axis=0) if m is None else m + q.sum(axis=0)
             n += len(q)

@@ -1106,7 +1106,7 @@ def test_pca_power_matches_numpy_reference(spark, sf_dir):
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
     )
     vs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    q = np.rint(vs * PCA_SCALE).astype(np.int64)
+    q = np.floor(vs * PCA_SCALE + 0.5).astype(np.int64)
     expect = pca_power_components(q.T @ q, q.sum(axis=0), len(q))
 
     got = [

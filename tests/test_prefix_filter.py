@@ -77,8 +77,15 @@ def test_profiling_is_one_action(spark, sf_dir):
     consumes it. A third execution would mean the token-set pipeline
     or the profile runs twice."""
     store = spark._jsparkSession.sharedState().statusStore()
+    # executionsCount is fed by the ASYNC listener bus: queued events
+    # from earlier tests in the session otherwise bleed into this
+    # window and flake the delta (seen once under full-suite load) —
+    # drain the bus on both sides of the measurement.
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    bus.waitUntilEmpty()
     before = store.executionsCount()
     dedup_near(spark, sf_dir)  # builds the plan => runs profiling only
+    bus.waitUntilEmpty()
     ran = store.executionsCount() - before
     assert ran == 2, f"strategy choice ran {ran} SQL executions, want 2"
 
