@@ -4732,3 +4732,112 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").cast("bigint").alias("bin_bytes"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+# ------------------------------------------- approximate query processing
+
+AQP_MOD = 64  # deterministic Bernoulli rate = 1/64
+
+
+@register(
+    "aqp_sample_estimate",
+    extra=True,
+    oracle=f"""
+    WITH li AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS cents,
+               CAST(CAST(('0x' || substring(
+                   md5('aqp:' || CAST(l_orderkey AS STRING) || ':'
+                       || CAST(l_linenumber AS STRING)),
+                   1, 15)) AS UBIGINT) % {AQP_MOD} AS BIGINT) AS bucket
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)
+                * {AQP_MOD} AS BIGINT) AS n_est,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents_exact,
+           CAST(SUM(CASE WHEN bucket = 0 THEN cents ELSE 0 END)
+                * {AQP_MOD} AS BIGINT) AS sum_cents_est,
+           CAST(ABS(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)
+                    * {AQP_MOD} - COUNT(*)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS rel_err_n,
+           CAST(ABS(SUM(CASE WHEN bucket = 0 THEN cents ELSE 0 END)
+                    * {AQP_MOD} - SUM(cents)) AS DOUBLE)
+               / CAST(SUM(cents) AS DOUBLE) AS rel_err_sum
+    FROM li GROUP BY l_returnflag
+    """,
+)
+def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE QUERY PROCESSING audit: per-group COUNT/SUM
+    estimated from a deterministic 1/64 Bernoulli sample
+    (md5-keyed on the row identity — the BlinkDB/uniform-sample
+    estimator, Horvitz-Thompson scaled by the inverse rate), emitted
+    SIDE BY SIDE with the exact answers and the measured relative
+    errors. This is the go/no-go table before trusting sampled
+    dashboards at 100 TB: on a cluster the sample predicate pushes to
+    the scan (or the sample is materialized once) and the estimate
+    reads 1/64 of the data; the exact pass exists here to
+    measure the error the estimator actually commits.
+
+    Cross-engine exact: the sample is a deterministic md5 bucket
+    (no RNG), money is DECIMAL(12,2)->integer cents, estimates are
+    integer multiplications, and the error ratios are single IEEE
+    divisions of exact integers.
+
+    Reference scope: beyond-reference extension (analytics family).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("aqp:"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % AQP_MOD
+    )
+    rows = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        bucket.alias("bucket"),
+    )
+    in_smp = (F.col("bucket") == 0).cast("bigint")
+    agg = rows.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_exact"),
+        (F.sum(in_smp) * AQP_MOD).cast("bigint").alias("n_est"),
+        F.sum("cents").cast("bigint").alias("sum_cents_exact"),
+        (F.sum(in_smp * F.col("cents")) * AQP_MOD)
+        .cast("bigint")
+        .alias("sum_cents_est"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_exact",
+        "n_est",
+        "sum_cents_exact",
+        "sum_cents_est",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact")).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err_n"),
+        (
+            F.abs(F.col("sum_cents_est") - F.col("sum_cents_exact")).cast(
+                "double"
+            )
+            / F.col("sum_cents_exact").cast("double")
+        ).alias("rel_err_sum"),
+    )

@@ -1157,3 +1157,139 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk"),
         F.min("diversity").cast("bigint").alias("min_diversity"),
     )
+
+
+# ----------------------------------------- span corruption (T5-style)
+
+SPAN_BLOCK = 8  # token block size; one candidate span per block
+SPAN_PICK_MOD = 3  # corrupt every block where hash % 3 == 0 (~1/3)
+
+
+@register(
+    "llm_span_corruption",
+    extra=True,
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS tk,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n
+        FROM documents WHERE len(trim(text)) > 0
+    ),
+    blocks AS (
+        SELECT doc_id, tk, n, UNNEST(range(0, (n - 1) // {SPAN_BLOCK} + 1))
+                   AS b
+        FROM toks
+    ),
+    drawn AS (
+        SELECT doc_id, tk, n, b,
+               CAST(CAST(('0x' || substring(
+                   md5('sc:' || CAST(doc_id AS STRING) || ':'
+                       || CAST(b AS STRING)), 1, 15)) AS UBIGINT)
+                   AS BIGINT) AS h
+        FROM blocks
+    ),
+    spans AS (
+        SELECT doc_id, CAST(b AS BIGINT) AS mask_id,
+               CAST(b * {SPAN_BLOCK} + (h // {SPAN_PICK_MOD}) % 4 + 1
+                    AS BIGINT) AS span_start,
+               CAST(1 + (h // 12) % 4 AS BIGINT) AS span_len,
+               tk, n
+        FROM drawn WHERE h % {SPAN_PICK_MOD} = 0
+    )
+    SELECT doc_id, mask_id, span_start, span_len,
+           array_to_string(list_transform(
+               range(span_start, span_start + span_len),
+               i -> tk[CAST(i AS INTEGER)]), ' ') AS span_text
+    FROM spans
+    WHERE span_start + span_len - 1 <= n
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION MASK PLAN (the T5/UL2 denoising objective's
+    data prep): pick non-overlapping token spans to mask per document
+    and emit (doc_id, mask_id, span_start, span_len, span_text) — the
+    table a pretraining pipeline joins back to build inputs/targets
+    with sentinel tokens.
+
+    Determinism + non-overlap BY CONSTRUCTION (no RNG, no sequential
+    scan): token positions partition into {SPAN_BLOCK}-token blocks;
+    an md5 draw per (doc, block) decides whether the block is
+    corrupted (~1/{SPAN_PICK_MOD} of blocks), the span offset within
+    the block (0-3) and the span length (1-4) — offset + length never
+    cross the block boundary, so spans cannot overlap and every
+    worker computes the identical plan with zero coordination. Mask
+    rate ~ 2.5/({SPAN_BLOCK}*{SPAN_PICK_MOD}) ~ 10% of tokens, the
+    T5 neighborhood.
+
+    Scale: embarrassingly parallel per doc (one explode over blocks,
+    no shuffle at all until a consumer groups); the draw is a hash of
+    (doc_id, block) — stable under any repartitioning, reshard, or
+    retry, which is exactly why RNG-based masking is the wrong tool
+    on a 1000-executor corpus.
+
+    Reference scope: beyond-reference extension (LLM-training-data
+    family)."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("tk"),
+    ).withColumn("n", F.size("tk"))
+    blocks = toks.select(
+        "doc_id",
+        "tk",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"(n - 1) div {SPAN_BLOCK}"))
+        ).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("sc:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    drawn = blocks.withColumn("h", h).filter(
+        F.col("h") % SPAN_PICK_MOD == 0
+    )
+    spans = drawn.select(
+        "doc_id",
+        F.col("b").cast("bigint").alias("mask_id"),
+        (
+            F.col("b") * SPAN_BLOCK
+            + F.expr(f"(h div {SPAN_PICK_MOD}) % 4")
+            + 1
+        )
+        .cast("bigint")
+        .alias("span_start"),
+        (1 + F.expr("(h div 12) % 4")).cast("bigint").alias("span_len"),
+        "tk",
+        "n",
+    )
+    return spans.filter(
+        F.col("span_start") + F.col("span_len") - 1 <= F.col("n")
+    ).select(
+        "doc_id",
+        "mask_id",
+        "span_start",
+        "span_len",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "tk",
+                F.col("span_start").cast("int"),
+                F.col("span_len").cast("int"),
+            ),
+        ).alias("span_text"),
+    )

@@ -347,7 +347,14 @@ def feature_extract_batches(batches: Iterator) -> Iterator:
     """mapInPandas kernel doing REAL byte-level numeric work on the
     binary column (numpy over the raw buffer — exactly what a
     lightweight media featurizer does before the expensive decode):
-    mean/std/cardinality of the byte distribution per blob."""
+    mean/std/cardinality of the byte distribution per blob.
+
+    mean/std derive from EXACT integer moments (sum, sum of squares —
+    byte totals stay far under 2^53) with a defined final op order
+    (m = s/n; v = ssq/n - m*m), not np.mean/np.std's pairwise float
+    reductions — which makes the statistics bit-replayable in SQL."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -355,12 +362,27 @@ def feature_extract_batches(batches: Iterator) -> Iterator:
         recs = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if b.size:
+                n = int(b.size)
+                s = int(b.sum(dtype=np.int64))
+                ssq = int((b.astype(np.int64) ** 2).sum())
+                nd = float(n)
+                # emitted UNROUNDED: both sides compute the identical
+                # IEEE ops from the same exact integers, so the
+                # doubles are bit-equal — rounding would only add a
+                # half-even-vs-half-away hazard (n=384 byte blobs DO
+                # land means on exact 1e-6 midpoints)
+                mean = s / nd
+                v = max(ssq / nd - mean * mean, 0.0)
+                std = math.sqrt(v)
+            else:
+                mean = std = None
             recs.append(
                 (
                     doc_id,
                     int(b.size),
-                    round(float(b.mean()), 6) if b.size else None,
-                    round(float(b.std()), 6) if b.size else None,
+                    mean,
+                    std,
                     int(np.unique(b).size),
                 )
             )
@@ -373,12 +395,41 @@ def feature_extract_batches(batches: Iterator) -> Iterator:
         )
 
 
-@register("mm_feature_extract", extra=True)  # rows-only: byte-level numpy kernel
+@register(
+    "mm_feature_extract",
+    extra=True,
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unicode(c) AS b
+        FROM (SELECT doc_id, UNNEST(split(text, '')) AS c
+              FROM documents WHERE len(text) > 0)
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n, SUM(b) AS s, SUM(b * b) AS ssq,
+               COUNT(DISTINCT b) AS dv
+        FROM ch GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS byte_mean,
+           sqrt(greatest(
+               CAST(a.ssq AS DOUBLE) / CAST(a.n AS DOUBLE)
+               - (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+                 * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)),
+               CAST(0.0 AS DOUBLE))) AS byte_std,
+           CAST(COALESCE(a.dv, 0) AS INTEGER) AS distinct_bytes
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over the binary column — numpy statistics on
-    the raw bytes via Arrow batches. Rows-only (no SQL engine computes
-    byte-buffer statistics); exactness vs a pure-Python reference is
-    pinned in tests."""
+    the raw bytes via Arrow batches. Oracle-paired (was rows-only):
+    the kernel computes mean/std from exact integer byte moments with
+    a defined final op order, so SQL replays them bit-for-bit over the
+    UTF-8 codepoints (the payload IS the text bytes, and the corpus is
+    ASCII — the same identity mm_dedup_phash's oracle rests on);
+    exactness vs a pure-Python reference is additionally pinned in
+    tests."""
     d = table(spark, sf_dir, "documents")
     media = with_media_column(d)
     return media.select("doc_id", "payload").mapInPandas(

@@ -2887,6 +2887,174 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
+LINKPRED_TOPK = 5
+RA_MICRO = 10**12  # integer micro-units for the resource-allocation score
+
+
+@register(
+    "graph_link_prediction",
+    extra=True,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    adj AS (
+        SELECT doc_a AS w, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY w),
+    wedge AS (
+        SELECT l.v AS a, r.v AS b, l.w AS w
+        FROM adj l JOIN adj r ON l.w = r.w AND l.v < r.v
+    ),
+    nonedge AS (
+        SELECT wg.a, wg.b, wg.w FROM wedge wg
+        LEFT JOIN pairs p ON p.doc_a = wg.a AND p.doc_b = wg.b
+        WHERE p.doc_a IS NULL
+    ),
+    scored AS (
+        SELECT n.a AS doc_a, n.b AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM({RA_MICRO} // d.d) AS BIGINT) AS ra_micro
+        FROM nonedge n JOIN deg d ON n.w = d.w
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common_neighbors, ra_micro
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+              ORDER BY ra_micro DESC, common_neighbors DESC, doc_b) AS rn
+          FROM scored)
+    WHERE rn <= {LINKPRED_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the exact near-dup graph: for every
+    non-adjacent doc pair at distance 2, the common-neighbor count and
+    the resource-allocation index (Zhou/Lü/Zhang 2009 — each common
+    neighbor w contributes 1/deg(w), so evidence through promiscuous
+    hubs is discounted); top-{LINKPRED_TOPK} predicted partners per
+    doc. The 'which near-dups did the threshold just miss' review
+    queue of a dedup pipeline.
+
+    Two determinism/scale moves:
+    - The RA score is INTEGER micro-units (sum of 10^12 div deg(w)) —
+      integer sums are order-free, so class compression below cannot
+      perturb a float fold and the oracle hash-matches exactly.
+    - CLASS COMPRESSION (the graph_triangles discipline): Jaccard
+      depends only on the token set, so identical-set classes have
+      uniform adjacency, every (a in X, b in Z) pair of a class pair
+      shares the same score, and wedges enumerate on the CLASS graph
+      (hundreds of rows) instead of the doc graph (the hot clique that
+      makes doc-level wedge joins quadratic). Doc pairs expand once at
+      the end, then a per-doc window takes the top-K.
+    """
+    e = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents")
+    cmap = d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tokens_col())).alias("toks"),
+    ).filter(F.size("toks") >= 1).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "toks")).alias("ck"),
+    )
+    sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
+    tagged = e.join(
+        F.broadcast(
+            cmap.select(F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca"))
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            cmap.select(F.col("doc_id").alias("doc_b"), F.col("ck").alias("cb"))
+        ),
+        "doc_b",
+    )
+    ce = (
+        tagged.filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("x"), F.greatest("ca", "cb").alias("y")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    und = ce.union(ce.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    # per-class doc degree (uniform inside a class):
+    # deg_Y = (|Y| - 1) + sum of adjacent class sizes
+    szy = F.broadcast(
+        sizes.select(F.col("ck").alias("y"), F.col("s").alias("sy"))
+    )
+    degc = (
+        und.join(szy, "y")
+        .groupBy("x")
+        .agg(F.sum("sy").alias("ext"))
+        .join(sizes.select(F.col("ck").alias("x"), "s"), "x")
+        .select(
+            F.col("x").alias("ck"),
+            (F.col("s") - 1 + F.col("ext")).alias("degc"),
+        )
+    )
+    # class wedges X -Y- Z (X < Z), minus adjacent class pairs
+    ua = und.select(F.col("x").alias("yk"), F.col("y").alias("cx"))
+    ub = und.select(F.col("x").alias("yk"), F.col("y").alias("cz"))
+    cls_cand = (
+        ua.join(ub, "yk")
+        .filter(F.col("cx") < F.col("cz"))
+        .join(
+            ce.select(F.col("x").alias("cx"), F.col("y").alias("cz")),
+            ["cx", "cz"],
+            "left_anti",
+        )
+    )
+    scored_cls = (
+        cls_cand.join(
+            F.broadcast(
+                degc.select(F.col("ck").alias("yk"), "degc")
+            ),
+            "yk",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("ck").alias("yk"), "s")), "yk"
+        )
+        .groupBy("cx", "cz")
+        .agg(
+            F.sum("s").alias("common_neighbors"),
+            F.sum(
+                F.col("s") * F.expr(f"{RA_MICRO}L div degc")
+            ).alias("ra_micro"),
+        )
+    )
+    members = cmap.groupBy("ck").agg(F.collect_list("doc_id").alias("docs"))
+    mx = members.select(F.col("ck").alias("cx"), F.col("docs").alias("dx"))
+    mz = members.select(F.col("ck").alias("cz"), F.col("docs").alias("dz"))
+    pairs = (
+        scored_cls.join(mx, "cx")
+        .join(mz, "cz")
+        .select(
+            "common_neighbors",
+            "ra_micro",
+            F.explode("dx").alias("da"),
+            "dz",
+        )
+        .select(
+            "common_neighbors",
+            "ra_micro",
+            "da",
+            F.explode("dz").alias("db"),
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "common_neighbors",
+            "ra_micro",
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("ra_micro").desc(), F.col("common_neighbors").desc(), "doc_b"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LINKPRED_TOPK)
+        .select("doc_a", "doc_b", "common_neighbors", "ra_micro")
+    )
+
+
 VOCAB_TOP_K = 16
 
 

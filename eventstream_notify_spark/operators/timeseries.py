@@ -303,6 +303,144 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+AR1_SCALE = 1000  # fixed-point quantum for the regression moments
+AR1_MIN_DAYS = 10  # minimum (prev, cur) pairs to fit a user
+
+
+@register(
+    "ts_ar1_forecast",
+    extra=True,
+    oracle=f"""
+    WITH daily AS (
+        -- quantize each EVENT value first (floor of a raw double is
+        -- deterministic), then integer-divide the exact sums: a floor
+        -- over a summed double would be partition-order sensitive
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               SUM(CAST(FLOOR(value * {AR1_SCALE}) AS BIGINT))
+                   // COUNT(*) AS q
+        FROM events GROUP BY 1, 2
+    ),
+    lagd AS (
+        SELECT user_id, day, q,
+               LAG(q) OVER (PARTITION BY user_id ORDER BY day) AS pq
+        FROM daily
+    ),
+    mom AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(pq) AS sx, SUM(q) AS sy,
+               SUM(pq * pq) AS sxx, SUM(pq * q) AS sxy,
+               (list(q ORDER BY day))[-1] AS last_q
+        FROM lagd WHERE pq IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(*) >= {AR1_MIN_DAYS}
+           AND n * sxx - sx * sx != 0
+    ),
+    fit AS (
+        SELECT user_id, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS phi,
+               CAST(last_q AS DOUBLE) AS lq,
+               CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(n AS DOUBLE) AS nd
+        FROM mom
+    ),
+    fc AS (
+        SELECT user_id, n, phi,
+               (syd - phi * sxd) / nd AS c,
+               c + phi * lq AS f1,
+               c + phi * (c + phi * lq) AS f2,
+               c + phi * (c + phi * (c + phi * lq)) AS f3
+        FROM fit
+    )
+    SELECT user_id, n AS n_pairs, phi,
+           c / {AR1_SCALE}.0 AS intercept,
+           f1 / {AR1_SCALE}.0 AS forecast_1,
+           f2 / {AR1_SCALE}.0 AS forecast_2,
+           f3 / {AR1_SCALE}.0 AS forecast_3
+    FROM fc
+    """,
+)
+def ts_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) FIT + 3-STEP FORECAST per user over the daily series —
+    the lag-1 autoregression x_t = c + phi*x_{{t-1}} that anchors
+    every capacity-planning / anomaly-baseline pipeline, as one
+    distributed pass: each EVENT value quantizes to exact fixed-point
+    (floor of a raw double — tie-free and order-free; flooring a
+    summed double would be partition-order sensitive) and the daily
+    mean is an integer division of exact sums, the OLS moments (n,
+    sum x, sum y, sum x2, sum xy over lag pairs) are pure INT64 sums
+    — order-free under any
+    partitioning, the integer-moment discipline of vec_pca_power /
+    embedding_outliers — and phi / intercept / the three nested
+    forecast steps are a fixed chain of IEEE ops on those exact
+    integers, so the oracle replays them bit-for-bit with no rounding
+    anywhere. Scale: one (user, day) aggregate + one user-window lag
+    + one per-user aggregate — all on the user shuffle axis; the
+    moment frame is 7 numbers per user regardless of history length.
+
+    Reference scope: beyond-reference extension (time-series family;
+    companion to zx_ts_holt_winters' smoothing recurrence).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(
+        F.expr(
+            f"sum(cast(floor(value * {AR1_SCALE}) as bigint)) div count(*)"
+        ).alias("q")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagd = daily.withColumn("pq", F.lag("q").over(w))
+    mom = (
+        lagd.filter(F.col("pq").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pq").alias("sx"),
+            F.sum("q").alias("sy"),
+            F.sum(F.col("pq") * F.col("pq")).alias("sxx"),
+            F.sum(F.col("pq") * F.col("q")).alias("sxy"),
+            F.max_by("q", "day").alias("last_q"),
+        )
+        .filter(
+            (F.col("n") >= AR1_MIN_DAYS)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+        )
+    )
+    phi = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    fit = mom.select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        phi.alias("phi"),
+        F.col("last_q").cast("double").alias("lq"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("n").cast("double").alias("nd"),
+    )
+    c = (F.col("syd") - F.col("phi") * F.col("sxd")) / F.col("nd")
+    fc = fit.withColumn("c", c)
+    f1 = F.col("c") + F.col("phi") * F.col("lq")
+    f2 = F.col("c") + F.col("phi") * f1
+    f3 = F.col("c") + F.col("phi") * f2
+    s = float(AR1_SCALE)
+    return fc.select(
+        "user_id",
+        "n_pairs",
+        "phi",
+        (F.col("c") / s).alias("intercept"),
+        (f1 / s).alias("forecast_1"),
+        (f2 / s).alias("forecast_2"),
+        (f3 / s).alias("forecast_3"),
+    )
+
+
 @register(
     "downsample_m4",
     extra=True,

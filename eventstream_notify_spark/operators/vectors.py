@@ -1017,6 +1017,142 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
 
+
+PR_MICRO = 10**12  # integer micro-units for precision@k terms
+
+
+@register(
+    "eval_pr_auc",
+    extra=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                   AS eq
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT label, u.i AS pos, u.x
+        FROM q, LATERAL (
+            SELECT UNNEST(eq) AS x,
+                   UNNEST(range(1, len(eq) + 1)) AS i
+        ) u
+    ),
+    cent AS (
+        SELECT label AS cls, list(mean ORDER BY pos) AS c
+        FROM (
+            SELECT label, pos,
+                   CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean
+            FROM pos GROUP BY label, pos
+        )
+        GROUP BY label
+    ),
+    scored AS (
+        SELECT q.vec_id, cent.cls,
+               CASE WHEN q.label = cent.cls THEN 1 ELSE 0 END AS is_pos,
+               list_sum(list_transform(range(1, len(q.eq) + 1),
+                   i -> (CAST(q.eq[i] AS DOUBLE) / 1000000.0 - cent.c[i])
+                        * (CAST(q.eq[i] AS DOUBLE) / 1000000.0
+                           - cent.c[i]))) AS dist
+        FROM q CROSS JOIN cent
+    ),
+    ranked AS (
+        SELECT cls, is_pos,
+               ROW_NUMBER() OVER (PARTITION BY cls
+                   ORDER BY dist, vec_id) AS k,
+               SUM(is_pos) OVER (PARTITION BY cls
+                   ORDER BY dist, vec_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_pos
+        FROM scored
+    )
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN is_pos = 1
+                    THEN (cum_pos * {PR_MICRO}) // k
+                    ELSE 0 END) AS BIGINT) AS ap_micro,
+           CAST(SUM(CASE WHEN is_pos = 1
+                    THEN (cum_pos * {PR_MICRO}) // k
+                    ELSE 0 END) AS DOUBLE) / {PR_MICRO}.0
+               / CAST(SUM(is_pos) AS DOUBLE) AS avg_precision
+    FROM ranked GROUP BY cls
+    """,
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION-RECALL EVAL (average precision, one-vs-rest per
+    label) for the nearest-centroid retrieval surface: every vector
+    is scored against every class centroid (exact integer-moment
+    centroids, the embedding_outliers discipline), ranked by distance
+    per class, and AP = mean of precision@k over the positive ranks.
+    AP's float sum over positives is the classic order trap, so each
+    precision@k term is an INTEGER (cum_pos * 1e12 div k) — integer
+    sums are order-free under any partitioning, and the final AP
+    double is one division chain on exact integers. Complements
+    zx_eval_auc_roc (threshold-free ranking quality) with the metric
+    that actually matters under class imbalance.
+
+    Scale: the N x K score frame comes from a broadcast of K
+    centroids (corpus never shuffles for scoring); the per-class
+    ranking is a window over the eval sample — eval sets are
+    sample-scale by construction, never the 100 TB corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
+        ).alias("eq"),
+    )
+    cent = (
+        q.select("label", F.posexplode("eq").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((F.sum("x").cast("double") / F.count("*") / 1e6).alias("mean"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                lambda s: s["mean"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("cls"), "c")
+    )
+    diff = F.zip_with(
+        F.col("eq"),
+        F.col("c"),
+        lambda x, c: (x.cast("double") / 1e6 - c) * (x.cast("double") / 1e6 - c),
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cls",
+        (F.col("label") == F.col("cls")).cast("int").alias("is_pos"),
+        F.aggregate(diff, F.lit(0.0), lambda a, v: a + v).alias("dist"),
+    )
+    w = Window.partitionBy("cls").orderBy("dist", "vec_id")
+    ranked = scored.select(
+        "cls",
+        "is_pos",
+        F.row_number().over(w).alias("k"),
+        F.sum("is_pos")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_pos"),
+    )
+    term = F.when(
+        F.col("is_pos") == 1,
+        F.expr(f"(cum_pos * {PR_MICRO}L) div k"),
+    ).otherwise(F.lit(0))
+    return ranked.groupBy("cls").agg(
+        F.count("*").alias("n"),
+        F.sum("is_pos").cast("bigint").alias("n_pos"),
+        F.sum(term).cast("bigint").alias("ap_micro"),
+        (
+            F.sum(term).cast("double")
+            / float(PR_MICRO)
+            / F.sum("is_pos").cast("double")
+        ).alias("avg_precision"),
+    )
+
+
 @register(
     "sim_search_sq8",
     extra=True,

@@ -166,8 +166,11 @@ def test_media_metadata_struct(spark):
 
 def test_mm_feature_extract_matches_python_reference(spark, sf_dir):
     """The Arrow byte-featurizer must agree exactly with a pure-Python
-    reference over the same blobs (rows-only op: this test IS its
-    correctness gate)."""
+    reference over the same blobs — the integer-moment mean/std with
+    defined final op order (m = s/n; v = ssq/n - m*m), which is what
+    the DuckDB oracle replays."""
+    import math
+
     import numpy as np
 
     from eventstream_notify_spark.catalog import table
@@ -183,10 +186,14 @@ def test_mm_feature_extract_matches_python_reference(spark, sf_dir):
     assert len(got) == len(docs)
     for r in docs[:100]:
         b = np.frombuffer(r.text.encode("utf-8"), dtype=np.uint8)
+        s = int(b.sum(dtype=np.int64))
+        ssq = int((b.astype(np.int64) ** 2).sum())
+        nd = float(b.size)
+        mean = s / nd
         want = (
             int(b.size),
-            round(float(b.mean()), 6),
-            round(float(b.std()), 6),
+            mean,
+            math.sqrt(max(ssq / nd - mean * mean, 0.0)),
             int(np.unique(b).size),
         )
         assert got[r.doc_id] == want, (r.doc_id, got[r.doc_id], want)
@@ -1193,3 +1200,146 @@ def test_wordpiece_encode_matches_python_reference(spark, monkeypatch):
         n_chars = sum(len(w) for w in ws)
         want[doc_id] = (len(ws), n_tok, round(n_chars / n_tok, 6))
     assert got == want
+
+
+# ---------------------------------------------- round-9 new operators
+
+
+def test_link_prediction_distance_two(spark, monkeypatch):
+    """Constructed graph: Y adjacent to both X and Z (Jaccard 39/41 =
+    .951 >= .95), X–Z NOT adjacent (38/42) — the only predicted link
+    is (X, Z) through common neighbor Y, with cn=1 and the RA score
+    1e12 div deg(Y)=2."""
+    from eventstream_notify_spark.operators import text as tx
+
+    base = " ".join(f"t{i:02d}" for i in range(1, 40))  # t01..t39
+    y = base + " t40"
+    x = base + " xa"
+    z = " ".join(f"t{i:02d}" for i in range(2, 41)) + " zc"
+    d = docs(spark, [(1, y), (2, x), (3, z), (9, "lonely doc here")])
+    monkeypatch.setattr(tx, "table", lambda spark, sf_dir, name: d)
+    rows = tx.graph_link_prediction(spark, "ignored").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (2, 3)
+    assert r.common_neighbors == 1
+    assert r.ra_micro == 10**12 // 2
+
+
+def test_ar1_recovers_linear_recurrence(spark, monkeypatch):
+    """A noise-free x_t = 10 + 0.9 x_{t-1} daily series: the exact
+    integer-moment regression must recover phi ~ 0.9 and forecast the
+    true next value."""
+    import datetime as dt
+
+    from eventstream_notify_spark.operators import timeseries as ts
+
+    rows = []
+    x = 500.0
+    for day in range(16):
+        rows.append(
+            (7, dt.datetime(2026, 1, 1) + dt.timedelta(days=day), x)
+        )
+        x = 10.0 + 0.9 * x
+    d = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    monkeypatch.setattr(ts, "table", lambda spark, sf_dir, name: d)
+    out = ts.ts_ar1_forecast(spark, "ignored").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 15
+    assert abs(r.phi - 0.9) < 1e-4
+    assert abs(r.intercept - 10.0) < 0.1
+    # last observed x is rows[-1][2]'s PREVIOUS value: the series had
+    # 16 points; forecast_1 ~ 10 + 0.9 * x_15
+    last = rows[-1][2]
+    assert abs(r.forecast_1 - (10.0 + 0.9 * last)) < 0.01
+
+
+def test_eval_pr_auc_perfect_separation(spark, monkeypatch):
+    """One-hot embeddings by label => every vector is distance-0 to
+    its own class centroid: average precision is exactly 1.0 per
+    class and ap_micro = n_pos * 1e12."""
+    from eventstream_notify_spark.operators import vectors as vx
+
+    rows = []
+    vid = 0
+    for label in range(3):
+        for _ in range(4):
+            e = [0.0] * 8
+            e[label] = 1.0
+            rows.append((vid, e, label))
+            vid += 1
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(vx, "table", lambda spark, sf_dir, name: d)
+    out = {r.cls: r for r in vx.eval_pr_auc(spark, "ignored").collect()}
+    assert set(out) == {0, 1, 2}
+    for cls, r in out.items():
+        assert r.n == 12 and r.n_pos == 4
+        assert r.ap_micro == 4 * 10**12
+        assert r.avg_precision == 1.0
+
+
+def test_aqp_estimate_consistency(spark, sf_dir):
+    """The deterministic-sample estimator: estimates are exact
+    multiples of the inverse rate, exact counts match the table, and
+    the measured relative error is sane at 1/64 sampling."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.analytics import (
+        AQP_MOD,
+        aqp_sample_estimate,
+    )
+
+    rows = aqp_sample_estimate(spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert {r.l_returnflag for r in rows} == set(exact)
+    for r in rows:
+        assert r.n_exact == exact[r.l_returnflag]
+        assert r.n_est % AQP_MOD == 0
+        assert r.rel_err_n < 0.5 and r.rel_err_sum < 0.5
+
+
+def test_span_corruption_invariants(spark, sf_dir):
+    """Spans stay inside their doc, never overlap (block construction
+    guarantees it), reproduce the exact token slice, and mask a sane
+    fraction of tokens."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.curation import (
+        llm_span_corruption,
+    )
+
+    rows = llm_span_corruption(spark, sf_dir).collect()
+    assert rows
+    texts = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    per_doc: dict = {}
+    masked = 0
+    for r in rows:
+        toks = texts[r.doc_id].strip().split()
+        assert 1 <= r.span_start
+        assert r.span_start + r.span_len - 1 <= len(toks)
+        got = " ".join(
+            toks[r.span_start - 1 : r.span_start - 1 + r.span_len]
+        )
+        assert r.span_text == got, (r.doc_id, r.span_start, r.span_len)
+        per_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_len)
+        )
+        masked += r.span_len
+    for spans in per_doc.values():
+        spans.sort()
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 <= s2, "overlapping spans"
+    total_tokens = sum(len(t.strip().split()) for t in texts.values())
+    assert 0.02 < masked / total_tokens < 0.25

@@ -77,16 +77,23 @@ def test_profiling_is_one_action(spark, sf_dir):
     consumes it. A third execution would mean the token-set pipeline
     or the profile runs twice."""
     store = spark._jsparkSession.sharedState().statusStore()
-    # executionsCount is fed by the ASYNC listener bus: queued events
-    # from earlier tests in the session otherwise bleed into this
-    # window and flake the delta (seen once under full-suite load) —
-    # drain the bus on both sides of the measurement.
+    # Two traps in counting SQL executions mid-suite:
+    # - the status store is fed by the ASYNC listener bus — drain it
+    #   on both sides of the measurement;
+    # - executionsCount() counts RETAINED executions, and the UI store
+    #   evicts past spark.sql.ui.retainedExecutions (1000) — deep into
+    #   a full suite the count plateaus and the delta reads 0. The
+    #   LATEST execution id is monotonic and eviction-proof; diff that.
     bus = spark.sparkContext._jsc.sc().listenerBus()
-    bus.waitUntilEmpty()
-    before = store.executionsCount()
+
+    def last_exec_id() -> int:
+        bus.waitUntilEmpty()
+        lst = store.executionsList()
+        return lst.last().executionId() if lst.size() else -1
+
+    before = last_exec_id()
     dedup_near(spark, sf_dir)  # builds the plan => runs profiling only
-    bus.waitUntilEmpty()
-    ran = store.executionsCount() - before
+    ran = last_exec_id() - before
     assert ran == 2, f"strategy choice ran {ran} SQL executions, want 2"
 
 

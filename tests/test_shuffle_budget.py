@@ -178,6 +178,26 @@ BUDGETS = {
     "eval_auc_roc": 2,  # score-histogram agg off the checkpointed
     # per-doc scores + final reduction; cum-below-neg uses the
     # bucket-prefix pattern, no global window exchange
+    # --- r9 additions ---------------------------------------------
+    "graph_link_prediction": 11,  # rides dedup_near's pair build,
+    # then class-graph wedges/degrees (class-sized frames) and the
+    # final per-doc top-K window; everything past the pair build moves
+    # class-cardinality rows
+    "ts_ar1_forecast": 2,  # (user, day) agg + per-user moment agg —
+    # the user shuffle axis end to end
+    "eval_pr_auc": 3,  # centroid posexplode agg + per-class ranking
+    # window + final class agg; the N x K scoring frame is a broadcast
+    "aqp_sample_estimate": 1,  # one grouped agg carries exact and
+    # sampled moments together — the sample costs zero extra passes
+    "llm_span_corruption": 0,  # pure per-doc projection + explode:
+    # the mask plan never shuffles
+    "mm_feature_extract": 0,  # Arrow map over the scan, no exchange
+    "attribution_markov": 0,  # final plan is the driver-built effect
+    # table; the journey/transition count runs at build time with the
+    # user-window shuffle + one tiny (src,dst) agg
+    "ts_similarity_dtw": 8,  # daily agg + z-norm window + day-key
+    # pair join + top-K prune window + series re-agg on both join
+    # sides; the DTW kernel itself adds none
 }
 
 
