@@ -4841,3 +4841,268 @@ def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("sum_cents_exact").cast("double")
         ).alias("rel_err_sum"),
     )
+
+
+# ---------------------------------------------- merge-on-read deletes
+
+DV_MOD = 37  # deterministic delete draw: md5('del:'||doc_id) % 37 == 0
+
+
+@register(
+    "store_delete_vectors",
+    extra=True,
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, source,
+               CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS pos
+        FROM documents
+    ),
+    dv AS (
+        SELECT source AS file_id, pos
+        FROM pos
+        WHERE CAST(('0x' || substring(
+                  md5('del:' || CAST(doc_id AS STRING)), 1, 15))
+                  AS UBIGINT) % {DV_MOD} = 0
+    ),
+    applied AS (
+        SELECT p.source, p.bytes,
+               CASE WHEN d.pos IS NULL THEN 0 ELSE 1 END AS deleted
+        FROM pos p
+        LEFT JOIN dv d ON d.file_id = p.source AND d.pos = p.pos
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(deleted) AS BIGINT) AS n_deleted,
+           CAST(COUNT(*) - SUM(deleted) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN deleted = 0 THEN bytes ELSE 0 END)
+                AS BIGINT) AS live_bytes
+    FROM applied GROUP BY source
+    """,
+)
+def store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ positional delete vectors — the Iceberg v2 /
+    Delta deletion-vector read path: a delete file holds (file, pos)
+    pairs, and the scan applies them as an ANTI-join on row position
+    instead of rewriting data files. Here the 'files' are the source
+    partitions and positions are the stable (source, doc_id-order)
+    row numbers; the delete set is a deterministic md5 draw (~1/37 of
+    rows), so both engines derive the identical delete file. Emits
+    the per-file audit a compactor reads: total rows, deleted rows,
+    live rows, live bytes.
+
+    Scale: the position window rides the source partition axis; the
+    delete join is (file_id, pos) equi-shaped — delete files are tiny
+    relative to data files, so on a cluster the delete side
+    broadcasts and the scan stays one pass. When a file's deleted
+    fraction crosses the compaction threshold, zx_compaction_plan is
+    the rewrite planner downstream.
+
+    Reference scope: beyond-reference extension (lakehouse family).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pos = d.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode("text", "utf-8")).cast("bigint").alias(
+            "bytes"
+        ),
+    ).withColumn("pos", F.row_number().over(w).cast("bigint"))
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("del:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % DV_MOD
+    )
+    dv = pos.filter(draw == 0).select(
+        F.col("source").alias("file_id"), F.col("pos").alias("dpos")
+    )
+    applied = pos.join(
+        F.broadcast(dv),
+        (F.col("source") == F.col("file_id")) & (F.col("pos") == F.col("dpos")),
+        "left",
+    ).select(
+        "source",
+        "bytes",
+        F.when(F.col("dpos").isNull(), 0).otherwise(1).alias("deleted"),
+    )
+    return applied.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("deleted").cast("bigint").alias("n_deleted"),
+        (F.count("*") - F.sum("deleted")).cast("bigint").alias("n_live"),
+        F.sum(F.when(F.col("deleted") == 0, F.col("bytes")).otherwise(0))
+        .cast("bigint")
+        .alias("live_bytes"),
+    )
+
+
+# ------------------------------------------------- bandit replay (UCB)
+
+UCB_SCALE = 1000  # reward fixed-point quantum
+
+
+@register(
+    "bandit_ucb_replay",
+    extra=True,
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type AS arm,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(FLOOR(value * {UCB_SCALE}) AS BIGINT) AS r
+        FROM events
+    ),
+    daily AS (
+        SELECT arm, day, CAST(COUNT(*) AS BIGINT) AS n, SUM(r) AS s
+        FROM ev GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT a.arm, d.day, COALESCE(x.n, 0) AS n, COALESCE(x.s, 0) AS s
+        FROM (SELECT DISTINCT arm FROM ev) a
+        CROSS JOIN (SELECT DISTINCT day FROM ev) d
+        LEFT JOIN daily x ON x.arm = a.arm AND x.day = d.day
+    ),
+    cum AS (
+        SELECT arm, day, n, s,
+               SUM(n) OVER (PARTITION BY arm ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS n_prior,
+               SUM(s) OVER (PARTITION BY arm ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS s_prior
+        FROM grid
+    ),
+    tot AS (
+        SELECT *, SUM(n_prior) OVER (PARTITION BY day) AS t_prior
+        FROM cum
+    ),
+    scoredd AS (
+        SELECT arm, day, n, s, n_prior, s_prior, t_prior,
+               CASE WHEN n_prior IS NULL OR n_prior = 0
+                    THEN 'infinity'::DOUBLE
+                    ELSE (CAST(s_prior AS DOUBLE)
+                          / CAST(n_prior AS DOUBLE)) / {UCB_SCALE}.0
+                         + sqrt((2.0 * CAST(length(to_base(CAST(t_prior AS BIGINT), 2))
+                                            - 1 AS DOUBLE))
+                                / CAST(n_prior AS DOUBLE))
+               END AS ucb
+        FROM tot
+    ),
+    chosen AS (
+        SELECT day, arm AS chosen_arm, n_prior, ucb, n AS n_today,
+               CASE WHEN n > 0
+                    THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / {UCB_SCALE}.0
+                    ELSE CAST(0.0 AS DOUBLE) END AS realized_reward
+        FROM scoredd
+        QUALIFY row_number() OVER (
+            PARTITION BY day ORDER BY ucb DESC, arm) = 1
+    )
+    SELECT day, chosen_arm,
+           CAST(COALESCE(n_prior, 0) AS BIGINT) AS n_prior,
+           CASE WHEN isinf(ucb) THEN NULL ELSE ucb END AS ucb,
+           CAST(n_today AS BIGINT) AS n_today,
+           realized_reward
+    FROM chosen
+    """,
+)
+def bandit_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE BANDIT REPLAY, day-batched UCB1: treat event types as
+    arms and per-event value as reward; each day the policy picks the
+    arm maximizing mean + sqrt(2*floor(log2 t)/n_a) over the PRIOR
+    days' statistics, and the day's actual mean reward of that arm is
+    the replay payoff (the Li et al. 2011 offline evaluation shape,
+    batched by day the way production re-trains). Arms with no prior
+    pulls score +inf — forced exploration, ties broken by arm name.
+
+    Cross-engine exact by integerization: rewards quantize per event
+    (floor of a raw double), all cumulative statistics are INT64
+    window sums, and the exploration bonus uses floor(log2 t)
+    computed from the BINARY DIGIT COUNT of t (conv/to_base) — an
+    integer — so log never touches libm; mean and bonus are then
+    fixed chains of IEEE ops on exact integers. Emits the decision
+    log (day, chosen arm, prior pulls, ucb, realized reward).
+
+    Scale: one (arm, day) aggregate over the fact, then windows over
+    an arms-x-days grid — bounded by the arm alphabet and calendar,
+    independent of event count.
+
+    Reference scope: beyond-reference extension (decisioning /
+    experimentation family, next to zx_ab_test_stats and
+    zx_ab_permutation_test)."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        F.col("event_type").alias("arm"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.floor(F.col("value") * UCB_SCALE).cast("bigint").alias("r"),
+    )
+    daily = ev.groupBy("arm", "day").agg(
+        F.count("*").alias("n"), F.sum("r").alias("s")
+    )
+    arms = ev.select("arm").distinct()
+    days = ev.select("day").distinct()
+    grid = (
+        arms.crossJoin(days)
+        .join(daily, ["arm", "day"], "left")
+        .select(
+            "arm",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("s", F.lit(0)).alias("s"),
+        )
+    )
+    wprior = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "arm",
+        "day",
+        "n",
+        "s",
+        F.sum("n").over(wprior).alias("n_prior"),
+        F.sum("s").over(wprior).alias("s_prior"),
+    )
+    tot = cum.withColumn(
+        "t_prior", F.sum("n_prior").over(Window.partitionBy("day"))
+    )
+    log2t = (F.length(F.conv(F.col("t_prior"), 10, 2)) - 1).cast("double")
+    ucb = F.when(
+        F.col("n_prior").isNull() | (F.col("n_prior") == 0),
+        F.lit(float("inf")),
+    ).otherwise(
+        (F.col("s_prior").cast("double") / F.col("n_prior").cast("double"))
+        / float(UCB_SCALE)
+        + F.sqrt(2.0 * log2t / F.col("n_prior").cast("double"))
+    )
+    scored = tot.withColumn("ucb", ucb)
+    w = Window.partitionBy("day").orderBy(F.col("ucb").desc(), "arm")
+    chosen = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "day",
+            F.col("arm").alias("chosen_arm"),
+            F.coalesce("n_prior", F.lit(0)).cast("bigint").alias("n_prior"),
+            F.when(F.col("ucb") == float("inf"), F.lit(None)).otherwise(
+                F.col("ucb")
+            ).alias("ucb"),
+            F.col("n").cast("bigint").alias("n_today"),
+            F.when(
+                F.col("n") > 0,
+                (F.col("s").cast("double") / F.col("n").cast("double"))
+                / float(UCB_SCALE),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("realized_reward"),
+        )
+    )
+    return chosen

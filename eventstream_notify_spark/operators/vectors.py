@@ -3837,3 +3837,106 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, dim int, loading double, "
         "eigenvalue double, explained_ratio double",
     )
+
+
+# ---------------------------------------- late-interaction retrieval
+
+MAXSIM_TOKENS = 4  # token vectors per embedding (64 dims -> 4 x 16)
+MAXSIM_DIM = 16
+
+
+def _tok_dot_sql(a: str, b: str, qt: int, dt: int) -> str:
+    qo, do = qt * MAXSIM_DIM, dt * MAXSIM_DIM
+    return (
+        f"list_sum(list_transform(range(1, {MAXSIM_DIM} + 1), "
+        f"i -> CAST({a}[{qo} + i] AS DOUBLE)"
+        f" * CAST({b}[{do} + i] AS DOUBLE)))"
+    )
+
+
+def _maxsim_sql(a: str, b: str) -> str:
+    terms = [
+        "greatest("
+        + ", ".join(
+            _tok_dot_sql(a, b, qt, dt) for dt in range(MAXSIM_TOKENS)
+        )
+        + ")"
+        for qt in range(MAXSIM_TOKENS)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+@register(
+    "sim_search_maxsim",
+    extra=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_maxsim_sql('q.qe', 'e.embedding')}, 6) AS score
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, score
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id
+    ) <= {TOP_K}
+    """,
+)
+def sim_search_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (the ColBERT MaxSim operator,
+    Khattab & Zaharia 2020): each embedding is read as
+    4 token vectors of 16 dims, and
+    score(q, d) = sum over query tokens of the MAX dot product
+    against any doc token — token-level matching that single-vector
+    cosine collapses away. This is the exact brute-force baseline
+    (the sim_search_cosine counterpart for multi-vector scoring);
+    the production scale path prunes candidates per query TOKEN with
+    any of the ANN tiers, then pays MaxSim only on the shortlist.
+
+    Cross-engine exact: every token dot is the same 16-term
+    left-to-right double fold as the cosine family, max-of-4 and the
+    4-term sum are fixed-order IEEE ops, ties break on vec_id.
+    Scale: query set broadcasts; corpus scans once; per-pair cost is
+    4x4 bounded token dots inside
+    whole-stage codegen — no UDF, no shuffle beyond the top-k window.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+
+    def tok(col: str, t: int) -> F.Column:
+        return F.slice(F.col(col), t * MAXSIM_DIM + 1, MAXSIM_DIM)
+
+    score = None
+    for qt in range(MAXSIM_TOKENS):
+        best = F.greatest(
+            *[
+                dot(tok("qe", qt), tok("embedding", dt))
+                for dt in range(MAXSIM_TOKENS)
+            ]
+        )
+        score = best if score is None else score + best
+    scored = e.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(score, 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

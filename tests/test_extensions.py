@@ -1343,3 +1343,92 @@ def test_span_corruption_invariants(spark, sf_dir):
             assert s1 + l1 <= s2, "overlapping spans"
     total_tokens = sum(len(t.strip().split()) for t in texts.values())
     assert 0.02 < masked / total_tokens < 0.25
+
+
+def test_delete_vectors_accounting(spark, sf_dir):
+    """Per-file accounting must balance and the deterministic delete
+    draw lands near its 1/37 rate corpus-wide."""
+    from eventstream_notify_spark.operators.analytics import (
+        DV_MOD,
+        store_delete_vectors,
+    )
+
+    rows = store_delete_vectors(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_rows for r in rows)
+    deleted = sum(r.n_deleted for r in rows)
+    for r in rows:
+        assert r.n_rows == r.n_deleted + r.n_live
+        assert r.live_bytes >= 0
+    assert 0 < deleted < total
+    assert abs(deleted / total - 1 / DV_MOD) < 0.05
+
+
+def test_maxsim_is_token_permutation_invariant(spark, monkeypatch):
+    """The point of late interaction: permuting a DOC's token vectors
+    must not change its MaxSim score (each query token maxes over all
+    doc tokens), while single-vector cosine WOULD change under the
+    same permutation of dims."""
+    from eventstream_notify_spark.operators import vectors as vx
+
+    def emb(tokens):
+        out = []
+        for t in tokens:
+            out.extend(t)
+        return out
+
+    t_a = [1.0] + [0.0] * 15
+    t_b = [0.0, 1.0] + [0.0] * 14
+    t_c = [0.0, 0.0, 1.0] + [0.0] * 13
+    t_d = [0.0] * 3 + [1.0] + [0.0] * 12
+    rows = [
+        (0, emb([t_a, t_b, t_c, t_d]), 0),      # the query
+        (1, emb([t_a, t_b, t_c, t_d]), 0),      # same tokens, same order
+        (2, emb([t_d, t_c, t_b, t_a]), 0),      # same tokens, permuted
+        (3, emb([t_a, t_a, t_a, t_a]), 0),      # only one token matches
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(vx, "table", lambda spark, sf_dir, name: d)
+    got = {
+        (r.query_id, r.vec_id): r.score
+        for r in vx.sim_search_maxsim(spark, "ignored").collect()
+    }
+    # doc 1 and the permuted doc 2 score identically (4 matched tokens)
+    assert got[(0, 1)] == got[(0, 2)] == 4.0
+    # doc 3 matches only query token 0 -> score 1
+    assert got[(0, 3)] == 1.0
+
+
+def test_ucb_replay_converges_to_best_arm(spark, monkeypatch):
+    """Constructed two-arm stream where arm 'good' pays 10x arm 'bad':
+    day 1 has no priors (forced exploration, NULL ucb); after both
+    arms have pulls the policy settles on 'good'."""
+    import datetime as dt
+
+    from eventstream_notify_spark.operators import analytics as an
+
+    rows = []
+    eid = 0
+    for day in range(12):
+        t = dt.datetime(2026, 2, 1) + dt.timedelta(days=day)
+        for _ in range(5):
+            rows.append((eid, t, 1, "good", 100.0, "{}")); eid += 1
+            rows.append((eid, t, 2, "bad", 10.0, "{}")); eid += 1
+    d = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(an, "table", lambda spark, sf_dir, name: d)
+    out = sorted(
+        an.bandit_ucb_replay(spark, "ignored").collect(),
+        key=lambda r: r.day,
+    )
+    assert len(out) == 12
+    assert out[0].ucb is None and out[0].n_prior == 0
+    # late days: the policy has converged on the dominant arm
+    for r in out[4:]:
+        assert r.chosen_arm == "good"
+        assert abs(r.realized_reward - 100.0) < 1e-9

@@ -198,6 +198,13 @@ BUDGETS = {
     "ts_similarity_dtw": 8,  # daily agg + z-norm window + day-key
     # pair join + top-K prune window + series re-agg on both join
     # sides; the DTW kernel itself adds none
+    "store_delete_vectors": 2,  # source-position window + final
+    # per-file agg; the delete side broadcasts
+    "sim_search_maxsim": 1,  # queries broadcast; only the top-k
+    # window moves rows
+    "bandit_ucb_replay": 4,  # (arm,day) agg + per-arm cumulative
+    # window + per-day total window + argmax window — all on the
+    # bounded arms x days grid
 }
 
 
