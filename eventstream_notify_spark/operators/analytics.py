@@ -5106,3 +5106,138 @@ def bandit_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return chosen
+
+
+# ------------------------------------------------ heavy-change top-k
+
+HC_TOPK = 20
+HC_SPLIT_DAYS = 15  # first 15 days vs the rest
+
+
+@register(
+    "topk_heavy_change",
+    extra=True,
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    lo AS (SELECT MIN(day) AS d0 FROM ev),
+    halves AS (
+        SELECT user_id, event_type,
+               CASE WHEN day < lo.d0 + {HC_SPLIT_DAYS}
+                    THEN 0 ELSE 1 END AS half
+        FROM ev, lo
+    ),
+    counts AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_before,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_after
+        FROM halves GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, n_before, n_after,
+           n_after - n_before AS delta
+    FROM counts
+    QUALIFY row_number() OVER (
+        ORDER BY abs(n_after - n_before) DESC, user_id, event_type
+    ) <= {HC_TOPK}
+    """,
+)
+def topk_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-CHANGE DETECTION (the Cormode/Muthukrishnan monitoring
+    primitive): the (user, event_type) keys whose activity shifted
+    most between the first 15 days and the rest of the window — the
+    'what changed since last period' query every on-call dashboard
+    runs. Exact here (one conditional aggregate, all integers); at
+    100 TB the same query runs on two CountMin sketches
+    (zx_heavy_hitters_cms' state) with the exact pass as its audit.
+
+    Scale: one pass, one (user, type) hash aggregate with partial
+    map-side combine, and a TOP-{HC_TOPK} TakeOrdered — the full
+    delta table never sorts globally."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    d0 = ev.agg(F.min("day")).first()[0]
+    half = (F.col("day") >= d0 + HC_SPLIT_DAYS).cast("int")
+    counts = ev.withColumn("half", half).groupBy(
+        "user_id", "event_type"
+    ).agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_before"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_after"),
+    )
+    scored = counts.withColumn(
+        "delta", F.col("n_after") - F.col("n_before")
+    )
+    # TakeOrdered, not a global window: per-partition top-K heaps +
+    # a K-row driver merge — the 100 TB-safe global top-k shape
+    return scored.orderBy(
+        F.abs(F.col("delta")).desc(), "user_id", "event_type"
+    ).limit(HC_TOPK)
+
+
+# --------------------------------------------------- dataset card
+
+
+@register(
+    "llm_dataset_card",
+    extra=True,
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, lang, source, text,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
+               md5(text) AS h
+        FROM documents WHERE len(trim(text)) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM d
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD in one pass — the corpus-level summary a training
+    run records before touching the data (the 'Datasheets for
+    Datasets' habit): doc/token/byte totals, language and source
+    cardinalities, exact-duplicate count, token-length extremes. One
+    aggregate over the documents table; every statistic is an integer
+    so the card is cross-engine exact. The per-signal deep dives
+    (quality, dup graph, domain mix) are this card's drill-downs —
+    zx_text_quality, dedup_exact, zx_llm_domain_mix."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    rows = d.select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+        F.md5("text").alias("h"),
+        F.octet_length(F.encode("text", "utf-8")).alias("bytes"),
+    )
+    return rows.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        (F.count("*") - F.countDistinct("h"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.min("n_toks").cast("bigint").alias("min_tokens"),
+        F.max("n_toks").cast("bigint").alias("max_tokens"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+    )

@@ -4978,3 +4978,103 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ------------------------------------------------ k-core decomposition
+
+KCORE_K = 3  # the fixed core order under audit
+KCORE_MAX_ITERS = 64
+
+
+@register(
+    "graph_kcore",
+    extra=True,
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    adjl AS MATERIALIZED (
+        SELECT w AS node, list(v ORDER BY v) AS nbrs
+        FROM (SELECT doc_a AS w, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs)
+        GROUP BY w
+    ),
+    peel AS (
+        SELECT 0 AS it,
+               (SELECT list(node ORDER BY node) FROM adjl) AS nodes,
+               CAST(NULL AS BIGINT[]) AS prev,
+               (SELECT list({{'node': node, 'nbrs': nbrs}} ORDER BY node)
+                FROM adjl) AS al
+        UNION ALL
+        SELECT it + 1,
+               list_sort(list_transform(list_filter(al,
+                   a -> list_contains(nodes, a.node)
+                        AND len(list_filter(a.nbrs,
+                                nb -> list_contains(nodes, nb)))
+                            >= {KCORE_K}),
+                   a -> a.node)),
+               nodes,
+               al
+        FROM peel
+        WHERE it < {KCORE_MAX_ITERS} AND (prev IS NULL OR nodes <> prev)
+    ),
+    core AS (SELECT nodes FROM peel ORDER BY it DESC LIMIT 1)
+    SELECT a.node AS doc_id,
+           CAST(len(list_filter(a.nbrs,
+                nb -> list_contains(c.nodes, nb))) AS BIGINT)
+               AS core_degree
+    FROM adjl a, core c
+    WHERE list_contains(c.nodes, a.node)
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE of the exact near-dup graph (K=3): iteratively
+    peel nodes with fewer than K surviving neighbors until fixpoint —
+    the densest-region extractor that separates REAL duplicate
+    clusters from chains of borderline matches (a doc in the 3-core
+    has 3+ mutually-surviving near-dups; bridges and tails peel
+    away). Emits each core member with its within-core degree.
+
+    The k-core is UNIQUE (peeling is confluent), so the driver-side
+    Spark loop and the DuckDB recursive CTE converge to the identical
+    set regardless of iteration schedule — integers end to end, no
+    float anywhere. Scale shape: each peel round is one broadcast
+    semi-join of the shrinking node set against the edge list + one
+    degree aggregate (the PageRank/label-propagation iteration
+    pattern); rounds are bounded (64) and real dedup
+    graphs peel in a handful because cliques stabilize immediately.
+    """
+    e = (
+        dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(
+        F.col("doc_a").alias("w"), F.col("doc_b").alias("v")
+    ).union(e.select(F.col("doc_b").alias("w"), F.col("doc_a").alias("v")))
+    nodes = adj.select("w").distinct().localCheckpoint(eager=True)
+    n_prev = nodes.count()
+    for _ in range(KCORE_MAX_ITERS):
+        alive = adj.join(
+            F.broadcast(nodes), "w", "left_semi"
+        ).join(
+            F.broadcast(nodes.select(F.col("w").alias("v"))),
+            "v",
+            "left_semi",
+        )
+        keep = (
+            alive.groupBy("w")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("w")
+            .localCheckpoint(eager=True)
+        )
+        n_new = keep.count()
+        nodes = keep
+        if n_new == n_prev:
+            break
+        n_prev = n_new
+    core_adj = adj.join(F.broadcast(nodes), "w", "left_semi").join(
+        F.broadcast(nodes.select(F.col("w").alias("v"))), "v", "left_semi"
+    )
+    return core_adj.groupBy(F.col("w").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    )

@@ -1432,3 +1432,54 @@ def test_ucb_replay_converges_to_best_arm(spark, monkeypatch):
     for r in out[4:]:
         assert r.chosen_arm == "good"
         assert abs(r.realized_reward - 100.0) < 1e-9
+
+
+def test_kcore_peels_pendants_keeps_clique(spark, monkeypatch):
+    """A 4-clique (identical docs) plus an edge-less doc: only the
+    clique survives the 3-core, each member with within-core
+    degree 3."""
+    from eventstream_notify_spark.operators import text as tx
+
+    base = " ".join(f"t{i:02d}" for i in range(1, 40))
+    clique = base + " t40"
+    d = docs(
+        spark,
+        [(1, clique), (2, clique), (3, clique), (4, clique), (9, "zz yy")],
+    )
+    monkeypatch.setattr(tx, "table", lambda spark, sf_dir, name: d)
+    got = {
+        r.doc_id: r.core_degree
+        for r in tx.graph_kcore(spark, "ignored").collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_heavy_change_shape(spark, sf_dir):
+    from eventstream_notify_spark.operators.analytics import (
+        HC_TOPK,
+        topk_heavy_change,
+    )
+
+    rows = topk_heavy_change(spark, sf_dir).collect()
+    assert 0 < len(rows) <= HC_TOPK
+    deltas = [abs(r.delta) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+    for r in rows:
+        assert r.delta == r.n_after - r.n_before
+
+
+def test_dataset_card_totals(spark, sf_dir):
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.analytics import (
+        llm_dataset_card,
+    )
+
+    card = llm_dataset_card(spark, sf_dir).first()
+    docs_df = table(spark, sf_dir, "documents").collect()
+    nonempty = [r for r in docs_df if r.text.strip()]
+    assert card.n_docs == len(nonempty)
+    assert card.n_tokens == sum(len(r.text.strip().split()) for r in nonempty)
+    assert card.n_langs == len({r.lang for r in nonempty})
+    assert card.n_exact_dups == len(nonempty) - len(
+        {r.text for r in nonempty}
+    )

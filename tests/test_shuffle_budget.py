@@ -205,6 +205,12 @@ BUDGETS = {
     "bandit_ucb_replay": 4,  # (arm,day) agg + per-arm cumulative
     # window + per-day total window + argmax window — all on the
     # bounded arms x days grid
+    "graph_kcore": 1,  # final within-core degree agg; the peel
+    # rounds run at build time as broadcast semi-joins
+    "topk_heavy_change": 1,  # one conditional (user,type) agg, then
+    # TakeOrdered — the delta table never sorts globally
+    "llm_dataset_card": 2,  # the three distinct-counts share one
+    # expand + two-phase aggregate
 }
 
 
