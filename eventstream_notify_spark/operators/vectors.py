@@ -3940,3 +3940,129 @@ def sim_search_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# ------------------------------------------------ embedding drift
+
+MMD_SCALE = 1_000_000  # fixed-point quantum for the moment sums
+
+
+@register(
+    "embedding_drift_mmd",
+    extra=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, vec_id % 2 AS grp,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {MMD_SCALE})
+                             AS BIGINT)) AS eq
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT grp, u.i AS pos, u.x
+        FROM q, LATERAL (
+            SELECT UNNEST(eq) AS x,
+                   UNNEST(range(1, len(eq) + 1)) AS i
+        ) u
+    ),
+    means AS (
+        SELECT grp, pos,
+               CAST(SUM(x) AS DOUBLE) / COUNT(*) / {MMD_SCALE}.0 AS m,
+               COUNT(*) AS n
+        FROM pos GROUP BY 1, 2
+    ),
+    sides AS (
+        SELECT a.pos, a.m AS ma, b.m AS mb, a.n AS na, b.n AS nb
+        FROM (SELECT * FROM means WHERE grp = 0) a
+        JOIN (SELECT * FROM means WHERE grp = 1) b USING (pos)
+    ),
+    gaps AS (
+        SELECT list((ma - mb) * (ma - mb) ORDER BY pos) AS sq,
+               list(abs(ma - mb) ORDER BY pos) AS ab,
+               MAX(na) AS n_a, MAX(nb) AS n_b
+        FROM sides
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           list_sum(sq) AS mmd2_linear,
+           list_max(ab) AS max_dim_gap,
+           CAST(list_position(ab, list_max(ab)) - 1 AS BIGINT)
+               AS argmax_dim
+    FROM gaps
+    """,
+)
+def embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT between two corpus halves by linear-kernel
+    maximum mean discrepancy — MMD^2 with k(x,y) = x.y reduces to
+    ||mean_A - mean_B||^2 (Gretton et al. 2012), the one member of
+    the MMD family that needs only FIRST moments, so the whole test
+    statistic derives from exact integer sums: embeddings floor-
+    quantize to 1e-6, per-group per-dim sums are int64, means are
+    exactly-rounded divisions, and the squared-gap reduction is an
+    ordered fold. Emits group sizes, MMD^2, and the worst-drifting
+    dimension — the embedding-space companion to zx_ks_drift_test's
+    scalar KS (drift in the representation a retrieval index serves
+    is invisible to value-level tests).
+
+    Scale: one posexplode aggregate (map-side combinable) folds the
+    corpus to 2 x dims cells; everything after is driver-sized. The
+    group key here is the deterministic vec_id parity (old/new batch
+    stand-in); production swaps in ingestion day or source."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * MMD_SCALE).cast("bigint"),
+        ).alias("eq"),
+    )
+    means = (
+        q.select("grp", F.posexplode("eq").alias("pos", "x"))
+        .groupBy("grp", "pos")
+        .agg(
+            (F.sum("x").cast("double") / F.count("*") / float(MMD_SCALE))
+            .alias("m"),
+            F.count("*").alias("n"),
+        )
+    )
+    a = means.filter(F.col("grp") == 0).select(
+        "pos", F.col("m").alias("ma"), F.col("n").alias("na")
+    )
+    b = means.filter(F.col("grp") == 1).select(
+        "pos", F.col("m").alias("mb"), F.col("n").alias("nb")
+    )
+    sides = a.join(b, "pos")
+    gaps = sides.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        ((F.col("ma") - F.col("mb"))
+                         * (F.col("ma") - F.col("mb"))).alias("sqv"),
+                    )
+                )
+            ),
+            lambda s: s["sqv"],
+        ).alias("sq"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", F.abs(F.col("ma") - F.col("mb")).alias("av"))
+                )
+            ),
+            lambda s: s["av"],
+        ).alias("ab"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )
+    return gaps.select(
+        F.col("n_a").cast("bigint"),
+        F.col("n_b").cast("bigint"),
+        F.aggregate("sq", F.lit(0.0), lambda acc, v: acc + v).alias(
+            "mmd2_linear"
+        ),
+        F.array_max("ab").alias("max_dim_gap"),
+        (F.array_position("ab", F.array_max("ab")) - 1)
+        .cast("bigint")
+        .alias("argmax_dim"),
+    )

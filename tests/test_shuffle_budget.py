@@ -211,6 +211,8 @@ BUDGETS = {
     # TakeOrdered — the delta table never sorts globally
     "llm_dataset_card": 2,  # the three distinct-counts share one
     # expand + two-phase aggregate
+    "embedding_drift_mmd": 3,  # posexplode moment agg + the 2 x dims
+    # side split/join + the final 1-row fold — corpus folds once
 }
 
 
