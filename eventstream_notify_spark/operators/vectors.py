@@ -3908,26 +3908,35 @@ def sim_search_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen — no UDF, no shuffle beyond the top-k window.
     """
     e = table(spark, sf_dir, "embeddings")
+
+    def tokens(col: str, prefix: str) -> list:
+        # token slices materialize ONCE PER ROW on each side of the
+        # join (N + Q array builds), not once per (pair, token, token)
+        # dot — the interpreted-HOF slice was ~25% of the pair cost
+        return [
+            F.slice(F.col(col), t * MAXSIM_DIM + 1, MAXSIM_DIM).alias(
+                f"{prefix}{t}"
+            )
+            for t in range(MAXSIM_TOKENS)
+        ]
+
+    corpus = e.select("vec_id", *tokens("embedding", "d"))
     q = F.broadcast(
         e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
+            *tokens("embedding", "q"),
         )
     )
-
-    def tok(col: str, t: int) -> F.Column:
-        return F.slice(F.col(col), t * MAXSIM_DIM + 1, MAXSIM_DIM)
-
     score = None
     for qt in range(MAXSIM_TOKENS):
         best = F.greatest(
             *[
-                dot(tok("qe", qt), tok("embedding", dt))
+                dot(f"q{qt}", f"d{dt}")
                 for dt in range(MAXSIM_TOKENS)
             ]
         )
         score = best if score is None else score + best
-    scored = e.join(q, F.col("vec_id") != F.col("query_id")).select(
+    scored = corpus.join(q, F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
         F.round(score, 6).alias("score"),
