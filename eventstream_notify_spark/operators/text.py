@@ -5050,7 +5050,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = e.select(
         F.col("doc_a").alias("w"), F.col("doc_b").alias("v")
     ).union(e.select(F.col("doc_b").alias("w"), F.col("doc_a").alias("v")))
-    nodes = adj.select("w").distinct().localCheckpoint(eager=True)
+    # lazy checkpoints throughout: the count() that drives the
+    # fixpoint test is the materializing action, so each peel round
+    # costs ONE job, not checkpoint-job + count-job
+    nodes = adj.select("w").distinct().localCheckpoint(eager=False)
     n_prev = nodes.count()
     for _ in range(KCORE_MAX_ITERS):
         alive = adj.join(
@@ -5065,7 +5068,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("d"))
             .filter(F.col("d") >= KCORE_K)
             .select("w")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_new = keep.count()
         nodes = keep
