@@ -5241,3 +5241,176 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_toks").cast("bigint").alias("max_tokens"),
         F.sum("bytes").cast("bigint").alias("total_bytes"),
     )
+
+
+# ------------------------------------------------- Shapley attribution
+
+
+SHAPLEY_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts)
+                     - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id)
+                     > 1800000000
+                  OR LAG(epoch_us(ts)) OVER (
+                         PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+), sess AS (
+    SELECT *, SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM seq
+), fp AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+                  OVER (PARTITION BY user_id, sess_id) AS first_purch
+    FROM sess
+), journeys AS (
+    SELECT user_id, sess_id,
+           MAX(CASE WHEN first_purch IS NOT NULL THEN 1 ELSE 0 END)
+               AS conv,
+           MAX(CASE WHEN event_type = 'click'
+                     AND (first_purch IS NULL OR ts_us < first_purch)
+                    THEN 1 ELSE 0 END)
+         + 2 * MAX(CASE WHEN event_type = 'view'
+                     AND (first_purch IS NULL OR ts_us < first_purch)
+                    THEN 1 ELSE 0 END)
+         + 4 * MAX(CASE WHEN event_type = 'signup'
+                     AND (first_purch IS NULL OR ts_us < first_purch)
+                    THEN 1 ELSE 0 END) AS mask
+    FROM fp GROUP BY user_id, sess_id
+), mask_conv AS (
+    SELECT mask, COUNT(*) AS n_conv FROM journeys
+    WHERE conv = 1 GROUP BY mask
+), coalitions AS (
+    SELECT CAST(s AS BIGINT) AS s FROM range(8) t(s)
+), v AS (
+    SELECT c.s, COALESCE(SUM(m.n_conv), 0) AS v
+    FROM coalitions c
+    LEFT JOIN mask_conv m ON (m.mask & xor(CAST(7 AS BIGINT), c.s)) = 0
+    GROUP BY c.s
+), channels(channel, bit) AS (
+    VALUES ('click', 1), ('view', 2), ('signup', 4)
+), terms AS (
+    SELECT ch.channel,
+           CASE WHEN c.s IN (1, 2, 4) THEN 1 ELSE 2 END
+               * (vi.v - vs.v) AS term
+    FROM channels ch
+    JOIN coalitions c ON (c.s & ch.bit) = 0
+    JOIN v vs ON vs.s = c.s
+    JOIN v vi ON vi.s = (c.s | ch.bit)
+)
+SELECT channel, CAST(SUM(term) AS BIGINT) AS shapley_x6,
+       ROUND(CAST(SUM(term) AS DOUBLE) / 6.0, 6) AS shapley_conversions
+FROM terms GROUP BY channel
+"""
+
+
+@register("attribution_shapley", extra=True, oracle=SHAPLEY_ORACLE)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE multi-touch attribution — the third leg of the
+    attribution triad (heuristic last-touch, Markov removal effects,
+    game-theoretic Shapley; cf. Zhao et al. 2018). Journey = 30-min
+    session; a session's coalition is the SET of channels (click /
+    view / signup) touched strictly before its first purchase; the
+    characteristic function v(S) = converted sessions whose coalition
+    is contained in S. With a 3-channel alphabet the coalition
+    lattice has 8 nodes, so the Shapley sum is EXACT and closed-form:
+    phi_i = sum over S not containing i of |S|!(n-1-|S|)!/n! *
+    (v(S+i) - v(S)), emitted scaled by n! = 6 so every value is an
+    integer (cross-engine exact by construction; the rounded
+    /6 share is derived from the integer, not accumulated).
+
+    Scale: ONE user-key shuffle for sessionization (the same axis
+    every per-user operator here shuffles on), a (user, sess) hash
+    aggregate down to 8 mask rows, then the entire lattice algebra
+    runs on 8x8 broadcast-nested-loop joins of single-digit-row
+    frames — corpus size never touches the Shapley combinatorics.
+    Efficiency check built in: sum(shapley_x6) = 6 * (v(N) - v(0))."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = ev.withColumn("prev_ts", F.lag("ts_us").over(w)).withColumn(
+        "new_sess",
+        (
+            F.col("prev_ts").isNull()
+            | (F.col("ts_us") - F.col("prev_ts") > SESSION_GAP_US)
+        ).cast("int"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    fp = sess.withColumn(
+        "first_purch",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).over(Window.partitionBy("user_id", "sess_id")),
+    )
+    pre = F.col("first_purch").isNull() | (
+        F.col("ts_us") < F.col("first_purch")
+    )
+
+    def _touch(t: str) -> F.Column:
+        return F.max(
+            ((F.col("event_type") == t) & pre).cast("int")
+        )
+
+    journeys = fp.groupBy("user_id", "sess_id").agg(
+        F.max(F.col("first_purch").isNotNull().cast("int")).alias("conv"),
+        (
+            _touch("click") + _touch("view") * 2 + _touch("signup") * 4
+        ).alias("mask"),
+    )
+    mask_conv = (
+        journeys.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count("*").alias("n_conv"))
+    )
+    coalitions = spark.range(8).select(F.col("id").alias("s"))
+    v = (
+        coalitions.join(
+            mask_conv,
+            (
+                F.col("mask").bitwiseAND(
+                    F.lit(7).cast("bigint").bitwiseXOR(F.col("s"))
+                )
+                == 0
+            ),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4)], "channel string, bit long"
+    )
+    weight = F.when(F.col("s").isin(1, 2, 4), 1).otherwise(2)
+    terms = (
+        channels.join(
+            coalitions, F.col("s").bitwiseAND(F.col("bit")) == 0
+        )
+        .join(v.withColumnRenamed("v", "v_s"), "s")
+        .join(
+            v.selectExpr("s AS s_i", "v AS v_i"),
+            F.col("s_i") == F.col("s").bitwiseOR(F.col("bit")),
+        )
+        .select(
+            "channel",
+            (weight * (F.col("v_i") - F.col("v_s"))).alias("term"),
+        )
+    )
+    return terms.groupBy("channel").agg(
+        F.sum("term").cast("bigint").alias("shapley_x6"),
+        F.round(F.sum("term").cast("double") / 6.0, 6).alias(
+            "shapley_conversions"
+        ),
+    )

@@ -578,3 +578,67 @@ def test_adaboost_error_decreases_and_valid(spark, sf_dir):
     majority = max(n_pos, n - n_pos) / n
     assert rows[-1].train_acc >= majority - 0.02
     assert rows[-1].train_acc > 0.5
+
+
+def test_shapley_attribution_efficiency_and_symmetry(spark, sf_dir):
+    """Game-theory invariants on real data: (a) EFFICIENCY — the x6
+    credits sum to 6 * (v(full coalition) - v(empty)) = 6 * converted
+    sessions with a non-empty pre-purchase touch set; (b) every
+    channel's credit is non-negative (v is monotone by construction:
+    adding a channel can only admit more subset-contained journeys);
+    (c) the rounded share column derives from the integer."""
+    from eventstream_notify_spark.operators.analytics import (
+        attribution_shapley,
+    )
+
+    rows = attribution_shapley(spark, sf_dir).collect()
+    assert {r.channel for r in rows} == {"click", "view", "signup"}
+    for r in rows:
+        assert r.shapley_x6 >= 0
+        assert abs(r.shapley_conversions - round(r.shapley_x6 / 6.0, 6)) < 1e-9
+    # efficiency: recompute v(N) - v(empty) independently
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators.analytics import SESSION_GAP_US
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (F.col("ts_us") - F.col("prev") > SESSION_GAP_US)
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "fp",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+            ).over(Window.partitionBy("user_id", "sess_id")),
+        )
+    )
+    pre = F.col("fp").isNull() | (F.col("ts_us") < F.col("fp"))
+    j = sess.groupBy("user_id", "sess_id").agg(
+        F.max(F.col("fp").isNotNull().cast("int")).alias("conv"),
+        F.max(
+            (
+                F.col("event_type").isin("click", "view", "signup") & pre
+            ).cast("int")
+        ).alias("touched"),
+    )
+    v_full_minus_empty = j.filter(
+        (F.col("conv") == 1) & (F.col("touched") == 1)
+    ).count()
+    assert sum(r.shapley_x6 for r in rows) == 6 * v_full_minus_empty

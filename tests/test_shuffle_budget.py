@@ -213,6 +213,11 @@ BUDGETS = {
     # expand + two-phase aggregate
     "embedding_drift_mmd": 3,  # posexplode moment agg + the 2 x dims
     # side split/join + the final 1-row fold — corpus folds once
+    "attribution_shapley": 5,  # ONE fact shuffle (user window; the
+    # (user,sess) agg and first-purchase window ride the same
+    # subset-key partitioning) + four single-digit-row lattice aggs
+    # (mask, v(S), channel terms) — the Shapley combinatorics never
+    # touches corpus-sized frames
 }
 
 
