@@ -5081,3 +5081,108 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_adj.groupBy(F.col("w").alias("doc_id")).agg(
         F.count("*").cast("bigint").alias("core_degree")
     )
+
+
+# --------------------------------------------------- token drift (TV)
+
+
+TOKEN_DRIFT_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id % 2 AS half,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+    FROM documents
+), counts AS (
+    SELECT term,
+           SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_a,
+           SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_b
+    FROM toks GROUP BY term
+), totals AS (
+    SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM counts
+), scored AS (
+    SELECT term, c_a, c_b, n_a, n_b,
+           abs(c_a * n_b - c_b * n_a) AS delta_num
+    FROM counts, totals
+), tv AS (
+    SELECT SUM(delta_num) AS tv_num, ANY_VALUE(n_a) AS n_a,
+           ANY_VALUE(n_b) AS n_b
+    FROM scored
+)
+SELECT s.term,
+       CAST(s.c_a AS BIGINT) AS n_a, CAST(s.c_b AS BIGINT) AS n_b,
+       ROUND(CAST(s.c_a AS DOUBLE) / s.n_a
+             - CAST(s.c_b AS DOUBLE) / s.n_b, 6) AS share_delta,
+       ROUND(CAST(t.tv_num AS DOUBLE) / (2.0 * t.n_a * t.n_b), 6)
+           AS tv_distance
+FROM scored s, tv t
+ORDER BY s.delta_num DESC, s.term LIMIT 15
+"""
+
+
+@register("token_drift_tv", extra=True, oracle=TOKEN_DRIFT_ORACLE)
+def token_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-DISTRIBUTION DRIFT by exact total-variation distance —
+    the token-level member of the drift triad (zx_ks_drift_test
+    watches scalar values, zx_embedding_drift_mmd watches the
+    representation space; this watches the vocabulary): split the
+    corpus into two snapshots (doc_id parity — the deterministic
+    stand-in for consecutive crawls), compare unigram distributions,
+    report TV = 1/2 * sum_t |p_t - q_t| plus the 15 largest movers.
+
+    Exactness: TV's float sum over the vocabulary is an ORDER TRAP
+    (1e5 addends in shuffle order), so the sum runs on the integer
+    |c_a*N_b - c_b*N_a| — cross-multiplied counts, order-free — and
+    divides by 2*N_a*N_b ONCE at the end; per-term share deltas are
+    two exact divisions and one subtraction, rounded at 6 d.p.
+
+    Scale: the canonical word-count shape — one narrow explode, ONE
+    token-key shuffle (partial counts combine map-side), a 1-row
+    totals aggregate broadcast back, TakeOrdered for the movers. The
+    vocabulary is the only shuffled axis; 100 TB of text with a 10M-
+    term vocab moves 10M rows, not the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens_col()).alias("term"),
+    )
+    # three consumers (totals, movers, TV fold) — checkpoint so the
+    # explode + token shuffle run ONCE, not per consumer
+    counts = (
+        toks.groupBy("term")
+        .agg(
+            F.sum((F.col("half") == 0).cast("bigint")).alias("c_a"),
+            F.sum((F.col("half") == 1).cast("bigint")).alias("c_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    scored = counts.join(F.broadcast(totals)).withColumn(
+        "delta_num",
+        F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")),
+    )
+    tv = scored.agg(
+        F.sum("delta_num").alias("tv_num"),
+        F.any_value("n_a").alias("t_n_a"),
+        F.any_value("n_b").alias("t_n_b"),
+    )
+    return (
+        scored.join(F.broadcast(tv))
+        .orderBy(F.col("delta_num").desc(), "term")
+        .limit(15)
+        .select(
+            "term",
+            F.col("c_a").cast("bigint").alias("n_a"),
+            F.col("c_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("c_a").cast("double") / F.col("n_a")
+                - F.col("c_b").cast("double") / F.col("n_b"),
+                6,
+            ).alias("share_delta"),
+            F.round(
+                F.col("tv_num").cast("double")
+                / (2.0 * F.col("t_n_a") * F.col("t_n_b")),
+                6,
+            ).alias("tv_distance"),
+        )
+    )

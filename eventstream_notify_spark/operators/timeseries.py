@@ -1439,3 +1439,102 @@ def cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sv").cast("bigint").alias("s_scaled"),
         )
     )
+
+
+# ------------------------------------------------- Theil–Sen trend
+
+
+THEILSEN_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), pairs AS (
+    SELECT a.event_type,
+           CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+), sl AS (
+    SELECT event_type, quantile_cont(slope, 0.5) AS sen,
+           COUNT(*) AS n_pairs
+    FROM pairs GROUP BY 1
+), res AS (
+    SELECT d.event_type, s.sen, s.n_pairs,
+           CAST(d.c AS DOUBLE) - s.sen * CAST(d.d AS DOUBLE) AS resid
+    FROM daily d JOIN sl s USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(ANY_VALUE(n_pairs) AS BIGINT) AS n_pairs,
+       ROUND(ANY_VALUE(sen), 6) AS sen_slope_per_day,
+       ROUND(quantile_cont(resid, 0.5), 6) AS sen_intercept
+FROM res GROUP BY event_type
+"""
+
+
+@register("theilsen_trend", extra=True, oracle=THEILSEN_ORACLE)
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN robust trend per event type — the median of all
+    pairwise slopes of the daily-count series (plus the matching
+    median-residual intercept). The robust sibling of zx_ols_trend:
+    OLS moves arbitrarily under one corrupted day (a logging outage,
+    a bot flood); Theil–Sen tolerates ~29% corrupted points, which is
+    why monitoring pipelines prefer it for volume trends.
+
+    Exactness: every slope is ONE IEEE division of two integer
+    deltas (daily counts and day indexes are exact bigints), and the
+    median is positional — interpolation only ever averages two
+    identically-computed doubles, the same SQL-standard percentile
+    both engines implement (zx_agg_percentiles precedent). No float
+    accumulates anywhere.
+
+    Scale: the pair join is per-GROUP over the DAILY series, not the
+    fact — days grow with calendar time, not data volume, so C(n,2)
+    pairs stay bounded (~2k slopes per group-year) while the fact
+    folds once into daily counts via one (type, day) hash aggregate.
+    The canonical robust-statistics split: heavy data -> tiny exact
+    summary -> quadratic-in-summary robust kernel."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    sl = pairs.groupBy("event_type").agg(
+        F.expr("percentile(slope, 0.5)").alias("sen"),
+        F.count("*").alias("n_pairs"),
+    )
+    res = daily.join(F.broadcast(sl), "event_type").select(
+        "event_type",
+        "sen",
+        "n_pairs",
+        (
+            F.col("c").cast("double") - F.col("sen") * F.col("d").cast("double")
+        ).alias("resid"),
+    )
+    return res.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.any_value("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.any_value("sen"), 6).alias("sen_slope_per_day"),
+        F.round(F.expr("percentile(resid, 0.5)"), 6).alias("sen_intercept"),
+    )

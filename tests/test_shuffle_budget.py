@@ -213,6 +213,12 @@ BUDGETS = {
     # expand + two-phase aggregate
     "embedding_drift_mmd": 3,  # posexplode moment agg + the 2 x dims
     # side split/join + the final 1-row fold — corpus folds once
+    "theilsen_trend": 2,  # the (type, day) fact fold is checkpointed;
+    # final plan: pair-join slope agg + residual-median agg over the
+    # calendar-bounded daily series
+    "token_drift_tv": 3,  # the token-count shuffle runs ONCE at
+    # build time (checkpointed — three consumers); final plan: 1-row
+    # totals + TV folds and the TakeOrdered movers
     "attribution_shapley": 5,  # ONE fact shuffle (user window; the
     # (user,sess) agg and first-purchase window ride the same
     # subset-key partitioning) + four single-digit-row lattice aggs

@@ -76,3 +76,42 @@ def test_dtw_batch_matches_scalar():
     got = _dtw_batch(pairs)
     ref = np.array([_dtw(x, y) for x, y in pairs])
     assert np.array_equal(got, ref)
+
+
+def test_theilsen_robust_to_outlier_day(spark, monkeypatch):
+    """Constructed corpus: one event type whose daily counts follow
+    c = 10 + 3*dayidx exactly, except ONE corrupted day with a 1000-
+    event bot flood. Theil-Sen must recover slope exactly 3.0 (the
+    median pairwise slope is untouched by a single outlier); OLS on
+    the same series would not."""
+    import datetime as dt
+
+    from eventstream_notify_spark.operators import timeseries as tsmod
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(11):
+        n = 10 + 3 * day
+        if day == 5:
+            n = 1000  # corrupted day
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, minutes=eid % 600),
+                 1, "click", 1.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(tsmod, "table", lambda spark, sf_dir, name: ev)
+    got = {
+        r.event_type: r
+        for r in tsmod.theilsen_trend(spark, "ignored").collect()
+    }
+    r = got["click"]
+    assert r.n_days == 11
+    assert r.n_pairs == 55
+    assert r.sen_slope_per_day == 3.0
