@@ -5414,3 +5414,181 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shapley_conversions"
         ),
     )
+
+
+# --------------------------------------------- Bradley–Terry fitting
+
+
+BT_ITERS = 30
+
+
+def bt_mm_fit(
+    mat: list[list[float]], wins: list[float], iters: int = BT_ITERS
+) -> list[float]:
+    """Bradley–Terry strengths by Hunter's MM algorithm, written as
+    the EXACT op sequence the DuckDB recursive-CTE twin replays:
+    theta_i <- W_i / fold_j[(n_ij + n_ji) / (theta_i + theta_j)],
+    then normalize by the left-fold sum. Every fold runs j = 1..k in
+    list order with an explicit 0.0 term at j = i (adding 0.0 is an
+    exact IEEE no-op, kept so the two transcripts are identical)."""
+    k = len(wins)
+    th = [1.0] * k
+    for _ in range(iters):
+        new = []
+        for i in range(k):
+            terms = [
+                0.0 if j == i else (mat[i][j] + mat[j][i]) / (th[i] + th[j])
+                for j in range(k)
+            ]
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = acc + t
+            new.append(wins[i] / acc)
+        s = new[0]
+        for x in new[1:]:
+            s = s + x
+        th = [x / s for x in new]
+    return th
+
+
+BT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+    SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           event_type, COUNT(*) AS c
+    FROM events GROUP BY 1, 2, 3
+), comp AS (
+    SELECT a.event_type AS wi, b.event_type AS li, COUNT(*) AS n
+    FROM daily a JOIN daily b
+      ON a.user_id = b.user_id AND a.d = b.d
+     AND a.event_type <> b.event_type AND a.c > b.c
+    GROUP BY 1, 2
+), items AS (
+    SELECT event_type,
+           ROW_NUMBER() OVER (ORDER BY event_type) AS idx
+    FROM (SELECT DISTINCT event_type FROM events)
+), grid AS (
+    SELECT wi.idx AS i, li.idx AS j, COALESCE(MAX(c.n), 0) AS n
+    FROM items wi CROSS JOIN items li
+    LEFT JOIN comp c
+      ON c.wi = wi.event_type AND c.li = li.event_type
+    WHERE wi.idx <> li.idx
+    GROUP BY 1, 2
+), matrows AS (
+    SELECT i, list(CAST(n AS DOUBLE) ORDER BY j) AS r,
+           SUM(n) AS wins
+    FROM (
+        SELECT i, j, n FROM grid
+        UNION ALL
+        SELECT idx AS i, idx AS j, 0 AS n FROM items
+    ) GROUP BY i
+), mat AS (
+    SELECT list(r ORDER BY i) AS M,
+           list(CAST(wins AS DOUBLE) ORDER BY i) AS W,
+           CAST(len(list(r)) AS BIGINT) AS k
+    FROM matrows
+), it AS (
+    SELECT 0 AS t, M, W, k,
+           list_transform(range(1, k + 1),
+                          x -> CAST(1.0 AS DOUBLE)) AS th
+    FROM mat
+    UNION ALL
+    SELECT t + 1, M, W, k,
+           (SELECT list_transform(u.v, x -> x / list_reduce(
+                       u.v, (a, b) -> a + b))
+            FROM (SELECT list_transform(range(1, it.k + 1), i ->
+                      it.W[i] / list_reduce(
+                          list_transform(range(1, it.k + 1), j ->
+                              CASE WHEN j = i THEN CAST(0.0 AS DOUBLE)
+                                   ELSE (it.M[i][j] + it.M[j][i])
+                                        / (it.th[i] + it.th[j]) END),
+                          (a, b) -> a + b)) AS v) u)
+    FROM it WHERE t < {BT_ITERS}
+), fin AS (
+    SELECT th FROM it WHERE t = {BT_ITERS}
+), peritem AS (
+    SELECT i AS idx, SUM(n) AS wins FROM grid GROUP BY i
+), losses AS (
+    SELECT j AS idx, SUM(n) AS losses FROM grid GROUP BY j
+)
+SELECT it2.event_type AS item,
+       ROUND(f.th[it2.idx], 6) AS bt_strength,
+       CAST(p.wins AS BIGINT) AS wins,
+       CAST(p.wins + l.losses AS BIGINT) AS comparisons
+FROM fin f, items it2
+JOIN peritem p ON p.idx = it2.idx
+JOIN losses l ON l.idx = it2.idx
+"""
+
+
+@register("bt_preference_fit", extra=True, oracle=BT_ORACLE)
+def bt_preference_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY–TERRY preference fitting by Hunter's (2004) MM
+    algorithm — the model behind pairwise-preference data work
+    (reward-model datasets, model-vs-model ELO tables, ranker evals).
+    Comparisons derive deterministically from the event stream: for
+    each (user, day) context, event type i "beats" j when i logged
+    strictly more events; the fit turns the win matrix into latent
+    strengths theta with P(i beats j) = theta_i / (theta_i+theta_j).
+
+    The canonical distributed-count / driver-solve split (the
+    attribution_markov posture): the fact folds ONCE into (user, day,
+    type) counts, comparisons join on the bounded daily summary, and
+    the k x k win matrix (k = |alphabet|, here 5) collects to the
+    driver where 30 MM iterations run in milliseconds — corpus size
+    never enters the iteration. Oracle-paired: the MM fixpoint is
+    pure rational arithmetic in a written-down fold order, so one
+    recursive CTE carrying (M, W, theta) replays it bit-for-bit.
+
+    Sanity property pinned by test: strengths are a probability
+    vector (normalized each round) and the strength order matches
+    the win-rate order on a constructed corpus."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("d"),
+            "event_type",
+        )
+        .groupBy("user_id", "d", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    comp = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.c") > F.col("b.c")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("wi"),
+            F.col("b.event_type").alias("li"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    items = sorted({r.wi for r in comp} | {r.li for r in comp})
+    pos = {t: i for i, t in enumerate(items)}
+    k = len(items)
+    mat = [[0.0] * k for _ in range(k)]
+    for r in comp:
+        mat[pos[r.wi]][pos[r.li]] = float(r.n)
+    wins = [float(sum(row)) for row in mat]
+    losses = [float(sum(mat[i][j] for i in range(k))) for j in range(k)]
+    th = bt_mm_fit(mat, wins)
+    rows = [
+        (
+            items[i],
+            round(th[i], 6),
+            int(wins[i]),
+            int(wins[i] + losses[i]),
+        )
+        for i in range(k)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "item string, bt_strength double, wins bigint, comparisons bigint",
+    )

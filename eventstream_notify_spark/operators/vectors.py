@@ -4075,3 +4075,116 @@ def embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("argmax_dim"),
     )
+
+
+# ------------------------------------------------ k-center coreset
+
+
+KCENTER_K = 8
+_KC_D2 = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i])), "
+    "(a, b) -> a + b)"
+)
+
+KCENTER_ORACLE = f"""
+WITH RECURSIVE quant AS (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS idx,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vec
+    FROM embeddings
+), seed AS (
+    SELECT vec_id, vec FROM quant WHERE idx = 1
+), it AS (
+    SELECT 0 AS t,
+           [struct_pack(pick := CAST(0 AS BIGINT),
+                        id := s.vec_id,
+                        r2 := CAST(0 AS BIGINT))] AS chosen,
+           (SELECT list(list_reduce(list_transform(range(1, 65),
+                       i -> (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i])),
+                       (a, b) -> a + b) ORDER BY q.idx)
+            FROM quant q, seed c) AS minds
+    FROM seed s
+    UNION ALL
+    SELECT t + 1,
+           list_append(chosen, struct_pack(
+               pick := CAST(t + 1 AS BIGINT),
+               id := (SELECT q.vec_id FROM quant q
+                      WHERE q.idx = list_position(minds, list_max(minds))),
+               r2 := list_max(minds))),
+           (SELECT list(least(minds[q.idx], {_KC_D2}) ORDER BY q.idx)
+            FROM quant q,
+                 (SELECT q2.vec AS vec FROM quant q2
+                  WHERE q2.idx = list_position(minds, list_max(minds))) c)
+    FROM it WHERE t < {KCENTER_K - 1}
+), fin AS (
+    SELECT chosen, list_max(minds) AS cov
+    FROM it WHERE t = {KCENTER_K - 1}
+)
+SELECT CAST(c['pick'] AS BIGINT) AS pick_order,
+       CAST(c['id'] AS BIGINT) AS vec_id,
+       CAST(c['r2'] AS BIGINT) AS sel_r2,
+       CAST(cov AS BIGINT) AS covering_r2
+FROM (SELECT UNNEST(chosen) AS c, cov FROM fin)
+"""
+
+
+@register("coreset_kcenter", extra=True, oracle=KCENTER_ORACLE)
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORESET SELECTION by greedy k-center (Gonzalez 1985) — the
+    deterministic data-selection primitive behind diverse-subset
+    picking (active learning seed sets, eval-set curation, prototype
+    selection): repeatedly take the point FARTHEST from everything
+    chosen so far. The greedy is a provable 2-approximation of the
+    optimal covering radius, and unlike k-means it needs no RNG —
+    byte-stable under retries, which is why selection pipelines
+    prefer it.
+
+    Exactness: coordinates quantize to 1e-6 units ONCE, so every
+    distance is an exact int64 sum of squared integer deltas (order-
+    free) and the argmax is over integers with a vec_id tie-break —
+    the whole greedy trajectory is combinatorial, no float anywhere.
+    The DuckDB twin replays it in one recursive CTE whose state is
+    (chosen list, per-point min-distance list ordered by vec_id).
+
+    Scale: k-1 rounds, each ONE scan computing least(mind, d2-to-new-
+    center) and ONE TakeOrdered(1) argmax — no shuffle at all; the
+    running min-distance column carries between rounds via lazy
+    localCheckpoints (the graph_kcore posture) so round t never
+    recomputes rounds 1..t-1. Selection cost is O(k * N / cores) with
+    k fixed: at 100 TB the same 7 scans, just wider."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6).cast("bigint"),
+        ).alias("q"),
+    )
+
+    def d2_expr(center: list[int]) -> F.Column:
+        arr = "array({})".format(",".join(f"{int(v)}L" for v in center))
+        return F.expr(
+            f"aggregate(transform(q, (x, i) -> (x - {arr}[i]) * "
+            f"(x - {arr}[i])), 0L, (a, x) -> a + x)"
+        )
+
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(0, int(seed.vec_id), 0)]
+    cur = emb.withColumn("mind", d2_expr(seed.q))
+    for t in range(1, KCENTER_K):
+        cur = cur.localCheckpoint(eager=False)
+        best = (
+            cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()
+        )[0]
+        chosen.append((t, int(best.vec_id), int(best.mind)))
+        cur = cur.withColumn(
+            "mind", F.least(F.col("mind"), d2_expr(best.q))
+        )
+    covering = int(cur.agg(F.max("mind")).collect()[0][0])
+    rows = [(p, vid, r2, covering) for p, vid, r2 in chosen]
+    return spark.createDataFrame(
+        rows,
+        "pick_order bigint, vec_id bigint, sel_r2 bigint, "
+        "covering_r2 bigint",
+    )

@@ -1429,3 +1429,46 @@ def stream_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = file_events_stream(spark, sf_dir)
     return run_bounded(cusum_alert_stream(src))
+
+
+@register(
+    "stream_absence_alert",
+    extra=True,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    )
+    SELECT user_id,
+           prev_us AS gap_start_us,
+           ts_us AS gap_end_us,
+           ts_us - prev_us AS gap_us
+    FROM seq
+    WHERE ts_us - prev_us > 172800000000
+    """,
+)
+def stream_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSENCE DETECTION — the CEP pattern the burst family can't
+    express: alert on events that DIDN'T happen (a device heartbeat
+    going silent, a daily feed not arriving). Per-user stateful
+    kernel (state = last event time, one bigint) emits the silence
+    interval retrospectively when the next event closes it — the
+    deterministic formulation; wall-clock timers would fire
+    differently per run. The E4 complement: late-data handling keeps
+    state for stragglers, this operator reports the straggling
+    itself.
+
+    Oracle-paired: retrospective gaps are exactly LAG() in event-time
+    order, so the bounded replay hash-matches a 3-line window SQL —
+    the streaming state machinery against a batch-relational twin.
+
+    Scale: one user-key shuffle into the state store, 8 bytes of
+    state per active user, 30-day event-time idle eviction (the
+    family's standard TTL posture)."""
+    from eventstream_notify_spark.streaming.state import absence_stream
+
+    src = file_events_stream(spark, sf_dir)
+    return run_bounded(absence_stream(src))

@@ -608,3 +608,88 @@ def cusum_alert_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ----------------------------------------------- absence detection
+
+ABSENCE_OUTPUT_SCHEMA = (
+    "user_id long, gap_start_us long, gap_end_us long, gap_us long"
+)
+ABSENCE_STATE_SCHEMA = "last_ts_us long"
+ABSENCE_GAP_US = 2 * 86_400 * 1_000_000  # silent > 2 days => alert
+
+
+def absence_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Heartbeat-absence detector: per user, remember only the LAST
+    event time; when the next event arrives more than ABSENCE_GAP_US
+    later, emit the silence interval it closes. Retrospective
+    emission (on the closing event, not a wall-clock timer) is what
+    keeps the operator deterministic under replay — processing-time
+    timers fire differently per run, event gaps do not.
+
+    State is ONE bigint per user — the cheapest stateful operator in
+    the module — with the family's standard 30-day event-time idle
+    eviction (a user silent past eviction re-enters as new; the
+    churn report, not this alert, owns that regime)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (user_id,) = key
+    last_ts = int(state.get[0]) if state.exists else None
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        # Same chunk-ordering hazard as ewma_fn: materialize the
+        # whole group and sort once.
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        out = []
+        for ts_us in pdf["ts_us"]:
+            ts_us = int(ts_us)
+            if last_ts is not None and ts_us - last_ts > ABSENCE_GAP_US:
+                out.append(
+                    (user_id, last_ts, ts_us, ts_us - last_ts)
+                )
+            if last_ts is None or ts_us > last_ts:
+                last_ts = ts_us
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "gap_start_us",
+                    "gap_end_us",
+                    "gap_us",
+                ],
+            )
+    if last_ts is not None:
+        state.update((last_ts,))
+        state.setTimeoutTimestamp(last_ts // 1000 + 30 * 86_400_000)
+
+
+def absence_stream(
+    events: DataFrame, watermark: str | None = "60 seconds"
+) -> DataFrame:
+    """Streaming absence alerts over an event-time stream carrying
+    ``ts``; emits one row per closed silence interval > 2 days."""
+    from pyspark.sql import functions as F
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        absence_fn,
+        ABSENCE_OUTPUT_SCHEMA,
+        ABSENCE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -642,3 +642,40 @@ def test_shapley_attribution_efficiency_and_symmetry(spark, sf_dir):
         (F.col("conv") == 1) & (F.col("touched") == 1)
     ).count()
     assert sum(r.shapley_x6 for r in rows) == 6 * v_full_minus_empty
+
+
+def test_bt_preference_fit_recovers_dominance_order(spark, monkeypatch):
+    """Constructed corpus: over 6 user-days, 'click' out-logs 'view'
+    every day and 'view' out-logs 'error' every day (click > view >
+    error transitively). The fitted Bradley-Terry strengths must be a
+    probability vector ranked click > view > error, and the win
+    bookkeeping must match the construction (click 12 wins, error 0)."""
+    import datetime as dt
+
+    from eventstream_notify_spark.operators import analytics as an
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows, eid = [], 0
+    for day in range(6):
+        for typ, n in (("click", 5), ("view", 3), ("error", 1)):
+            for _ in range(n):
+                eid += 1
+                rows.append(
+                    (eid, t0 + dt.timedelta(days=day, minutes=eid % 500),
+                     1, typ, 1.0, "{}")
+                )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(an, "table", lambda spark, sf_dir, name: ev)
+    got = {
+        r.item: r for r in an.bt_preference_fit(spark, "ignored").collect()
+    }
+    assert set(got) == {"click", "view", "error"}
+    assert got["click"].bt_strength > got["view"].bt_strength
+    assert got["view"].bt_strength > got["error"].bt_strength
+    assert abs(sum(r.bt_strength for r in got.values()) - 1.0) < 1e-5
+    assert got["click"].wins == 12 and got["error"].wins == 0
+    assert all(r.comparisons == 12 for r in got.values())

@@ -1483,3 +1483,33 @@ def test_dataset_card_totals(spark, sf_dir):
     assert card.n_exact_dups == len(nonempty) - len(
         {r.text for r in nonempty}
     )
+
+
+def test_kcenter_picks_one_per_separated_cluster(spark, monkeypatch):
+    """Constructed corpus: 8 well-separated cluster centers (one-hot
+    * 1.0 on distinct dims), each with 4 tightly-packed members
+    (offset 1e-3 on another dim). Greedy k-center with k=8 must pick
+    EXACTLY one member from each cluster, and the covering radius
+    must be the tiny intra-cluster spread, not an inter-cluster gap."""
+    from eventstream_notify_spark.operators import vectors as vx
+
+    rows = []
+    vid = 0
+    for c in range(8):
+        for m in range(4):
+            vec = [0.0] * 64
+            vec[c] = 1.0
+            vec[32 + c] = m * 1e-3
+            rows.append((vid, vec, c))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(vx, "table", lambda spark, sf_dir, name: emb)
+    got = vx.coreset_kcenter(spark, "ignored").collect()
+    assert len(got) == 8
+    clusters = sorted(r.vec_id // 4 for r in got)
+    assert clusters == list(range(8)), clusters
+    # intra-cluster spread: <= (3e-3 * 1e6)^2 = 9e6; inter-cluster
+    # gap: ~2 * (1e6)^2 = 2e12 — covering radius must be the former
+    assert all(r.covering_r2 <= 9_000_000 for r in got)

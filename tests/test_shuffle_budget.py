@@ -213,6 +213,13 @@ BUDGETS = {
     # expand + two-phase aggregate
     "embedding_drift_mmd": 3,  # posexplode moment agg + the 2 x dims
     # side split/join + the final 1-row fold — corpus folds once
+    "stream_absence_alert": 0,  # final plan reads the bounded-replay
+    # sink; the one user-key shuffle feeds the state store in-stream
+    "coreset_kcenter": 0,  # final plan is the driver-built pick
+    # table; each greedy round is one shuffle-free scan + TakeOrdered
+    "bt_preference_fit": 0,  # final plan is the driver-built strength
+    # table; the (user, day, type) fold + comparison join run at build
+    # time with one fact shuffle (the markov posture)
     "theilsen_trend": 2,  # the (type, day) fact fold is checkpointed;
     # final plan: pair-join slope agg + residual-median agg over the
     # calendar-bounded daily series

@@ -228,3 +228,57 @@ def test_stream_minhash_ttl_evicts_idle_buckets(spark, tmp_path):
     assert cross_batch_pairs(1, "evict") == 0
     # TTL = 10 min: index survives, batch-3 docs pair with batch-1's
     assert cross_batch_pairs(600_000, "keep") > 0
+
+
+def test_absence_kernel_batch_split_invariant():
+    """Feeding the absence kernel the same events in one batch vs
+    three (time-ordered) batches must emit identical gap alerts —
+    the single bigint of state carries the frontier across batches,
+    including a gap that SPANS a batch boundary."""
+    import pandas as pd
+
+    from eventstream_notify_spark.streaming.state import (
+        ABSENCE_GAP_US,
+        absence_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    day = 86_400 * 1_000_000
+    ts = [0, day, day * 2, day * 5, day * 6, day * 9, day * 10]
+    pdf = pd.DataFrame(
+        [(i, t) for i, t in enumerate(ts)], columns=["event_id", "ts_us"]
+    )
+
+    def run(chunks):
+        st = FakeState()
+        out = []
+        for c in chunks:
+            out.extend(df for df in absence_fn((7,), iter([c]), st))
+        return pd.concat(out, ignore_index=True)
+
+    whole = run([pdf])
+    # split right inside the day2 -> day5 gap
+    split = run([pdf.iloc[:3], pdf.iloc[3:5], pdf.iloc[5:]])
+    pd.testing.assert_frame_equal(whole, split)
+    assert list(whole["gap_us"]) == [3 * day, 3 * day]
+    assert list(whole["gap_start_us"]) == [2 * day, 6 * day]
+    assert ABSENCE_GAP_US == 2 * day
