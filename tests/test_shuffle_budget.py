@@ -213,6 +213,12 @@ BUDGETS = {
     # expand + two-phase aggregate
     "embedding_drift_mmd": 3,  # posexplode moment agg + the 2 x dims
     # side split/join + the final 1-row fold — corpus folds once
+    "vopt_histogram": 0,  # final plan is the driver-built bucket
+    # table; the daily fold runs at build time with one shuffle
+    "bot_regularity": 1,  # one user-key window+agg — the family axis
+    "graph_modularity": 1,  # contributions checkpointed (pair build
+    # + label joins run at build time); final plan: 1-row Q fold
+    # broadcast back onto the per-cluster rows
     "stream_absence_alert": 0,  # final plan reads the bounded-replay
     # sink; the one user-key shuffle feeds the state store in-stream
     "coreset_kcenter": 0,  # final plan is the driver-built pick
