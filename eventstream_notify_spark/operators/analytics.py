@@ -5467,9 +5467,12 @@ WITH RECURSIVE daily AS (
      AND a.event_type <> b.event_type AND a.c > b.c
     GROUP BY 1, 2
 ), items AS (
+    -- items = types seen in >=1 comparison (matches the engine side;
+    -- a never-compared type has no MM update and would 0/0 the fold)
     SELECT event_type,
            ROW_NUMBER() OVER (ORDER BY event_type) AS idx
-    FROM (SELECT DISTINCT event_type FROM events)
+    FROM (SELECT wi AS event_type FROM comp
+          UNION SELECT li FROM comp)
 ), grid AS (
     SELECT wi.idx AS i, li.idx AS j, COALESCE(MAX(c.n), 0) AS n
     FROM items wi CROSS JOIN items li
@@ -5884,4 +5887,101 @@ def vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "bucket bigint, day_start bigint, day_end bigint, "
         "n_days bigint, sum_count bigint, sse double",
+    )
+
+
+# ------------------------------------------------- decayed top-k
+
+
+DECAY_SHIFT = 40  # weight(age_days) = 2^(40 - age); 0 past 40 days
+DECAYED_TOPK = 10
+
+
+DECAYED_ORACLE = f"""
+WITH anchor AS (
+    SELECT MAX(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS d_max
+    FROM events
+), w AS (
+    SELECT user_id, event_type,
+           {DECAY_SHIFT} - (a.d_max
+               - CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS pw
+    FROM events, anchor a
+), scored AS (
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN pw >= 0
+                         THEN CAST(1 AS BIGINT) << pw
+                         ELSE 0 END) AS BIGINT) AS decayed_x2p40
+    FROM w GROUP BY 1, 2
+)
+SELECT user_id, event_type, n_events, decayed_x2p40,
+       ROUND(CAST(decayed_x2p40 AS DOUBLE) / 1099511627776.0, 6)
+           AS decayed_count
+FROM scored
+ORDER BY decayed_x2p40 DESC, user_id, event_type
+LIMIT {DECAYED_TOPK}
+"""
+
+
+@register("decayed_topk", extra=True, oracle=DECAYED_ORACLE)
+def decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED top-k activity — the freshness-weighted leaderboard
+    every "trending now" surface runs (exponentially decayed counters,
+    the streaming-sketch standard per Cormode et al.): each event
+    contributes 2^-age_days, so yesterday's flood outranks last
+    month's.
+
+    The float formulation (sum of exp(-lambda*age)) is BOTH a libm
+    dependence and an order trap. With a half-life of exactly one day
+    the weights are DYADIC: 2^(40-age) in integer 2^-40 units — a
+    bigint SHIFT, summed exactly in any order, zero past the 40-day
+    horizon (a 2^-40 tail is below any ranking's resolution anyway).
+    The readable double column derives from the integer by one
+    division.
+
+    Scale: one (user, type) hash aggregate with map-side combine +
+    TakeOrdered(k) — no global sort; the decay anchor (max day) is a
+    1-row aggregate broadcast back. The same shift trick is how the
+    streaming variant would fold state: counters age by a right-shift
+    per elapsed day, which is why decayed counters mergeable-sketch
+    so well."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("d"),
+    )
+    anchor = days.agg(F.max("d").alias("d_max"))
+    w = days.join(F.broadcast(anchor)).select(
+        "user_id",
+        "event_type",
+        (F.lit(DECAY_SHIFT) - (F.col("d_max") - F.col("d"))).alias("pw"),
+    )
+    scored = w.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("pw") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pw AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("decayed_x2p40"),
+    )
+    return (
+        scored.select(
+            "user_id",
+            "event_type",
+            "n_events",
+            "decayed_x2p40",
+            F.round(
+                F.col("decayed_x2p40").cast("double") / float(1 << 40), 6
+            ).alias("decayed_count"),
+        )
+        .orderBy(
+            F.col("decayed_x2p40").desc(), "user_id", "event_type"
+        )
+        .limit(DECAYED_TOPK)
     )

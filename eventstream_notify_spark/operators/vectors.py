@@ -4188,3 +4188,254 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pick_order bigint, vec_id bigint, sel_r2 bigint, "
         "covering_r2 bigint",
     )
+
+
+# --------------------------------------------- mutual nearest pairs
+
+
+MNN_ORACLE = f"""
+WITH scored AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+nn AS (
+    SELECT src, dst, score
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY src ORDER BY score DESC, dst
+    ) = 1
+),
+mutual AS (
+    SELECT n1.src AS vec_a, n1.dst AS vec_b, n1.score
+    FROM nn n1 JOIN nn n2
+      ON n1.src = n2.dst AND n1.dst = n2.src AND n1.src < n1.dst
+)
+SELECT m.vec_a, m.vec_b, m.score,
+       CAST(ea.label AS INT) AS label_a,
+       CAST(eb.label AS INT) AS label_b,
+       CAST(ea.label = eb.label AS INT) AS same_label
+FROM mutual m
+JOIN embeddings ea ON ea.vec_id = m.vec_a
+JOIN embeddings eb ON eb.vec_id = m.vec_b
+"""
+
+
+@register("mutual_knn_pairs", extra=True, oracle=MNN_ORACLE)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL NEAREST NEIGHBOR matching — the high-precision pairing
+    primitive (translation-pair mining a la LASER/CCMatrix, batch
+    integration, duplicate VERIFICATION after candidate generation):
+    keep (a, b) only when a is b's top-1 AND b is a's top-1. MNN
+    trades recall for precision exactly where a curation pipeline
+    wants it — a one-sided top-1 is often an asymmetric hub match;
+    a mutual one almost always means the pair is real. The emitted
+    same_label flag doubles as the embedding-space quality readout
+    (MNN pairs crossing labels = suspect space).
+
+    Shape: the N x broadcast(N) scored frame NEVER reaches a shuffle
+    at full width — the per-source argmax is max_by over a (score,
+    -id) struct, so partial aggregation combines map-side and only N
+    candidate rows move; mutuality is a self-equi-join of the N-row
+    top-1 table. This exact all-pairs baseline is the verifier the
+    banded-LSH sibling (zx_dedup_near_embedding_lsh) feeds at 100 TB
+    — there the scored frame is bucket x bucket, same reduction.
+
+    Cosine scores follow the family's exactness discipline: left-to-
+    right zip_with/aggregate fold, rounded at 6 d.p., id tie-break."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", l2_norm("embedding")
+    )
+    corpus = F.broadcast(
+        e.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("de"),
+            F.col("nrm").alias("dnrm"),
+        )
+    )
+    scored = e.join(corpus, F.col("vec_id") != F.col("dst")).select(
+        F.col("vec_id").alias("src"),
+        "dst",
+        F.round(
+            dot("embedding", "de") / (F.col("nrm") * F.col("dnrm")), 6
+        ).alias("score"),
+    )
+    nn = scored.groupBy("src").agg(
+        F.max(
+            F.struct(
+                F.col("score").alias("s"), (-F.col("dst")).alias("nd")
+            )
+        ).alias("m")
+    ).select(
+        "src",
+        (-F.col("m.nd")).alias("dst"),
+        F.col("m.s").alias("score"),
+    )
+    n2 = nn.select(
+        F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
+    )
+    mutual = nn.join(
+        n2,
+        (F.col("src") == F.col("b_dst"))
+        & (F.col("dst") == F.col("b_src"))
+        & (F.col("src") < F.col("dst")),
+    ).select(
+        F.col("src").alias("vec_a"),
+        F.col("dst").alias("vec_b"),
+        "score",
+    )
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        mutual.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("vec_a"),
+                    F.col("label").cast("int").alias("label_a"),
+                )
+            ),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("label").cast("int").alias("label_b"),
+                )
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "score",
+            "label_a",
+            "label_b",
+            (F.col("label_a") == F.col("label_b")).cast("int").alias(
+                "same_label"
+            ),
+        )
+    )
+
+
+# -------------------------------------------- isotonic calibration
+
+
+def pava_fit(bins: list[tuple[int, int, int]]):
+    """Pool-Adjacent-Violators over (x, n, sum_y) bins sorted by x —
+    ALL-INTEGER: the monotonicity test is cross-multiplied
+    (sy_prev * n_top > sy_top * n_prev), so no float exists until
+    the final per-block rate. Returns blocks (x_lo, x_hi, n, sy)."""
+    st: list[list[int]] = []
+    for x, n, sy in bins:
+        st.append([x, x, n, sy])
+        while len(st) >= 2 and st[-2][3] * st[-1][2] > st[-1][3] * st[-2][2]:
+            a, b = st[-2], st[-1]
+            st[-2:] = [[a[0], b[1], a[2] + b[2], a[3] + b[3]]]
+    return [tuple(b) for b in st]
+
+
+ISOTONIC_ORACLE = """
+WITH RECURSIVE bins AS (
+    SELECT CAST(FLOOR(value) AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sy
+    FROM events GROUP BY 1
+), blist AS (
+    SELECT list(struct_pack(x := x, n := n, sy := sy) ORDER BY x) AS bs,
+           CAST(len(list(x)) AS BIGINT) AS nb
+    FROM bins
+), it AS (
+    SELECT CAST(2 AS BIGINT) AS i, bs, nb,
+           [struct_pack(x_lo := bs[1].x, x_hi := bs[1].x,
+                        n := bs[1].n, sy := bs[1].sy)] AS st
+    FROM blist
+    UNION ALL
+    SELECT CASE WHEN viol THEN i ELSE i + 1 END, bs, nb,
+           CASE WHEN viol THEN
+               st[1:len(st) - 2] || [struct_pack(
+                   x_lo := st[len(st) - 1].x_lo,
+                   x_hi := st[len(st)].x_hi,
+                   n := st[len(st) - 1].n + st[len(st)].n,
+                   sy := st[len(st) - 1].sy + st[len(st)].sy)]
+           ELSE
+               list_append(st, struct_pack(
+                   x_lo := bs[i].x, x_hi := bs[i].x,
+                   n := bs[i].n, sy := bs[i].sy))
+           END
+    FROM (
+        SELECT i, bs, nb, st,
+               (len(st) >= 2 AND
+                st[len(st) - 1].sy * st[len(st)].n
+                    > st[len(st)].sy * st[len(st) - 1].n) AS viol
+        FROM it
+    )
+    WHERE viol OR i <= nb
+), fin AS (
+    SELECT st
+    FROM (
+        SELECT i, nb, st,
+               (len(st) >= 2 AND
+                st[len(st) - 1].sy * st[len(st)].n
+                    > st[len(st)].sy * st[len(st) - 1].n) AS viol
+        FROM it
+    )
+    WHERE i = nb + 1 AND NOT viol
+)
+SELECT CAST(row_number() OVER (ORDER BY b['x_lo']) AS BIGINT) AS block,
+       CAST(b['x_lo'] AS BIGINT) AS x_lo,
+       CAST(b['x_hi'] AS BIGINT) AS x_hi,
+       CAST(b['n'] AS BIGINT) AS n,
+       CAST(b['sy'] AS BIGINT) AS n_pos,
+       ROUND(CAST(b['sy'] AS DOUBLE) / CAST(b['n'] AS DOUBLE), 6)
+           AS rate
+FROM (SELECT UNNEST(st) AS b FROM fin)
+"""
+
+
+@register("isotonic_calibration", extra=True, oracle=ISOTONIC_ORACLE)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION by Pool-Adjacent-Violators — the
+    calibration FIT that zx_eval_calibration's reliability bins
+    diagnose the need for (and the method production rankers use
+    over Platt scaling when monotonicity is the only assumption
+    worth making): the best nondecreasing step function from event
+    value to purchase rate, in least squares.
+
+    PAVA is inherently sequential, but its state is tiny: pool
+    whole-dollar bins first (the fact folds to <=500 integer
+    (x, n, sum_y) rows — binned isotonic, the standard large-N
+    practice), then run the stack algorithm on the summary. ALL
+    arithmetic is integer — the violator test cross-multiplies
+    instead of comparing float means — so the DuckDB twin replays
+    the fit exactly: one recursive CTE whose every step performs ONE
+    action (push next bin, or merge the top two blocks), stack
+    carried in the recursion state; <= 2*bins - 1 steps total.
+
+    Scale: one (dollar-bin) hash aggregate over the fact is the only
+    corpus-sized work; the driver solve is corpus-size-independent.
+    """
+    e = table(spark, sf_dir, "events")
+    bins = (
+        e.select(
+            F.floor("value").cast("bigint").alias("x"),
+            (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+        )
+        .groupBy("x")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+        )
+        .orderBy("x")
+        .collect()
+    )
+    blocks = pava_fit([(int(r.x), int(r.n), int(r.sy)) for r in bins])
+    rows = [
+        (i + 1, lo, hi, n, sy, round(sy / n, 6))
+        for i, (lo, hi, n, sy) in enumerate(blocks)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "block bigint, x_lo bigint, x_hi bigint, n bigint, "
+        "n_pos bigint, rate double",
+    )

@@ -1513,3 +1513,49 @@ def test_kcenter_picks_one_per_separated_cluster(spark, monkeypatch):
     # intra-cluster spread: <= (3e-3 * 1e6)^2 = 9e6; inter-cluster
     # gap: ~2 * (1e6)^2 = 2e12 — covering radius must be the former
     assert all(r.covering_r2 <= 9_000_000 for r in got)
+
+
+def test_mutual_knn_pairs_form_a_matching(spark, sf_dir):
+    """Top-1 is unique per vector, so mutual pairs form a MATCHING:
+    no vector appears in two pairs, pairs are ordered a < b, and the
+    score is symmetric by construction (one row per unordered pair)."""
+    from eventstream_notify_spark.operators import vectors as vx
+
+    rows = vx.mutual_knn_pairs(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert r.vec_a not in seen and r.vec_b not in seen
+        seen.add(r.vec_a)
+        seen.add(r.vec_b)
+        assert r.same_label == int(r.label_a == r.label_b)
+
+
+def test_pava_fit_properties():
+    """PAVA invariants: block rates strictly increase (equal-rate
+    neighbors pool), totals are preserved, and an already-monotone
+    input passes through unpooled; a decreasing input pools to ONE
+    block whose rate is the global mean."""
+    from eventstream_notify_spark.operators.vectors import pava_fit
+
+    mono = [(0, 10, 1), (1, 10, 3), (2, 10, 7)]
+    assert pava_fit(mono) == [(0, 0, 10, 1), (1, 1, 10, 3), (2, 2, 10, 7)]
+
+    dec = [(0, 10, 9), (1, 10, 5), (2, 10, 1)]
+    assert pava_fit(dec) == [(0, 2, 30, 15)]
+
+    import random
+
+    rng = random.Random(7)
+    bins = [(x, rng.randint(1, 20), 0) for x in range(50)]
+    bins = [(x, n, rng.randint(0, n)) for x, n, _ in bins]
+    blocks = pava_fit(bins)
+    assert sum(b[2] for b in blocks) == sum(n for _, n, _ in bins)
+    assert sum(b[3] for b in blocks) == sum(s for _, _, s in bins)
+    rates = [b[3] / b[2] for b in blocks]
+    assert all(r1 < r2 for r1, r2 in zip(rates, rates[1:]))
+    los = [b[0] for b in blocks]
+    his = [b[1] for b in blocks]
+    assert los[0] == 0 and his[-1] == 49
+    assert all(h + 1 == l for h, l in zip(his, los[1:]))

@@ -213,6 +213,13 @@ BUDGETS = {
     # expand + two-phase aggregate
     "embedding_drift_mmd": 3,  # posexplode moment agg + the 2 x dims
     # side split/join + the final 1-row fold — corpus folds once
+    "decayed_topk": 2,  # 1-row anchor agg (broadcast back) + ONE
+    # (user, type) map-side-combined agg, then TakeOrdered
+    "isotonic_calibration": 0,  # final plan is the driver-built
+    # block table; the dollar-bin fold runs at build time
+    "mutual_knn_pairs": 4,  # per-source argmax combines map-side (N
+    # rows shuffle, never the N x N scored frame) + the mutuality
+    # self-join + two label joins ride broadcasts
     "vopt_histogram": 0,  # final plan is the driver-built bucket
     # table; the daily fold runs at build time with one shuffle
     "bot_regularity": 1,  # one user-key window+agg — the family axis

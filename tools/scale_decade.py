@@ -59,6 +59,7 @@ FAMILY = [
     "zx_semdedup_prune",
     "zx_graph_triangles",
     "zx_graph_triangle_count",
+    "zx_graph_modularity",
 ]
 
 # Previously excluded, now closed: zx_graph_triangle_count's first cut
@@ -86,6 +87,8 @@ EXCLUDED: dict[str, str] = {}
 #     declared quadratic, and that the siblings DON'T.
 WORK_MODEL = {
     "zx_dedup_cluster": "pairs",
+    "zx_graph_modularity": "pairs",  # rides the cluster labels + one
+    # broadcast-label pass over the same pair graph
     "zx_graph_triangles": "pairs",
     # zx_graph_triangle_count: default LINEAR — after class
     # compression the count no longer pays for the doc-pair graph, so
