@@ -429,6 +429,44 @@ _PAIRS_CTE = f"""
 """
 
 
+def cc_labels(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Connected components over a (doc_a, doc_b) pair frame by
+    min-label propagation (the dedup_cluster kernel, factored so
+    consumers holding an already-built/checkpointed pair frame —
+    graph_modularity — don't pay the pair join twice). Returns
+    (doc_id, cluster_id) over ALL documents (singletons included).
+    See dedup_cluster's docstring for the batching/convergence
+    argument."""
+    d = table(spark, sf_dir, "documents")
+    ident = d.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d"))
+    # lazy checkpoint: the first probe action materializes the pair
+    # graph and the first 10 hops in one job instead of two
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("s", "d")
+        .union(ident)
+        .localCheckpoint(eager=False)
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    prev_sum = None
+    for hops in [10] + [2] * 15:  # supports graph diameter <= 40
+        for _hop in range(hops):
+            labels = (
+                edges.join(labels, edges.d == labels.doc_id)
+                .groupBy(F.col("s").alias("node"))
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .withColumnRenamed("node", "doc_id")
+            )
+        labels = labels.localCheckpoint(eager=False)
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 @register(
     "dedup_cluster",
     extra=True,
@@ -480,31 +518,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReusedExchange dedupes identical shuffle subtrees (measured
     # equal to an explicit checkpoint) — no extra materialization
     pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    d = table(spark, sf_dir, "documents")
-    ident = d.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d"))
-    # lazy checkpoint: the first probe action materializes the pair
-    # graph and the first 10 hops in one job instead of two
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("s", "d")
-        .union(ident)
-        .localCheckpoint(eager=False)
-    )
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    prev_sum = None
-    for hops in [10] + [2] * 15:  # supports graph diameter <= 40
-        for _hop in range(hops):
-            labels = (
-                edges.join(labels, edges.d == labels.doc_id)
-                .groupBy(F.col("s").alias("node"))
-                .agg(F.min("cluster_id").alias("cluster_id"))
-                .withColumnRenamed("node", "doc_id")
-            )
-        labels = labels.localCheckpoint(eager=False)
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = cc_labels(spark, sf_dir, pairs)
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -5279,7 +5293,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
-    labels = dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    labels = cc_labels(spark, sf_dir, pairs).select(
+        "doc_id", "cluster_id"
+    )
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

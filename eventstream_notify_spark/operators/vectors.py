@@ -4193,25 +4193,42 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- mutual nearest pairs
 
 
+_MNN_QDOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> a.q[i] * b.q[i]))"
+)
+
 MNN_ORACLE = f"""
-WITH scored AS (
+WITH quant AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+    FROM embeddings
+), scored AS (
     SELECT a.vec_id AS src, b.vec_id AS dst,
-           ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
-    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           CAST(floor(
+               CAST({_MNN_QDOT} AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x))
+                            AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x))
+                              AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS score_micro
+    FROM quant a JOIN quant b ON a.vec_id <> b.vec_id
 ),
 nn AS (
-    SELECT src, dst, score
+    SELECT src, dst, score_micro
     FROM scored
     QUALIFY row_number() OVER (
-        PARTITION BY src ORDER BY score DESC, dst
+        PARTITION BY src ORDER BY score_micro DESC, dst
     ) = 1
 ),
 mutual AS (
-    SELECT n1.src AS vec_a, n1.dst AS vec_b, n1.score
+    SELECT n1.src AS vec_a, n1.dst AS vec_b, n1.score_micro
     FROM nn n1 JOIN nn n2
       ON n1.src = n2.dst AND n1.dst = n2.src AND n1.src < n1.dst
 )
-SELECT m.vec_a, m.vec_b, m.score,
+SELECT m.vec_a, m.vec_b, m.score_micro,
+       ROUND(CAST(m.score_micro AS DOUBLE) / 1000000.0, 6) AS score,
        CAST(ea.label AS INT) AS label_a,
        CAST(eb.label AS INT) AS label_b,
        CAST(ea.label = eb.label AS INT) AS same_label
@@ -4228,61 +4245,93 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integration, duplicate VERIFICATION after candidate generation):
     keep (a, b) only when a is b's top-1 AND b is a's top-1. MNN
     trades recall for precision exactly where a curation pipeline
-    wants it — a one-sided top-1 is often an asymmetric hub match;
-    a mutual one almost always means the pair is real. The emitted
-    same_label flag doubles as the embedding-space quality readout
-    (MNN pairs crossing labels = suspect space).
+    wants it; the emitted same_label flag doubles as the
+    embedding-space quality readout.
 
-    Shape: the N x broadcast(N) scored frame NEVER reaches a shuffle
-    at full width — the per-source argmax is max_by over a (score,
-    -id) struct, so partial aggregation combines map-side and only N
-    candidate rows move; mutuality is a self-equi-join of the N-row
-    top-1 table. This exact all-pairs baseline is the verifier the
-    banded-LSH sibling (zx_dedup_near_embedding_lsh) feeds at 100 TB
-    — there the scored frame is bucket x bucket, same reduction.
+    The all-pairs scoring runs as an Arrow-batched numpy MATMUL over
+    1e-6-quantized INTEGER coordinates held in float64: every product
+    (<= 1e12) and every partial sum (<= 6.4e13) sits under 2^53, so
+    BLAS addition of these integers is EXACT in any tiling order —
+    the trick that makes a matmul oracle-checkable (an int64 matmul
+    would also be exact but bypasses BLAS and runs 50x slower; the
+    float64 form keeps both exactness and the fast path). The ranking
+    key is floor(1e6 * dot / (|a||b|)), a fully IEEE-determined
+    bigint (exact int-as-double dot, sqrt, multiply, divide, floor —
+    no HALF_UP rounding enters the DECISION), tie-broken on id. The
+    per-source top-1 leaves the kernel as N rows — the N x N score
+    matrix never exists outside one Arrow batch.
 
-    Cosine scores follow the family's exactness discipline: left-to-
-    right zip_with/aggregate fold, rounded at 6 d.p., id tie-break."""
-    e = table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", l2_norm("embedding")
-    )
-    corpus = F.broadcast(
-        e.select(
-            F.col("vec_id").alias("dst"),
-            F.col("embedding").alias("de"),
-            F.col("nrm").alias("dnrm"),
-        )
-    )
-    scored = e.join(corpus, F.col("vec_id") != F.col("dst")).select(
-        F.col("vec_id").alias("src"),
-        "dst",
-        F.round(
-            dot("embedding", "de") / (F.col("nrm") * F.col("dnrm")), 6
-        ).alias("score"),
-    )
-    nn = scored.groupBy("src").agg(
-        F.max(
-            F.struct(
-                F.col("score").alias("s"), (-F.col("dst")).alias("nd")
+    Scale: this is the exact verifier; at 100 TB the same kernel
+    runs per LSH bucket (zx_dedup_near_embedding_lsh's banding)
+    instead of per corpus. Mutuality = one self-equi-join of the
+    N-row top-1 table; labels ride broadcasts."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+    qrows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    Q = np.floor(
+        np.array([qrows[i].embedding for i in order], dtype=np.float64)
+        * 1e6
+    )  # integer-valued float64: exact under BLAS (see docstring)
+    nrm = np.sqrt((Q * Q).sum(axis=1))
+    bQ = spark.sparkContext.broadcast((ids, Q, nrm))
+
+    def top1_batches(batches):
+        bids, bQm, bnrm = bQ.value
+        pos = {int(v): k for k, v in enumerate(bids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.floor(
+                np.array(list(pdf["embedding"]), dtype=np.float64) * 1e6
             )
-        ).alias("m")
-    ).select(
-        "src",
-        (-F.col("m.nd")).alias("dst"),
-        F.col("m.s").alias("score"),
+            an = np.sqrt((A * A).sum(axis=1))
+            # integer-valued float64 matmul: exact, order-free, BLAS
+            dots = A @ bQm.T
+            sm = np.floor(
+                dots / (an[:, None] * bnrm[None, :]) * 1000000.0
+            )
+            src_ids = pdf["vec_id"].to_numpy()
+            out_dst, out_scm = [], []
+            for r, sid in enumerate(src_ids):
+                row = sm[r]
+                self_c = pos[int(sid)]
+                keep = row[self_c]
+                row[self_c] = -np.inf
+                best = row.max()
+                cand = bids[row == best]
+                out_dst.append(int(cand.min()))
+                out_scm.append(int(best))
+                row[self_c] = keep
+            yield pd.DataFrame(
+                {"src": src_ids, "dst": out_dst, "score_micro": out_scm}
+            )
+
+    # checkpoint: the mutuality join reads the top-1 table twice —
+    # without a barrier the Arrow kernel (and its corpus broadcast)
+    # executes once per reference
+    nn = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(top1_batches, "src long, dst long, score_micro long")
+        .localCheckpoint(eager=False)
     )
     n2 = nn.select(
         F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
     )
-    mutual = nn.join(
-        n2,
-        (F.col("src") == F.col("b_dst"))
-        & (F.col("dst") == F.col("b_src"))
-        & (F.col("src") < F.col("dst")),
-    ).select(
-        F.col("src").alias("vec_a"),
-        F.col("dst").alias("vec_b"),
-        "score",
+    # mutuality as an EQUI join (dst = b_src) + filter — a hash join,
+    # not a nested-loop theta join
+    mutual = (
+        nn.join(F.broadcast(n2), F.col("dst") == F.col("b_src"))
+        .filter((F.col("b_dst") == F.col("src")) & (F.col("src") < F.col("dst")))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "score_micro",
+        )
     )
     lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (
@@ -4307,7 +4356,10 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            "score",
+            "score_micro",
+            F.round(
+                F.col("score_micro").cast("double") / 1000000.0, 6
+            ).alias("score"),
             "label_a",
             "label_b",
             (F.col("label_a") == F.col("label_b")).cast("int").alias(

@@ -217,9 +217,9 @@ BUDGETS = {
     # (user, type) map-side-combined agg, then TakeOrdered
     "isotonic_calibration": 0,  # final plan is the driver-built
     # block table; the dollar-bin fold runs at build time
-    "mutual_knn_pairs": 4,  # per-source argmax combines map-side (N
-    # rows shuffle, never the N x N scored frame) + the mutuality
-    # self-join + two label joins ride broadcasts
+    "mutual_knn_pairs": 1,  # the Arrow matmul kernel emits N top-1
+    # rows (checkpointed once); mutuality is a broadcast equi-join
+    # and labels ride broadcasts — at most the final agg moves
     "vopt_histogram": 0,  # final plan is the driver-built bucket
     # table; the daily fold runs at build time with one shuffle
     "bot_regularity": 1,  # one user-key window+agg — the family axis
