@@ -5585,6 +5585,15 @@ def bt_preference_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat[pos[r.wi]][pos[r.li]] = float(r.n)
     wins = [float(sum(row)) for row in mat]
     losses = [float(sum(mat[i][j] for i in range(k))) for j in range(k)]
+    if k == 0:
+        # no comparisons at all (single event type, or every (user,
+        # day) count tied): the oracle's comp CTE is empty and it
+        # returns zero rows — mirror that instead of 0/0-ing the fold
+        return spark.createDataFrame(
+            [],
+            "item string, bt_strength double, wins bigint,"
+            " comparisons bigint",
+        )
     th = bt_mm_fit(mat, wins)
     rows = [
         (
@@ -5705,6 +5714,13 @@ def vopt_dp(vals: list[int], k: int = VOPT_K):
     SMALLEST split. Returns (buckets, total_sse): buckets as
     (b, day_start, day_end, n_days, sum_count, sse)."""
     n = len(vals)
+    if n == 0:
+        return [], 0.0
+    # fewer points than buckets: degrade to k = n singleton buckets
+    # (the walk-back below reads choices[b-1][j] == 0 otherwise and
+    # emits day_start = -1 nonsense); mirrored in the oracle's
+    # LEAST({VOPT_K}, n) recursion bound
+    k = min(k, n)
     p1 = [0] * (n + 1)
     p2 = [0] * (n + 1)
     for i, v in enumerate(vals, 1):
@@ -5816,12 +5832,12 @@ WITH RECURSIVE daily AS (
                             * CAST(p1[j + 1] - p1[i] AS DOUBLE)
                             / CAST(j - i + 1 AS DOUBLE))))) AS BIGINT)
                END)
-    FROM it WHERE b < {VOPT_K}
+    FROM it WHERE b < LEAST({VOPT_K}, n)
 ), fin AS (
-    SELECT n, p1, p2, choices FROM it WHERE b = {VOPT_K}
+    SELECT n, p1, p2, choices FROM it WHERE b = LEAST({VOPT_K}, n)
 ), back AS (
-    SELECT CAST({VOPT_K} AS BIGINT) AS b, f.n AS j, f.n, f.p1, f.p2,
-           f.choices
+    SELECT CAST(LEAST({VOPT_K}, f.n) AS BIGINT) AS b, f.n AS j, f.n,
+           f.p1, f.p2, f.choices
     FROM fin f
     UNION ALL
     SELECT b - 1,

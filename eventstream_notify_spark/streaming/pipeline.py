@@ -1448,6 +1448,10 @@ def stream_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
            ts_us - prev_us AS gap_us
     FROM seq
     WHERE ts_us - prev_us > 172800000000
+      -- gaps past the 30-day state TTL are structurally
+      -- unobservable (eviction; see ABSENCE_TTL_US) — the kernel
+      -- drops them, so the oracle must too
+      AND ts_us - prev_us <= 2592000000000
     """,
 )
 def stream_absence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -617,6 +617,13 @@ ABSENCE_OUTPUT_SCHEMA = (
 )
 ABSENCE_STATE_SCHEMA = "last_ts_us long"
 ABSENCE_GAP_US = 2 * 86_400 * 1_000_000  # silent > 2 days => alert
+# Gaps LONGER than the state TTL are never alertable: in a
+# multi-microbatch run the watermark passes last_ts + TTL, the state
+# times out, and the user's next event re-enters as NEW — the gap is
+# structurally unobservable. The kernel drops such gaps explicitly so
+# single-batch replays (where eviction cannot fire mid-corpus) agree
+# with multi-batch runs, and the batch oracle carries the same bound.
+ABSENCE_TTL_US = 30 * 86_400 * 1_000_000
 
 
 def absence_fn(
@@ -634,7 +641,10 @@ def absence_fn(
     State is ONE bigint per user — the cheapest stateful operator in
     the module — with the family's standard 30-day event-time idle
     eviction (a user silent past eviction re-enters as new; the
-    churn report, not this alert, owns that regime)."""
+    churn report, not this alert, owns that regime). Gaps exceeding
+    the TTL are dropped IN the kernel — see ABSENCE_TTL_US — so
+    replays agree regardless of how the corpus splits into
+    micro-batches."""
     if state.hasTimedOut:
         state.remove()
         return
@@ -650,7 +660,10 @@ def absence_fn(
         out = []
         for ts_us in pdf["ts_us"]:
             ts_us = int(ts_us)
-            if last_ts is not None and ts_us - last_ts > ABSENCE_GAP_US:
+            if (
+                last_ts is not None
+                and ABSENCE_GAP_US < ts_us - last_ts <= ABSENCE_TTL_US
+            ):
                 out.append(
                     (user_id, last_ts, ts_us, ts_us - last_ts)
                 )
@@ -668,7 +681,7 @@ def absence_fn(
             )
     if last_ts is not None:
         state.update((last_ts,))
-        state.setTimeoutTimestamp(last_ts // 1000 + 30 * 86_400_000)
+        state.setTimeoutTimestamp(last_ts // 1000 + ABSENCE_TTL_US // 1000)
 
 
 def absence_stream(

@@ -703,3 +703,42 @@ def test_vopt_histogram_recovers_piecewise_constant():
     for _b, ds, de, n_days, sum_count, sse in buckets:
         assert sse == 0.0
         assert n_days == de - ds + 1
+
+
+def test_bt_preference_fit_empty_comparisons(spark, monkeypatch):
+    """A corpus with a single event type yields zero comparisons; the
+    fit must return an empty frame (the oracle's comp CTE is empty)
+    instead of crashing in the MM fold (ADVICE r9)."""
+    import datetime as dt
+
+    from eventstream_notify_spark.operators import analytics as an
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i % 3, minutes=i), 1, "click", 1.0, "{}")
+        for i in range(1, 10)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(an, "table", lambda spark, sf_dir, name: ev)
+    out = an.bt_preference_fit(spark, "ignored")
+    assert out.count() == 0
+    assert out.columns == ["item", "bt_strength", "wins", "comparisons"]
+
+
+def test_vopt_dp_clamps_k_to_series_length():
+    """Fewer points than buckets must degrade to k = n singleton
+    buckets (SSE 0) rather than walking back through an unfilled DP
+    row and emitting day_start = -1 (ADVICE r9)."""
+    from eventstream_notify_spark.operators.analytics import vopt_dp
+
+    buckets, total = vopt_dp([7, 3, 11], 8)
+    assert total == 0.0
+    assert [(ds, de) for _b, ds, de, _n, _s, _e in buckets] == [
+        (0, 0), (1, 1), (2, 2),
+    ]
+    assert all(sse == 0.0 for *_x, sse in buckets)
+    assert vopt_dp([], 8) == ([], 0.0)

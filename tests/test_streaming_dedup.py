@@ -282,3 +282,53 @@ def test_absence_kernel_batch_split_invariant():
     assert list(whole["gap_us"]) == [3 * day, 3 * day]
     assert list(whole["gap_start_us"]) == [2 * day, 6 * day]
     assert ABSENCE_GAP_US == 2 * day
+
+
+def test_absence_kernel_ttl_gap_unalertable():
+    """A gap LONGER than the 30-day state TTL must emit no alert even
+    in a single-batch replay: in a multi-microbatch run the watermark
+    would evict the state before the closing event arrives, so the
+    kernel's explicit TTL bound is what keeps single- and multi-batch
+    replays agreeing (ADVICE r9). Shorter gaps still alert."""
+    import pandas as pd
+
+    from eventstream_notify_spark.streaming.state import (
+        ABSENCE_GAP_US,
+        ABSENCE_TTL_US,
+        absence_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    day = 86_400 * 1_000_000
+    assert ABSENCE_TTL_US == 30 * day
+    # event at day 0, next at day 35 (> TTL), then day 38 (3-day gap)
+    pdf = pd.DataFrame(
+        [(0, 0), (1, 35 * day), (2, 38 * day)],
+        columns=["event_id", "ts_us"],
+    )
+    st = FakeState()
+    out = list(absence_fn((7,), iter([pdf]), st))
+    got = pd.concat(out, ignore_index=True)
+    # the 35-day gap is suppressed; the 3-day gap alerts
+    assert list(got["gap_us"]) == [3 * day]
+    assert list(got["gap_start_us"]) == [35 * day]
+    assert ABSENCE_GAP_US == 2 * day
