@@ -4238,6 +4238,15 @@ JOIN embeddings eb ON eb.vec_id = m.vec_b
 """
 
 
+# block-nested-loop shape of the exact MNN search: queries split into
+# MNN_QCHUNKS, corpus into MNN_BLOCKS, one cogrouped Arrow kernel per
+# (chunk, block) cell => C*B-way parallel cells, per-task memory
+# N/C + N/B vectors, shuffle volume N*(B+C) rows. Production tunes
+# both so a cell's two slabs fit executor memory.
+MNN_QCHUNKS = 4
+MNN_BLOCKS = 8
+
+
 @register("mutual_knn_pairs", extra=True, oracle=MNN_ORACLE)
 def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL NEAREST NEIGHBOR matching — the high-precision pairing
@@ -4248,85 +4257,56 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wants it; the emitted same_label flag doubles as the
     embedding-space quality readout.
 
-    The all-pairs scoring runs as an Arrow-batched numpy MATMUL over
-    1e-6-quantized INTEGER coordinates held in float64: every product
-    (<= 1e12) and every partial sum (<= 6.4e13) sits under 2^53, so
-    BLAS addition of these integers is EXACT in any tiling order —
-    the trick that makes a matmul oracle-checkable (an int64 matmul
-    would also be exact but bypasses BLAS and runs 50x slower; the
-    float64 form keeps both exactness and the fast path). The ranking
-    key is floor(1e6 * dot / (|a||b|)), a fully IEEE-determined
-    bigint (exact int-as-double dot, sqrt, multiply, divide, floor —
-    no HALF_UP rounding enters the DECISION), tie-broken on id. The
-    per-source top-1 leaves the kernel as N rows — the N x N score
-    matrix never exists outside one Arrow batch.
+    DISTRIBUTED EXACT block-nested-loop (the r9 fix: the first cut
+    collected the whole corpus to the driver and broadcast it — the
+    textbook driver bottleneck). Both sides of the all-pairs search
+    are CHUNKED: queries into MNN_QCHUNKS, corpus into MNN_BLOCKS,
+    every (chunk, block) cell cogroups into one Arrow kernel call, so
+    per-task memory is N/C + N/B vectors and the only replication is
+    the shuffle (queries x B + corpus x C rows) — no driver collect,
+    no corpus-sized broadcast, and the N x N score matrix never
+    exists anywhere. Each cell emits its block-local top-1; the
+    global top-1 is an ordinary partial-aggregable groupBy MAX over
+    (score, -dst) structs — exactly a map-side-combinable argmax, so
+    the reduce is as scalable as any agg_hash.
 
-    Scale: this is the exact verifier; at 100 TB the same kernel
-    runs per LSH bucket (zx_dedup_near_embedding_lsh's banding)
-    instead of per corpus. Mutuality = one self-equi-join of the
-    N-row top-1 table; labels ride broadcasts."""
-    import numpy as np
-    import pandas as pd
+    Scoring is exact and BLAS-fast: coordinates floor-quantized to
+    1e-6 INTEGERS held in float64 — every product (<= 1e12) and every
+    partial sum (<= 6.4e13) sits under 2^53, so BLAS addition of
+    these integers is exact in any tiling order, which is what makes
+    a matmul oracle-checkable. The ranking key is
+    floor(1e6 * dot / (|a||b|)), a fully IEEE-determined bigint,
+    tie-broken on min dst (block-local ties resolved by sorting
+    candidate columns by id; cross-block by the struct max). Block
+    partials reduce to the true global argmax because (score, -dst)
+    max is associative — the partition of candidates into blocks
+    cannot change the winner.
 
+    Scale: exhaustive all-pairs is this operator's CONTRACT (it is
+    the exact verifier); at 100 TB the same cogrouped kernel runs
+    with the LSH banding (zx_dedup_near_embedding_lsh) as the block
+    key instead of pmod, turning O(N^2/CB) cells into O(bucket^2) —
+    same kernel, same reduce, candidate generation swapped.
+    Mutuality = one self-equi-join of the N-row top-1 table."""
     e = table(spark, sf_dir, "embeddings")
-    qrows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    Q = np.floor(
-        np.array([qrows[i].embedding for i in order], dtype=np.float64)
-        * 1e6
-    )  # integer-valued float64: exact under BLAS (see docstring)
-    nrm = np.sqrt((Q * Q).sum(axis=1))
-    bQ = spark.sparkContext.broadcast((ids, Q, nrm))
-
-    def top1_batches(batches):
-        bids, bQm, bnrm = bQ.value
-        pos = {int(v): k for k, v in enumerate(bids)}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.floor(
-                np.array(list(pdf["embedding"]), dtype=np.float64) * 1e6
-            )
-            an = np.sqrt((A * A).sum(axis=1))
-            # integer-valued float64 matmul: exact, order-free, BLAS
-            dots = A @ bQm.T
-            sm = np.floor(
-                dots / (an[:, None] * bnrm[None, :]) * 1000000.0
-            )
-            src_ids = pdf["vec_id"].to_numpy()
-            out_dst, out_scm = [], []
-            for r, sid in enumerate(src_ids):
-                row = sm[r]
-                self_c = pos[int(sid)]
-                keep = row[self_c]
-                row[self_c] = -np.inf
-                best = row.max()
-                cand = bids[row == best]
-                out_dst.append(int(cand.min()))
-                out_scm.append(int(best))
-                row[self_c] = keep
-            yield pd.DataFrame(
-                {"src": src_ids, "dst": out_dst, "score_micro": out_scm}
-            )
-
-    # checkpoint: the mutuality join reads the top-1 table twice —
-    # without a barrier the Arrow kernel (and its corpus broadcast)
-    # executes once per reference
     nn = (
-        e.select("vec_id", "embedding")
-        .mapInPandas(top1_batches, "src long, dst long, score_micro long")
+        mnn_top1(e)
+        # checkpoint: the mutuality join reads the top-1 table twice —
+        # without a barrier the cogrouped kernel executes once per ref
         .localCheckpoint(eager=False)
     )
     n2 = nn.select(
         F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
     )
-    # mutuality as an EQUI join (dst = b_src) + filter — a hash join,
-    # not a nested-loop theta join
+    # mutuality as an EQUI join (dst = b_src): a plain shuffle hash
+    # join on an N-row 2-long table — no broadcast of anything
+    # corpus-sized anywhere in the plan
     mutual = (
-        nn.join(F.broadcast(n2), F.col("dst") == F.col("b_src"))
-        .filter((F.col("b_dst") == F.col("src")) & (F.col("src") < F.col("dst")))
+        nn.join(n2, F.col("dst") == F.col("b_src"))
+        .filter(
+            (F.col("b_dst") == F.col("src"))
+            & (F.col("src") < F.col("dst"))
+        )
         .select(
             F.col("src").alias("vec_a"),
             F.col("dst").alias("vec_b"),
@@ -4336,20 +4316,16 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (
         mutual.join(
-            F.broadcast(
-                lab.select(
-                    F.col("vec_id").alias("vec_a"),
-                    F.col("label").cast("int").alias("label_a"),
-                )
+            lab.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("label").cast("int").alias("label_a"),
             ),
             "vec_a",
         )
         .join(
-            F.broadcast(
-                lab.select(
-                    F.col("vec_id").alias("vec_b"),
-                    F.col("label").cast("int").alias("label_b"),
-                )
+            lab.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("label").cast("int").alias("label_b"),
             ),
             "vec_b",
         )
@@ -4367,6 +4343,98 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def mnn_top1(e: DataFrame) -> DataFrame:
+    """The distributed exact top-1 search stage of mutual_knn_pairs,
+    pre-checkpoint: (chunk, block) cogrouped Arrow matmul kernel +
+    struct-max global reduce. Exposed so tests can pin the plan shape
+    (FlatMapCoGroupsInPandas, no driver collect) that the checkpoint
+    barrier hides from the registered query's final plan string."""
+    import numpy as np
+    import pandas as pd
+
+    q_side = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(MNN_QCHUNKS)).cast("int").alias("qc"),
+    ).withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(MNN_BLOCKS - 1)))
+    )
+    c_side = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.pmod(F.col("vec_id"), F.lit(MNN_BLOCKS)).cast("int").alias("blk"),
+    ).withColumn(
+        "qc", F.explode(F.sequence(F.lit(0), F.lit(MNN_QCHUNKS - 1)))
+    )
+
+    def block_top1(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+                "score_micro": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(left) or not len(right):
+            return empty
+        A = np.floor(
+            np.array(list(left["embedding"]), dtype=np.float64) * 1e6
+        )  # integer-valued float64: exact under BLAS (see docstring)
+        Bm = np.floor(
+            np.array(list(right["cemb"]), dtype=np.float64) * 1e6
+        )
+        an = np.sqrt((A * A).sum(axis=1))
+        bn = np.sqrt((Bm * Bm).sum(axis=1))
+        # integer-valued float64 matmul: exact, order-free, BLAS
+        sm = np.floor((A @ Bm.T) / (an[:, None] * bn[None, :]) * 1e6)
+        dst_ids = right["cid"].to_numpy(dtype=np.int64)
+        order = np.argsort(dst_ids)  # argmax's first-max => min dst
+        dst_ids = dst_ids[order]
+        sm = sm[:, order]
+        out_src, out_dst, out_sc = [], [], []
+        for r, sid in enumerate(left["vec_id"].to_numpy(dtype=np.int64)):
+            row = sm[r]
+            self_mask = dst_ids == sid
+            if self_mask.any():
+                row = row.copy()
+                row[self_mask] = -np.inf
+            bi = int(np.argmax(row))
+            if row[bi] == -np.inf:  # block held only the query itself
+                continue
+            out_src.append(int(sid))
+            out_dst.append(int(dst_ids[bi]))
+            out_sc.append(int(row[bi]))
+        if not out_src:
+            return empty
+        return pd.DataFrame(
+            {"src": out_src, "dst": out_dst, "score_micro": out_sc}
+        )
+
+    partials = (
+        q_side.groupBy("qc", "blk")
+        .cogroup(c_side.groupBy("qc", "blk"))
+        .applyInPandas(block_top1, "src long, dst long, score_micro long")
+    )
+    # block partials -> global top-1: map-side-combinable struct max
+    # (score desc, then min dst — matching the oracle's QUALIFY order)
+    nn = (
+        partials.groupBy("src")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score_micro"), (-F.col("dst")).alias("nd")
+                )
+            ).alias("m")
+        )
+        .select(
+            "src",
+            (-F.col("m.nd")).alias("dst"),
+            F.col("m.score_micro").alias("score_micro"),
+        )
+    )
+    return nn
 
 
 # -------------------------------------------- isotonic calibration

@@ -1559,3 +1559,75 @@ def test_pava_fit_properties():
     his = [b[1] for b in blocks]
     assert los[0] == 0 and his[-1] == 49
     assert all(h + 1 == l for h, l in zip(his, los[1:]))
+
+
+def test_mutual_knn_block_nl_matches_brute_force(spark, monkeypatch):
+    """The distributed block-nested-loop MNN (cogrouped kernel +
+    struct-max reduce) must equal a brute-force python MNN on a
+    corpus CONSTRUCTED so that (a) top-1 candidates land in different
+    pmod blocks than their queries and (b) several candidates TIE on
+    the quantized score — the min-dst tie-break must hold across
+    block boundaries, not just within a kernel call."""
+    import numpy as np
+
+    from eventstream_notify_spark.operators import vectors as vx
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    # 6 clusters x 8 members; members of a cluster are EXACT copies,
+    # so every member's score against each sibling ties at 1e6 and
+    # the winner must be the smallest sibling id — ids stride 6 so
+    # siblings scatter across all pmod(id, 8) blocks and pmod(id, 4)
+    # chunks
+    for i in range(48):
+        v = base[i % 6]
+        rows.append((i, [float(x) for x in v], i % 6))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(vx, "table", lambda spark, sf_dir, name: emb)
+    got = {
+        (r.vec_a, r.vec_b): r.score_micro
+        for r in vx.mutual_knn_pairs(spark, "ignored").collect()
+    }
+
+    # brute force with identical quantization + tie-break
+    Q = np.floor(np.array([r[1] for r in rows], dtype=np.float64) * 1e6)
+    nrm = np.sqrt((Q * Q).sum(axis=1))
+    sm = np.floor(Q @ Q.T / (nrm[:, None] * nrm[None, :]) * 1e6)
+    np.fill_diagonal(sm, -np.inf)
+    top1 = {
+        i: int(np.argmax(sm[i]))  # first max = min id
+        for i in range(48)
+    }
+    want = {
+        (a, b): int(sm[a][b])
+        for a, b in ((i, top1[i]) for i in range(48))
+        if a < b and top1[b] == a
+    }
+    assert got == want
+    # every cluster's two smallest ids pair up: i <-> i+6
+    assert all((i, i + 6) in got for i in range(6))
+
+
+def test_mutual_knn_plan_is_distributed(spark, sf_dir):
+    """The r9 flag: the registered MNN plan must carry the search as
+    a cogrouped Arrow kernel — NO driver collect, no corpus-wide
+    forced broadcast. Pin the plan node so a regression to the
+    collect+broadcast form fails loudly."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators import vectors as vx
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    top1 = plan_str(
+        vx.mnn_top1(table(spark, sf_dir, "embeddings")), "simple"
+    )
+    assert "FlatMapCoGroupsInPandas" in top1
+    assert "CartesianProduct" not in top1
+    final = plan_str(vx.mutual_knn_pairs(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in final
+    # the search stage must not be a collect: no corpus-sized
+    # broadcast feeds the kernel (the two broadcasts in the final
+    # plan are the planner's size-chosen label joins)
+    assert "broadcast" not in top1.lower()

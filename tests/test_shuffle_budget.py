@@ -217,9 +217,11 @@ BUDGETS = {
     # (user, type) map-side-combined agg, then TakeOrdered
     "isotonic_calibration": 0,  # final plan is the driver-built
     # block table; the dollar-bin fold runs at build time
-    "mutual_knn_pairs": 1,  # the Arrow matmul kernel emits N top-1
-    # rows (checkpointed once); mutuality is a broadcast equi-join
-    # and labels ride broadcasts — at most the final agg moves
+    "mutual_knn_pairs": 2,  # the cogrouped block-NL kernel emits N
+    # top-1 rows (checkpointed once); mutuality is a SHUFFLE equi
+    # self-join of that N-row 3-long table (both sides exchange —
+    # nothing corpus-sized is ever forced into a broadcast); labels
+    # ride planner-chosen broadcasts at test SF
     "vopt_histogram": 0,  # final plan is the driver-built bucket
     # table; the daily fold runs at build time with one shuffle
     "bot_regularity": 1,  # one user-key window+agg — the family axis

@@ -60,6 +60,7 @@ FAMILY = [
     "zx_graph_triangles",
     "zx_graph_triangle_count",
     "zx_graph_modularity",
+    "zx_mutual_knn_pairs",
 ]
 
 # Previously excluded, now closed: zx_graph_triangle_count's first cut
@@ -100,6 +101,11 @@ WORK_MODEL = {
     # holds the batch fixed (that's the point of incremental) and work
     # is then linear in batch size alone.
     "zx_dedup_incremental": "block_quadratic",
+    # exact MNN is exhaustive all-pairs BY CONTRACT (the verifier);
+    # the distributed block-NL spreads the quadratic over (chunk,
+    # block) cells but does not remove it — the LSH-bucketed
+    # composition is the linear-ish sibling
+    "zx_mutual_knn_pairs": "block_quadratic",
 }
 
 
@@ -324,6 +330,18 @@ def main() -> int:
                 f"({srows}x)  {'ok' if ok else 'FAIL'}",
                 flush=True,
             )
+
+    # --only runs MERGE into the existing record (fresh rows replace
+    # stale ones; untouched members and the streaming section carry
+    # over) so an incremental re-measure never drops audit coverage
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        merged = dict(prev.get("queries", {}))
+        merged.update(table)
+        table = merged
+        if not streaming:
+            streaming = prev.get("streaming", {})
 
     result = {
         "metric": "scaling_decade_sf01_to_x10",
