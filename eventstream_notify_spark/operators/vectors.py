@@ -2280,9 +2280,91 @@ LOGREG_ITERS = 10
 LOGREG_LR = 2.0  # full-batch step on the mean gradient
 
 
-@register("logreg_train", extra=True)  # rows-only: iterative GD refinement
+LOGREG_XS = 1_000_000  # feature quantum: xq = floor(x * 1e6)
+LOGREG_RS = 1_000_000  # residual quantum: rq = floor(r * 1e6)
+
+
+LOGREG_ORACLE = f"""
+WITH RECURSIVE corpus AS MATERIALIZED (
+    SELECT list(struct_pack(
+               xq := list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {LOGREG_XS})
+                             AS BIGINT)),
+               y := CAST(1 - label % 2 AS DOUBLE))
+               ORDER BY vec_id) AS rws,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings
+),
+it AS (
+    SELECT 0 AS i, list_transform(range(1, 65), j -> 0.0::DOUBLE) AS w,
+           0.0::DOUBLE AS b, rws, n
+    FROM corpus
+    UNION ALL
+    SELECT i + 1,
+           list_transform(range(1, 65), j ->
+               w[j] - {LOGREG_LR}::DOUBLE
+                      * (CAST(g[j] AS DOUBLE)
+                         / {LOGREG_XS * LOGREG_RS}.0::DOUBLE) / n),
+           b - {LOGREG_LR}::DOUBLE * (CAST(rs AS DOUBLE) / {LOGREG_RS}.0::DOUBLE) / n,
+           rws, n
+    FROM (
+        SELECT i, w, b, rws, n,
+               list_transform(range(1, 65), j ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(rqs, k -> k.rq * k.xq[j])),
+                       (acc, v) -> acc + v)) AS g,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(rqs, k -> k.rq)),
+                   (acc, v) -> acc + v) AS rs
+        FROM (
+            SELECT i, w, b, rws, n,
+                   list_transform(rws, rr -> struct_pack(
+                       xq := rr.xq,
+                       rq := CAST(FLOOR((
+                           (0.5::DOUBLE + 0.5::DOUBLE
+                            * ((list_reduce(list_prepend(0.0::DOUBLE,
+                                   list_transform(range(1, 65), j ->
+                                       (CAST(rr.xq[j] AS DOUBLE)
+                                        / {LOGREG_XS}.0::DOUBLE) * w[j])),
+                                   (acc, v) -> acc + v) + b)
+                               / (1.0::DOUBLE + ABS(list_reduce(list_prepend(0.0::DOUBLE,
+                                      list_transform(range(1, 65), j ->
+                                          (CAST(rr.xq[j] AS DOUBLE)
+                                           / {LOGREG_XS}.0::DOUBLE) * w[j])),
+                                      (acc, v) -> acc + v) + b))))
+                           - rr.y) * {LOGREG_RS}) AS BIGINT)))
+                       AS rqs
+            FROM it WHERE i < {LOGREG_ITERS}
+        )
+    )
+),
+fin AS MATERIALIZED (
+    SELECT w, b, rws, n FROM it WHERE i = {LOGREG_ITERS}
+),
+accv AS MATERIALIZED (
+    SELECT CAST(list_sum(list_transform(rws, rr ->
+               CASE WHEN CAST(
+                        (list_reduce(list_prepend(0.0::DOUBLE,
+                             list_transform(range(1, 65), j ->
+                                 (CAST(rr.xq[j] AS DOUBLE)
+                                  / {LOGREG_XS}.0::DOUBLE) * w[j])),
+                             (acc, v) -> acc + v) + b) > 0
+                        AS DOUBLE) = rr.y
+               THEN 1 ELSE 0 END)) AS DOUBLE) / n AS acc
+    FROM fin
+)
+SELECT CAST(j - 1 AS INTEGER) AS pos, ROUND(w[j], 6) AS weight
+FROM fin, range(1, 65) t(j)
+UNION ALL
+SELECT -1, ROUND(b, 6) FROM fin
+UNION ALL
+SELECT -2, ROUND(acc, 6) FROM accv
+"""
+
+
+@register("logreg_train", extra=True, oracle=LOGREG_ORACLE)
 def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed LOGISTIC-REGRESSION training (full-batch gradient
+    """Distributed LOGISTIC-style training (full-batch gradient
     descent, the one-machine-of-math / cluster-of-data shape every
     data-parallel trainer reduces to): learn w for P(label is even |
     embedding) over the embeddings table in 10 GD steps. Per step the
@@ -2293,15 +2375,32 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 rows back to the driver per step. The corpus is read N_ITERS
     times but never shuffled on rows: the only exchange is the
     64-group gradient agg, which partial-aggregates map-side to
-    (partitions x 64) rows. This is conceptually allreduce-SGD with
-    the reduce expressed as a hash-agg.
+    (partitions x 64) rows. Conceptually allreduce-SGD with the
+    reduce expressed as a hash-agg.
+
+    ORACLE-PAIRED (r9 verdict #5) by three portability choices:
+    (1) features quantize once to 1e-6 integers (the embedding-family
+    standard), (2) the link is the ALGEBRAIC sigmoid
+    0.5 + 0.5*m/(1+|m|) — same shape and sign behavior as the
+    logistic link but built from IEEE-exact portable ops, where
+    exp() is implementation-defined across JVM/libm and 10 amplified
+    iterations would surface the ulp, (3) per-row residuals floor-
+    quantize to 1e-6 integers so the gradient reduce is an ORDER-FREE
+    integer sum (summed in decimal to dodge bigint overflow at
+    corpus scale), not a shuffle-ordered float fold. The recursive
+    CTE twin carries (w, b) and replays margins, residuals and
+    updates expression-for-expression.
 
     Emits (pos, weight) for the 64 dims plus pos=-1 for the bias and
-    a final pos=-2 row carrying training accuracy — rows-only
-    (iterative float refinement), pinned against a numpy reference
-    implementation of the identical recurrence in tests."""
+    a final pos=-2 row carrying training accuracy."""
     e = table(spark, sf_dir, "embeddings").select(
-        "embedding", (1 - F.col("label") % 2).cast("double").alias("y")
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * LOGREG_XS).cast(
+                "bigint"
+            ),
+        ).alias("xq"),
+        (1 - F.col("label") % 2).cast("double").alias("y"),
     )
     dim = 64
     w = [0.0] * dim
@@ -2311,42 +2410,64 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin = (
             F.aggregate(
                 F.zip_with(
-                    "embedding",
+                    "xq",
                     w_lit,
-                    lambda x, wj: x.cast("double") * wj,
+                    lambda xq, wj: (
+                        xq.cast("double") / F.lit(float(LOGREG_XS))
+                    )
+                    * wj,
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
             + F.lit(b)
         )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-        scored = e.select("embedding", (p - F.col("y")).alias("r"))
+        p = F.lit(0.5) + F.lit(0.5) * (
+            margin / (F.lit(1.0) + F.abs(margin))
+        )
+        scored = e.select(
+            "xq",
+            F.floor((p - F.col("y")) * LOGREG_RS)
+            .cast("bigint")
+            .alias("rq"),
+        )
         # corpus size and the bias gradient both fall out of the SAME
-        # gradient aggregate (every pos group holds each row's r
-        # exactly once), so no dedicated count()/sum() jobs — the PQ
-        # in-plan-count fix applied here: ONE job per iteration
+        # gradient aggregate (every pos group holds each row's rq
+        # exactly once), so no dedicated count()/sum() jobs — ONE job
+        # per iteration. Integer-product sums ride decimal(38,0):
+        # exact at any corpus size, immune to shuffle order.
         grad = (
-            scored.select("r", F.posexplode("embedding").alias("pos", "x"))
+            scored.select("rq", F.posexplode("xq").alias("pos", "x"))
             .groupBy("pos")
             .agg(
-                F.sum(F.col("r") * F.col("x").cast("double")).alias("g"),
-                F.sum("r").alias("rs"),
+                F.sum(
+                    (F.col("rq") * F.col("x")).cast("decimal(38,0)")
+                ).alias("g"),
+                F.sum(F.col("rq").cast("decimal(38,0)")).alias("rs"),
                 F.count("*").alias("cnt"),
             )
             .collect()
         )
         n = grad[0].cnt
-        gb = grad[0].rs
+        gb = int(grad[0].rs)
         for row in grad:
-            w[row.pos] -= LOGREG_LR * row.g / n
-        b -= LOGREG_LR * gb / n
+            w[row.pos] -= (
+                LOGREG_LR
+                * (float(int(row.g)) / float(LOGREG_XS * LOGREG_RS))
+                / n
+            )
+        b -= LOGREG_LR * (float(gb) / float(LOGREG_RS)) / n
     # final pass: training accuracy under the learned weights
     w_lit = F.array(*[F.lit(x) for x in w])
     margin = (
         F.aggregate(
             F.zip_with(
-                "embedding", w_lit, lambda x, wj: x.cast("double") * wj
+                "xq",
+                w_lit,
+                lambda xq, wj: (
+                    xq.cast("double") / F.lit(float(LOGREG_XS))
+                )
+                * wj,
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,

@@ -866,16 +866,20 @@ def test_bpe_encode_matches_python_reference(spark, monkeypatch):
 
 
 def test_logreg_train_matches_numpy_reference(spark):
-    """The distributed GD loop must track a numpy implementation of
-    the identical recurrence (same init, lr, iteration count) to
-    float-sum reordering tolerance, and must actually fit: training
-    accuracy above the majority-class rate."""
+    """The distributed GD loop must reproduce a numpy implementation
+    of the identical recurrence EXACTLY (not to tolerance): features
+    and residuals quantize to integers, gradient sums are order-free
+    integer sums, and the algebraic sigmoid is built from portable
+    IEEE ops — so the two transcripts are bit-identical. The fit must
+    also beat the majority-class rate."""
     import duckdb
     import numpy as np
 
     from eventstream_notify_spark.operators.vectors import (
         LOGREG_ITERS,
         LOGREG_LR,
+        LOGREG_RS,
+        LOGREG_XS,
         logreg_train,
     )
 
@@ -885,20 +889,35 @@ def test_logreg_train_matches_numpy_reference(spark):
     emb, lab = duckdb.sql(
         f"SELECT embedding, label FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
     ).fetchnumpy().values()
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+    Xq = np.floor(
+        np.stack([np.asarray(v, dtype=np.float64) for v in emb]) * LOGREG_XS
+    )
     y = (1 - np.asarray(lab) % 2).astype(np.float64)
-    n, dim = X.shape
+    n, dim = Xq.shape
     w = np.zeros(dim)
     b = 0.0
+
+    def fold_margin(wv, bv):
+        # the engine's SEQUENTIAL left fold over dims (a matmul's
+        # pairwise summation could flip a downstream floor)
+        m = np.zeros(n)
+        for j in range(dim):
+            m = m + (Xq[:, j] / float(LOGREG_XS)) * wv[j]
+        return m + bv
+
     for _ in range(LOGREG_ITERS):
-        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
-        r = p - y
-        w -= LOGREG_LR * (X.T @ r) / n
-        b -= LOGREG_LR * r.sum() / n
-    acc = float((((X @ w + b) > 0).astype(np.float64) == y).mean())
-    diffs = [abs(got[i] - w[i]) for i in range(dim)] + [abs(got[-1] - b)]
-    assert max(diffs) < 5e-6
-    assert abs(got[-2] - acc) < 1e-6
+        m = fold_margin(w, b)
+        p = 0.5 + 0.5 * (m / (1.0 + np.abs(m)))
+        rq = np.floor((p - y) * LOGREG_RS).astype(np.int64)
+        g = rq @ Xq.astype(np.int64)  # exact: integer products/sums
+        w = w - LOGREG_LR * (g.astype(np.float64) / float(LOGREG_XS * LOGREG_RS)) / n
+        b = b - LOGREG_LR * (float(rq.sum()) / float(LOGREG_RS)) / n
+    m = fold_margin(w, b)
+    acc = float(((m > 0).astype(np.float64) == y).mean())
+    want = {i: round(float(w[i]), 6) for i in range(dim)}
+    want[-1] = round(float(b), 6)
+    want[-2] = round(acc, 6)
+    assert got == want
     assert got[-2] > max(y.mean(), 1 - y.mean()) - 1e-9
 
 
