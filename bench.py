@@ -472,6 +472,32 @@ def main() -> None:
     total = round(sum(v for v in timings.values() if v >= 0), 2)
     headline = {n: timings[n] for n in HEADLINE if n in timings}
     cmp_prev = compare_to_prev(timings, fps, sf)
+    # WATCHDOG (r9 verdict #3): a stateful query stalling 5x+ past
+    # the committed record (1 s floor: sub-second queries are all
+    # jitter) gets a loud per-query provenance note, so a contended
+    # driver run self-annotates instead of leaving a bare outlier
+    # (the unreproduced 31.9 s stream_rolling_median of BENCH_r09).
+    watchdog: dict[str, dict] = {}
+    try:
+        prev_q = (
+            json.loads(PREV_PATH.read_text()).get(str(sf), {}).get(
+                "queries", {}
+            )
+            if PREV_PATH.exists()
+            else {}
+        )
+        for name, t in timings.items():
+            p = prev_q.get(name)
+            if p and p > 0 and t > max(5.0 * p, 1.0):
+                watchdog[name] = {
+                    "s": t,
+                    "committed_s": p,
+                    "ratio": round(t / p, 1),
+                    "note": "exceeds 5x the committed idle record —"
+                    " suspect box contention; re-measure isolated",
+                }
+    except Exception:  # noqa: BLE001 — the watchdog must never fail the bench
+        watchdog = {}
     try:
         record = {}
         if PREV_PATH.exists():
@@ -497,6 +523,7 @@ def main() -> None:
         "unit": "sec",
         "value": total,
         "comparison_vs_prev": cmp_prev,
+        "watchdog_breaches": watchdog,
         "metric": "suite_wall_clock_full",
     }
     print(json.dumps(full, separators=(",", ":")))
@@ -519,6 +546,9 @@ def main() -> None:
         },
         # round-over-round: movers >1.5x with UNCHANGED plan = box
         # variance; changed-plan movers are listed by name to inspect
+        "watchdog": {
+            n: w["note"] for n, w in sorted(watchdog.items())[:5]
+        },
         "vs_prev": {
             "median_ratio": cmp_prev.get("median_ratio_vs_prev"),
             "n_movers": len(cmp_prev.get("movers", {}) or {}),

@@ -81,7 +81,11 @@ BUDGETS = {
     "quantile_exact_grouped": 2,  # fact->counts agg + domain window
     "tpch_q2_cheapest_supplier": 1,
     "tpch_q9_product_profit": 1,
-    "tpch_q21_waiting_orders": 3,
+    "tpch_q21_waiting_orders": 4,  # +1 (r10): the EXISTS' lineitem
+    # side is hinted shuffle_merge — both semi-join sides exchange —
+    # because letting the 2-col fact projection slip under the
+    # broadcast threshold made it a linearly-growing broadcast BUILD
+    # (the driver-bound plan; measured 3.74x -> 2.42x per decade)
     "ts_similarity_dtw": 8,   # prune ladder + slab joins
     "stream_static_enrich": 0,
     "zorder_prune_audit": 12,  # two layouts x multi-probe admission
