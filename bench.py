@@ -163,7 +163,16 @@ def latency_mode(duration_s: float = 20.0, rate: int = 20, runs: int = 3) -> Non
     # the right THROUGHPUT shape; for a 20 ev/s latency probe it's 31
     # idle state-store commits per trigger. Pinned per-checkpoint at
     # first start, so this scopes to this run only.
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    # the r9 creep's root cause (0.97 -> 1.147 s over three rounds):
+    # NO-DATA micro-batches. At a steady 20 ev/s every batch has data,
+    # so the empty batches the engine interleaves to advance the
+    # watermark only add state-commit + scheduling time between data
+    # batches — disabling them measured p50 1.016 -> 0.66 s (35%).
+    # Production streams that can go IDLE keep them on (they are what
+    # fires event-time timeouts with no input); a latency probe of a
+    # never-idle stream doesn't need them.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     # tiny state (5 users + <=rate*TTL dedup ids): the heap-backed
     # provider opens in milliseconds where RocksDB pays file-system
     # setup per instance — right for a latency probe, wrong for the
@@ -195,8 +204,8 @@ def latency_mode(duration_s: float = 20.0, rate: int = 20, runs: int = 3) -> Non
     wq.awaitTermination()
     cold_start_s = round(time.time() - t_cold, 2)
     # file_events_stream re-tunes shuffle partitions (8); restore the
-    # probe's 4-partition state-store sizing for the measured runs
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # probe's 1-partition state-store sizing for the measured runs
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
 
     results: list[dict] = []
     for i in range(runs):
