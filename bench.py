@@ -315,7 +315,74 @@ def plan_fingerprint(df) -> str:
     # columns; pushdown regressions are the plan gate's job, not the
     # fingerprint's.
     s = re.sub(r"(FileScan \w+ \[[^\]]*\]).*", r"\1", s)
+    # Catalyst's RewriteDistinctAggregates numbers its Expand gids by
+    # HASH-SET iteration order — the same query text plans with
+    # l_partkey as gid 1 in one build and gid 2 in the next (measured
+    # in-session: ~30 queries flapped, the r9 classifier's spurious
+    # PLAN_CHANGE tail). Canonicalize: gid constants to 'n', then
+    # every [...] list's depth-0 segments sorted (with bare-integer
+    # segments — gid markers in Expand rows — also mapped to 'n').
+    # Within-list ORDER is not a perf signal; node structure is kept.
+    s = re.sub(r"gid#x = \d+", "gid#x = n", s)
+    # higher-order-function lambda variables are numbered by a
+    # session-global counter (lambda x_1 in one build, x_7 the next)
+    s = re.sub(r"lambda ([A-Za-z]+)_\d+#x", r"lambda \1_n#x", s)
+    # the Exchange keys inherit the same hash-order (parens, so the
+    # bracket pass doesn't reach them)
+    s = re.sub(
+        r"hashpartitioning\(([^()]*)\)",
+        lambda m: "hashpartitioning("
+        + ", ".join(sorted(x.strip() for x in m.group(1).split(",")))
+        + ")",
+        s,
+    )
+    s = _canon_lists(s)
     return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def _canon_lists(s: str) -> str:
+    """Sort the depth-0 comma segments of every bracketed [...] list
+    (recursively; parens respected; bare-integer segments -> 'n') so
+    hash-order-dependent list arrangements hash identically. Pure
+    canonicalization for fingerprinting — never shown to a human."""
+
+    def parse(i: int) -> tuple[str, int]:
+        parts: list[str] = []
+        buf: list[str] = []
+        depth = 0
+        while i < len(s):
+            c = s[i]
+            if c == "[":
+                inner, i = parse(i + 1)
+                buf.append("[" + inner + "]")
+            elif c == "]":
+                parts.append("".join(buf).strip())
+                segs = ["n" if p.isdigit() else p for p in parts]
+                return ", ".join(sorted(segs)), i + 1
+            else:
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth = max(0, depth - 1)
+                if c == "," and depth == 0:
+                    parts.append("".join(buf).strip())
+                    buf = []
+                else:
+                    buf.append(c)
+                i += 1
+        parts.append("".join(buf).strip())
+        return ", ".join(sorted(parts)), i
+
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "[":
+            inner, i = parse(i + 1)
+            out.append("[" + inner + "]")
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
 
 
 PREV_PATH = Path(__file__).resolve().parent / "bench_prev.json"
