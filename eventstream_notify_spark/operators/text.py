@@ -13,6 +13,8 @@ nothing else.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3510,11 +3512,109 @@ def _bpe_train_pairs(spark: SparkSession, sf_dir: str) -> list:
     return results
 
 
-@register("llm_bpe_train", extra=True)  # rows-only: iterative kernel loop
+
+# Recursive-CTE twin of the BPE training loop (r10: rows-only ->
+# oracle). Everything is INTEGER (pair counts, frequencies) or exact
+# string algebra: the greedy argmax is max count then lexicographic
+# min, and the left-to-right merge application is the replace-last-
+# if-match fold (provably identical to the i+=2 scan: a merged token
+# can never equal its own left operand, so a fold cell never double-
+# merges). The vocab table (distinct words) is carried IN the
+# recursion as a list of (syms, f) structs — corpus size only enters
+# through the one word-count aggregation.
+_BPE_TRAIN_CTE = f""" wf AS MATERIALIZED (
+    SELECT list(struct_pack(
+               syms := list_transform(range(1, length(w) + 1),
+                                      i -> w[i]),
+               f := f)) AS vocab
+    FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                  '{TOKEN_RE}')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY w
+    )
+),
+it AS (
+    SELECT 0 AS rnd, vocab, CAST(NULL AS VARCHAR) AS ma,
+           CAST(NULL AS VARCHAR) AS mb, CAST(NULL AS BIGINT) AS cnt
+    FROM wf
+    UNION ALL
+    SELECT rnd + 1,
+           list_transform(vocab, v -> struct_pack(
+               syms := list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]),
+                       list_transform(v.syms, s -> [s])),
+                   (acc, e) -> CASE
+                       WHEN len(acc) > 0 AND acc[-1] = ba
+                            AND e[1] = bb
+                       THEN list_append(
+                           list_slice(acc, 1, len(acc) - 1), ba || bb)
+                       ELSE list_append(acc, e[1]) END),
+               f := v.f)),
+           ba, bb, bcnt
+    FROM (
+        SELECT rnd, vocab, best.a AS ba, best.b AS bb,
+               best.cnt AS bcnt
+        FROM (
+            SELECT rnd, vocab,
+                   list_reduce(counts, (x, y) -> CASE
+                       WHEN y.cnt > x.cnt
+                            OR (y.cnt = x.cnt
+                                AND (y.a < x.a
+                                     OR (y.a = x.a AND y.b < x.b)))
+                       THEN y ELSE x END) AS best
+            FROM (
+                SELECT rnd, vocab,
+                       list_transform(dp, d -> struct_pack(
+                           a := string_split(d, chr(1))[1],
+                           b := string_split(d, chr(1))[2],
+                           cnt := list_sum(list_transform(prs, pe ->
+                               CASE WHEN pe.a = string_split(d, chr(1))[1]
+                                     AND pe.b = string_split(d, chr(1))[2]
+                                    THEN pe.f
+                                    ELSE CAST(0 AS BIGINT) END))))
+                           AS counts
+                FROM (
+                    SELECT rnd, vocab, prs,
+                           -- list_distinct over STRUCTs is
+                           -- unimplemented; chr(1) never occurs in
+                           -- TOKEN_RE tokens, so the packed string
+                           -- is a faithful pair key
+                           list_distinct(list_transform(prs, pe ->
+                               pe.a || chr(1) || pe.b)) AS dp
+                    FROM (
+                        SELECT rnd, vocab,
+                               flatten(list_transform(vocab, v ->
+                                   list_transform(
+                                       range(1, len(v.syms)), i ->
+                                       struct_pack(a := v.syms[i],
+                                           b := v.syms[i + 1],
+                                           f := v.f)))) AS prs
+                        FROM it WHERE rnd < {_BPE_ROUNDS}
+                    ) WHERE len(prs) > 0
+                )
+            )
+        )
+    )
+)
+"""
+
+
+BPE_TRAIN_ORACLE = f"""
+WITH RECURSIVE {_BPE_TRAIN_CTE}
+SELECT CAST(rnd AS INT) AS round, ma || mb AS merge,
+       cnt AS pair_count
+FROM it WHERE rnd >= 1
+"""
+
+@register("llm_bpe_train", extra=True, oracle=BPE_TRAIN_ORACLE)
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training surface: the distributed merge loop
     (``_bpe_train_pairs``) as (round, merge, pair_count) rows; pinned
-    EXACTLY by the pure-python reference test."""
+    EXACTLY by the pure-python reference test AND (r10) hash-matched
+    by a recursive-CTE DuckDB twin — the loop is pure integer/string
+    algebra, so the greedy argmax and the merge application replay
+    exactly."""
     rows = [(r, a + b, c) for r, a, b, c in _bpe_train_pairs(spark, sf_dir)]
     return spark.createDataFrame(
         rows, "round int, merge string, pair_count bigint"
@@ -3553,7 +3653,73 @@ def bpe_reference_encode(word: str, merges: list) -> list:
     return syms
 
 
-@register("llm_bpe_encode", extra=True)  # rows-only: ranked-merge encode kernel
+# Twin of the rank-iterated BPE encode (r10: rows-only -> oracle):
+# re-derives the merge table with the training recursion, then a
+# second recursion encodes each DISTINCT word — per step, the lowest
+# applicable rank (list_min over the merge table) applies to every
+# occurrence via the same replace-last-if-match fold as training.
+# Each step strictly shrinks the word, so the recursion is bounded by
+# word length; a word's final state is its max-step row.
+BPE_ENCODE_ORACLE = f"""
+WITH RECURSIVE {_BPE_TRAIN_CTE},
+merges AS MATERIALIZED (
+    SELECT list(struct_pack(a := ma, b := mb, r := rnd)
+                ORDER BY rnd) AS ml
+    FROM it WHERE rnd >= 1
+),
+dw AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+    FROM documents
+),
+enc AS (
+    SELECT w,
+           list_transform(range(1, length(w) + 1), ii -> w[ii])
+               AS syms,
+           ml, 0 AS step
+    FROM (SELECT DISTINCT w FROM dw), merges
+    UNION ALL
+    SELECT w,
+           list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                   list_transform(syms, s -> [s])),
+               (acc, e) -> CASE
+                   WHEN len(acc) > 0 AND acc[-1] = bm.a
+                        AND e[1] = bm.b
+                   THEN list_append(
+                       list_slice(acc, 1, len(acc) - 1),
+                       bm.a || bm.b)
+                   ELSE list_append(acc, e[1]) END),
+           ml, step + 1
+    FROM (
+        SELECT w, syms, ml, step, ml[br] AS bm
+        FROM (
+            SELECT w, syms, ml, step,
+                   list_min(list_transform(ml, m ->
+                       CASE WHEN len(list_filter(
+                                range(1, len(syms)), ii ->
+                                syms[ii] = m.a
+                                AND syms[ii + 1] = m.b)) > 0
+                            THEN m.r ELSE NULL END)) AS br
+            FROM enc
+        ) WHERE br IS NOT NULL
+    )
+),
+fin AS MATERIALIZED (
+    SELECT w, syms FROM enc
+    QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(f.syms)) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(length(d.w)) AS BIGINT)
+             / CAST(SUM(len(f.syms)) AS DOUBLE), 6) AS chars_per_token
+FROM dw d JOIN fin f USING (w)
+GROUP BY d.doc_id
+"""
+
+
+@register("llm_bpe_encode", extra=True, oracle=BPE_ENCODE_ORACLE)
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODING — the other half of the tokenizer lifecycle
     (llm_bpe_train learns merges; this applies them): encode every
@@ -3816,7 +3982,178 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
     return results, base_units
 
 
-@register("llm_wordpiece_train", extra=True)  # rows-only: iterative loop
+_WP_TRAIN_CTE = f"""wf AS MATERIALIZED (
+    SELECT list(struct_pack(
+               syms := list_transform(range(1, length(w) + 1),
+                   ii -> CASE WHEN ii = 1 THEN w[ii]
+                         ELSE '##' || w[ii] END),
+               f := f)) AS vocab
+    FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                  '{TOKEN_RE}')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY w
+    )
+),
+wit AS (
+    SELECT 0 AS rnd, vocab, CAST(NULL AS VARCHAR) AS ma,
+           CAST(NULL AS VARCHAR) AS mb, CAST(NULL AS BIGINT) AS cnt,
+           CAST(NULL AS DOUBLE) AS score
+    FROM wf
+    UNION ALL
+    SELECT rnd + 1,
+           list_transform(vocab, v -> struct_pack(
+               syms := list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]),
+                       list_transform(v.syms, s -> [s])),
+                   (acc, e) -> CASE
+                       WHEN len(acc) > 0 AND acc[-1] = ba
+                            AND e[1] = bb
+                       THEN list_append(
+                           list_slice(acc, 1, len(acc) - 1),
+                           ba || CASE WHEN bb LIKE '##%'
+                                      THEN bb[3:] ELSE bb END)
+                       ELSE list_append(acc, e[1]) END),
+               f := v.f)),
+           ba, bb, bcnt, bscore
+    FROM (
+        SELECT rnd, vocab, best.a AS ba, best.b AS bb,
+               best.cnt AS bcnt, best.score AS bscore
+        FROM (
+            SELECT rnd, vocab,
+                   list_reduce(counts, (x, y) -> CASE
+                       WHEN y.score > x.score
+                            OR (y.score = x.score
+                                AND (y.a < x.a
+                                     OR (y.a = x.a AND y.b < x.b)))
+                       THEN y ELSE x END) AS best
+            FROM (
+                SELECT rnd, vocab,
+                       list_transform(c0, c -> struct_pack(
+                           a := c.a, b := c.b, cnt := c.cnt,
+                           score := CAST(c.cnt AS DOUBLE)
+                               / (CAST(list_sum(list_transform(us,
+                                      u -> CASE WHEN u.s = c.a
+                                           THEN u.f ELSE CAST(0 AS
+                                           BIGINT) END)) AS DOUBLE)
+                                  * CAST(list_sum(list_transform(us,
+                                      u -> CASE WHEN u.s = c.b
+                                           THEN u.f ELSE CAST(0 AS
+                                           BIGINT) END)) AS DOUBLE))))
+                           AS counts
+                FROM (
+                    SELECT rnd, vocab, us,
+                           list_transform(dp, dk -> struct_pack(
+                               a := string_split(dk, chr(1))[1],
+                               b := string_split(dk, chr(1))[2],
+                               cnt := list_sum(list_transform(prs,
+                                   pe -> CASE WHEN pe.a =
+                                           string_split(dk, chr(1))[1]
+                                         AND pe.b =
+                                           string_split(dk, chr(1))[2]
+                                        THEN pe.f
+                                        ELSE CAST(0 AS BIGINT) END))))
+                               AS c0
+                    FROM (
+                        SELECT rnd, vocab, prs, us,
+                               list_distinct(list_transform(prs, pe ->
+                                   pe.a || chr(1) || pe.b)) AS dp
+                        FROM (
+                            SELECT rnd, vocab,
+                                   flatten(list_transform(vocab, v ->
+                                       list_transform(
+                                           range(1, len(v.syms)),
+                                           ii -> struct_pack(
+                                               a := v.syms[ii],
+                                               b := v.syms[ii + 1],
+                                               f := v.f)))) AS prs,
+                                   flatten(list_transform(vocab, v ->
+                                       list_transform(v.syms, s ->
+                                           struct_pack(s := s,
+                                               f := v.f)))) AS us
+                            FROM wit WHERE rnd < {_WP_ROUNDS}
+                        ) WHERE len(prs) > 0
+                    )
+                )
+            )
+        )
+    )
+)"""
+
+
+# Recursive-CTE twin of the WordPiece trainer (r10: rows-only ->
+# oracle). Same replay structure as BPE_TRAIN_ORACLE; the argmax
+# criterion is the likelihood score cnt/(unit_a*unit_b) computed as
+# the IDENTICAL float64 expression over exact integer counts in both
+# engines (int->double conversions are IEEE nearest-even, one multiply
+# and one divide — no accumulation), so even the emitted unrounded
+# score hash-matches.
+WP_TRAIN_ORACLE = f"""
+WITH RECURSIVE {_WP_TRAIN_CTE}
+SELECT CAST(rnd AS INT) AS round,
+       ma || CASE WHEN mb LIKE '##%' THEN mb[3:] ELSE mb END AS merge,
+       cnt AS pair_count, score
+FROM wit WHERE rnd >= 1
+"""
+
+
+# Twin of the greedy longest-match-first WordPiece encode: vocab =
+# initial symbols of the TRAINING words + the learned merge tokens;
+# per word the recursion advances one matched piece per step (longest
+# piece in vocab at the cursor, ## continuation prefix), whole word
+# [UNK] = 1 token on a dead position. Terminal state per word = the
+# max-step row.
+WP_ENCODE_ORACLE = f"""
+WITH RECURSIVE {_WP_TRAIN_CTE},
+vs AS MATERIALIZED (
+    SELECT list_distinct(
+               flatten(list_transform(wf.vocab, v -> v.syms))
+               || (SELECT COALESCE(list(ma || CASE WHEN mb LIKE '##%'
+                       THEN mb[3:] ELSE mb END), [])
+                   FROM wit WHERE rnd >= 1)) AS vset
+    FROM wf
+),
+dw AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+    FROM documents
+),
+wenc AS (
+    SELECT w, 1 AS pos, 0 AS ntok, FALSE AS dead, 0 AS step, vset
+    FROM (SELECT DISTINCT w FROM dw), vs
+    UNION ALL
+    SELECT w,
+           CASE WHEN ml IS NULL THEN pos ELSE pos + ml END,
+           CASE WHEN ml IS NULL THEN 1 ELSE ntok + 1 END,
+           ml IS NULL,
+           step + 1,
+           vset
+    FROM (
+        SELECT w, pos, ntok, step, vset,
+               list_max(list_filter(
+                   range(1, length(w) - pos + 2), L ->
+                   list_contains(vset,
+                       CASE WHEN pos = 1 THEN w[pos:pos + L - 1]
+                            ELSE '##' || w[pos:pos + L - 1]
+                       END))) AS ml
+        FROM wenc WHERE NOT dead AND pos <= length(w)
+    )
+),
+wfin AS MATERIALIZED (
+    SELECT w, ntok FROM wenc
+    QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(f.ntok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(length(d.w)) AS BIGINT)
+             / CAST(SUM(f.ntok) AS DOUBLE), 6) AS chars_per_token
+FROM dw d JOIN wfin f USING (w)
+GROUP BY d.doc_id
+"""
+
+
+@register("llm_wordpiece_train", extra=True, oracle=WP_TRAIN_ORACLE)
 def llm_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece TRAINING (Schuster & Nakajima 2012) — the third
     subword family next to zx_llm_bpe_train (count-greedy) and
@@ -3838,7 +4175,7 @@ def llm_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_wordpiece_encode", extra=True)  # rows-only: greedy kernel
+@register("llm_wordpiece_encode", extra=True, oracle=WP_ENCODE_ORACLE)
 def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece ENCODING — greedy longest-match-first against the
     trained vocab (base units + merge tokens), ##-prefixed
@@ -4375,7 +4712,10 @@ def _unigram_em(words: list[tuple[str, int]]) -> list[tuple[str, int, int]]:
         q_counts = {p: 0 for p in probs}
         for w, f in words:
             for piece, e in unigram_expected_counts(w, probs).items():
-                q_counts[piece] += int(round(e * _UNI_Q)) * f
+                # floor(x + 0.5): the PORTABLE half-up quantizer — python round()
+                # is half-even, DuckDB ROUND half-away; floor(+0.5) is the
+                # same IEEE op sequence in both engines (r10 oracle flip)
+                q_counts[piece] += int(math.floor(e * _UNI_Q + 0.5)) * f
         # M-step + prune: drop the lowest-count quartile of multi-char
         # pieces (never singles — they keep every word segmentable).
         alive = [p for p, c in q_counts.items() if c > 0 or len(p) == 1]
@@ -4475,7 +4815,7 @@ def _unigram_train_table(
                         w, probs
                     ).items():
                         ps.append(piece)
-                        eq.append(int(round(e * _UNI_Q)))
+                        eq.append(int(math.floor(e * _UNI_Q + 0.5)))
                         fs.append(int(f))
                 yield pd.DataFrame({"piece": ps, "eq": eq, "f": fs})
 
@@ -4511,11 +4851,216 @@ def _unigram_train_table(
     return [(p, q_counts.get(p, 0), r + 1) for r, p in enumerate(ranked)]
 
 
-@register("llm_unigram_train", extra=True)  # rows-only: EM trainer loop
+# Recursive-CTE twin of the unigram-LM EM trainer (r10: rows-only ->
+# oracle). Replayable because every float in the loop is either (a) a
+# sum of INTEGER-valued doubles (round-1 totals), (b) an ORDERED fold
+# over the piece-sorted vocab (later totals), or (c) the per-word
+# forward-backward lattice — a written-down sequential recurrence the
+# CTE replays with the identical op order (alpha: j ascending; beta:
+# reversed build; occupancy: span-scan order; absent pieces contribute
+# an IEEE-exact +0.0). Expected counts quantize via floor(x*Q + 0.5)
+# — the portable half-up — BEFORE the cross-word sum, so aggregation
+# is pure integers. Caveat (documented): counts re-float as
+# CAST(q AS DOUBLE)/Q; python's int/int true division is correctly
+# rounded while this double-rounds — they agree while q < 2^53
+# (~9e15; this corpus peaks ~1e15 per piece).
+_UNI_BASE_CTES = f""" words0 AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+    FROM (SELECT unnest(regexp_extract_all(lower(text),
+              '{TOKEN_RE}')) AS w FROM documents)
+    WHERE length(w) <= {_UNI_WORD_MAX}
+    GROUP BY w
+),
+uw AS MATERIALIZED (
+    SELECT list(struct_pack(w := w, f := f) ORDER BY w) AS ws
+    FROM words0
+),
+seed AS MATERIALIZED (
+    SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
+    FROM (
+        SELECT w[CAST(jv AS INT) : CAST(jv + lnn - 1 AS INT)] AS piece,
+               f
+        FROM words0,
+             LATERAL (SELECT unnest(range(1, length(w) + 1)) AS jv) tj,
+             LATERAL (SELECT unnest(range(1,
+                 least({_UNI_SUB_MAX}, length(w) - jv + 1) + 1))
+                 AS lnn) tl
+    ) GROUP BY piece
+),
+plist0 AS MATERIALIZED (
+    SELECT list(struct_pack(piece := piece,
+                            c := CAST(cnt AS DOUBLE),
+                            qc := CAST(0 AS BIGINT))
+                ORDER BY piece) AS plist
+    FROM (
+        SELECT piece, cnt FROM seed WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM seed WHERE length(piece) > 1
+            QUALIFY row_number() OVER (ORDER BY cnt DESC, piece)
+                <= {_UNI_SEED}
+        )
+    )
+),
+"""
+
+_UNI_EM_RECURSION = f"""
+    SELECT 0 AS rnd, plist, ws FROM plist0, uw
+    UNION ALL
+    SELECT rnd + 1,
+           list_sort(list_transform(
+               list_filter(alive, q ->
+                   NOT list_contains(dropped, q.piece)),
+               q -> struct_pack(piece := q.piece,
+                   c := CAST(q.qc AS DOUBLE) / {_UNI_Q}.0::DOUBLE,
+                   qc := q.qc))),
+           ws
+    FROM (
+        SELECT rnd, ws, alive,
+               list_transform(list_slice(msorted, 1,
+                   CAST(trunc(CAST(len(msorted) AS DOUBLE)
+                              * {_UNI_PRUNE_FRAC}) AS BIGINT)),
+                   x -> x.piece) AS dropped
+        FROM (
+            SELECT rnd, ws, alive,
+                   list_sort(list_transform(
+                       list_filter(alive, q -> length(q.piece) > 1),
+                       q -> struct_pack(qc := q.qc, piece := q.piece)))
+                       AS msorted
+            FROM (
+                SELECT rnd, ws,
+                       list_filter(qlist, q ->
+                           q.qc > 0 OR length(q.piece) = 1) AS alive
+                FROM (
+                    SELECT rnd, ws,
+                           list_transform(probs, pr -> struct_pack(
+                               piece := pr.piece,
+                               qc := COALESCE(list_sum(
+                                   list_transform(ec, m ->
+                                       CASE WHEN m.piece = pr.piece
+                                            THEN m.v
+                                            ELSE CAST(0 AS BIGINT)
+                                       END)), CAST(0 AS BIGINT))))
+                               AS qlist
+                    FROM (
+                        SELECT rnd, ws, probs,
+                               flatten(list_transform(ws, wd ->
+    list_transform([struct_pack(
+        nn := length(wd.w),
+        spanlist := flatten(list_transform(
+            range(0, length(wd.w)), j0 ->
+            list_transform(range(j0 + 1,
+                least(length(wd.w), j0 + {_UNI_SUB_MAX}) + 1), iv ->
+                struct_pack(j0 := j0, iv := iv)))),
+        al := list_reduce(list_prepend([1.0::DOUBLE],
+            list_transform(range(1, length(wd.w) + 1),
+                tv -> [CAST(tv AS DOUBLE)])),
+            (acc, e) -> list_append(acc,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(range(
+                        GREATEST(CAST(e[1] AS BIGINT)
+                                 - {_UNI_SUB_MAX}, 0),
+                        CAST(e[1] AS BIGINT)), jv ->
+                        acc[CAST(jv AS INT) + 1]
+                        * COALESCE(list_filter(probs, pq ->
+                              pq.piece = wd.w[CAST(jv + 1 AS INT)
+                                  : CAST(e[1] AS INT)])[1].p,
+                              0.0))),
+                    (sa, tb) -> sa + tb))),
+        bt := list_reduce(list_prepend([1.0::DOUBLE],
+            list_transform(range(2, length(wd.w) + 2),
+                tv -> [CAST(tv AS DOUBLE)])),
+            (acc, e) -> list_append(acc,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(range(1,
+                        least(CAST({_UNI_SUB_MAX} AS BIGINT),
+                              CAST(e[1] AS BIGINT) - 1) + 1), dv ->
+                        COALESCE(list_filter(probs, pq ->
+                            pq.piece = wd.w[
+                                CAST(length(wd.w) - e[1] + 2 AS INT)
+                                : CAST(length(wd.w) - e[1] + 1 + dv
+                                       AS INT)])[1].p, 0.0)
+                        * acc[CAST(e[1] - dv AS INT)])),
+                    (sa, tb) -> sa + tb)))
+    )], st ->
+        list_transform([struct_pack(
+            zz := st.al[CAST(st.nn AS INT) + 1])], st2 ->
+            CASE WHEN st2.zz <= 0.0
+            THEN CAST([] AS STRUCT(piece VARCHAR, v BIGINT)[])
+            ELSE list_transform(
+                list_distinct(list_transform(
+                    list_filter(st.spanlist, sp ->
+                        len(list_filter(probs, pq -> pq.piece =
+                            wd.w[CAST(sp.j0 + 1 AS INT)
+                                 : CAST(sp.iv AS INT)])) > 0),
+                    sp -> wd.w[CAST(sp.j0 + 1 AS INT)
+                               : CAST(sp.iv AS INT)])),
+                pc -> struct_pack(
+                    piece := pc,
+                    v := CAST(FLOOR(
+                        list_reduce(list_prepend(0.0::DOUBLE,
+                            list_transform(st.spanlist, sp ->
+                                CASE WHEN wd.w[
+                                        CAST(sp.j0 + 1 AS INT)
+                                        : CAST(sp.iv AS INT)] = pc
+                                THEN ((st.al[CAST(sp.j0 AS INT) + 1]
+                                       * COALESCE(list_filter(probs,
+                                             pq -> pq.piece = pc)[1].p,
+                                             0.0))
+                                      * st.bt[CAST(st.nn - sp.iv + 1
+                                              AS INT)])
+                                     / st2.zz
+                                ELSE 0.0 END)),
+                            (sa, tb) -> sa + tb)
+                        * {_UNI_Q}.0::DOUBLE + 0.5::DOUBLE)
+                        AS BIGINT) * wd.f))
+            END)[1])[1]
+                               )) AS ec
+                        FROM (
+                            SELECT rnd, ws,
+                                   list_transform(
+                                       list_filter(plist,
+                                           q -> q.c > 0),
+                                       q -> struct_pack(
+                                           piece := q.piece,
+                                           p := q.c / total)) AS probs
+                            FROM (
+                                SELECT rnd, ws, plist,
+                                       list_reduce(
+                                           list_prepend(0.0::DOUBLE,
+                                               list_transform(plist,
+                                                   q -> q.c)),
+                                           (sa, tb) -> sa + tb)
+                                           AS total
+                                FROM uit WHERE rnd < {_UNI_ROUNDS}
+                            )
+                        )
+                    )
+                )
+            )
+        )
+    )
+"""
+
+UNI_TRAIN_ORACLE = f"""
+WITH RECURSIVE {_UNI_BASE_CTES}
+uit AS (
+{_UNI_EM_RECURSION}
+)
+SELECT q.piece, q.qc AS q_count,
+       CAST(row_number() OVER (ORDER BY q.qc DESC, q.piece) AS INT)
+           AS rank
+FROM (SELECT unnest(plist) AS q FROM uit WHERE rnd = {_UNI_ROUNDS})
+"""
+
+@register("llm_unigram_train", extra=True, oracle=UNI_TRAIN_ORACLE)
 def llm_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM training surface: the distributed EM loop
     (``_unigram_train_table``) as (piece, q_count, rank) rows; pinned
-    EXACTLY by the pure-python reference test."""
+    EXACTLY by the pure-python reference test AND (r10) hash-matched
+    by a recursive-CTE DuckDB twin — the loop is pure integer/string
+    algebra, so the greedy argmax and the merge application replay
+    exactly."""
     return spark.createDataFrame(
         _unigram_train_table(spark, sf_dir),
         "piece string, q_count bigint, rank int",
@@ -4557,7 +5102,99 @@ def unigram_viterbi_encode(
     return out
 
 
-@register("llm_unigram_encode", extra=True)  # rows-only: Viterbi kernel
+# Twin of the Viterbi unigram encode: re-derives the trained piece
+# table (the train recursion), builds logp = ln(qc/total) per piece
+# (qc and total are exact integers < 2^53, so the double division
+# matches python's correctly-rounded int/int; ln() resolves to the
+# same platform libm as python's math.log on this container — the one
+# platform-shared assumption, pinned by the hash check itself), then
+# replays the per-word Viterbi as a fold carrying (best, ntok) pairs:
+# inner j ascending with strict >, so ties keep the smallest split —
+# the reference rule. Unsegmentable words fall back to char count.
+UNI_ENCODE_ORACLE = f"""
+WITH RECURSIVE {_UNI_BASE_CTES}
+uit AS (
+{_UNI_EM_RECURSION}
+),
+fin0 AS MATERIALIZED (
+    SELECT plist FROM uit WHERE rnd = {_UNI_ROUNDS}
+),
+tsum AS MATERIALIZED (
+    SELECT CAST(SUM(x.qc) AS BIGINT) AS tq
+    FROM (SELECT unnest(plist) AS x FROM fin0) WHERE x.qc > 0
+),
+lp AS MATERIALIZED (
+    SELECT list(struct_pack(piece := q.piece,
+               logp := ln(CAST(q.qc AS DOUBLE)
+                          / CAST(tsum.tq AS DOUBLE)))) AS lps
+    FROM (SELECT unnest(plist) AS q FROM fin0), tsum
+    WHERE q.qc > 0
+),
+dw AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+    FROM documents
+),
+venc AS MATERIALIZED (
+    SELECT w,
+           list_transform([list_reduce(
+               list_prepend(
+                   [struct_pack(b := 0.0::DOUBLE,
+                                t := CAST(0 AS BIGINT))],
+                   list_transform(range(1, length(w) + 1), tv ->
+                       [struct_pack(b := CAST(tv AS DOUBLE),
+                                    t := CAST(0 AS BIGINT))])),
+               (acc, e) -> list_append(acc,
+                   list_reduce(
+                       list_prepend(
+                           struct_pack(
+                               b := '-Infinity'::DOUBLE,
+                               t := CAST(-1 AS BIGINT)),
+                           list_transform(range(
+                               GREATEST(CAST(e[1].b AS BIGINT)
+                                        - {_UNI_SUB_MAX}, 0),
+                               CAST(e[1].b AS BIGINT)), jv ->
+                               CASE WHEN len(list_filter(lps, pq ->
+                                        pq.piece = w[
+                                            CAST(jv + 1 AS INT)
+                                            : CAST(e[1].b AS INT)]))
+                                        > 0
+                                    AND acc[CAST(jv AS INT) + 1].b
+                                        > '-Infinity'::DOUBLE
+                               THEN struct_pack(
+                                   b := acc[CAST(jv AS INT) + 1].b
+                                        + list_filter(lps, pq ->
+                                            pq.piece = w[
+                                                CAST(jv + 1 AS INT)
+                                                : CAST(e[1].b AS INT)]
+                                          )[1].logp,
+                                   t := acc[CAST(jv AS INT) + 1].t
+                                        + 1)
+                               ELSE struct_pack(
+                                   b := '-Infinity'::DOUBLE,
+                                   t := CAST(-1 AS BIGINT))
+                               END)),
+                       (x, y) -> CASE WHEN y.b > x.b
+                                      THEN y ELSE x END)))],
+               vit -> CASE
+                   WHEN vit[CAST(length(w) AS INT) + 1].b
+                        = '-Infinity'::DOUBLE
+                   THEN CAST(length(w) AS BIGINT)
+                   ELSE vit[CAST(length(w) AS INT) + 1].t
+               END)[1] AS n_tok
+    FROM (SELECT DISTINCT w FROM dw), lp
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(length(d.w)) AS BIGINT)
+             / CAST(SUM(v.n_tok) AS DOUBLE), 6) AS chars_per_token
+FROM dw d JOIN venc v USING (w)
+GROUP BY d.doc_id
+"""
+
+
+@register("llm_unigram_encode", extra=True, oracle=UNI_ENCODE_ORACLE)
 def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNIGRAM-LM ENCODING — the lifecycle's second half
     (llm_unigram_train learns the piece table; this applies it):
