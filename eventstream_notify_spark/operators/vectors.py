@@ -4416,12 +4416,191 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without a barrier the cogrouped kernel executes once per ref
         .localCheckpoint(eager=False)
     )
+    return _mnn_mutual(spark, sf_dir, nn)
+
+
+def _mnn_block_top1(left, right):
+    """Per-cell exact top-1 kernel shared by the pmod block-NL search
+    (mnn_top1) and the LSH-bucketed scale path (mnn_top1_lsh): exact
+    integer-valued float64 matmul over 1e-6-quantized coordinates
+    (every partial sum < 2^53 — exact under any BLAS tiling), ranking
+    key floor(1e6 * cos), block-local min-dst tie-break via sorted
+    candidate columns. left: (vec_id, embedding); right: (cid, cemb).
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "src": pd.Series([], dtype="int64"),
+            "dst": pd.Series([], dtype="int64"),
+            "score_micro": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(left) or not len(right):
+        return empty
+    A = np.floor(
+        np.array(list(left["embedding"]), dtype=np.float64) * 1e6
+    )  # integer-valued float64: exact under BLAS (see docstring)
+    Bm = np.floor(np.array(list(right["cemb"]), dtype=np.float64) * 1e6)
+    an = np.sqrt((A * A).sum(axis=1))
+    bn = np.sqrt((Bm * Bm).sum(axis=1))
+    # integer-valued float64 matmul: exact, order-free, BLAS
+    sm = np.floor((A @ Bm.T) / (an[:, None] * bn[None, :]) * 1e6)
+    dst_ids = right["cid"].to_numpy(dtype=np.int64)
+    order = np.argsort(dst_ids)  # argmax's first-max => min dst
+    dst_ids = dst_ids[order]
+    sm = sm[:, order]
+    out_src, out_dst, out_sc = [], [], []
+    for r, sid in enumerate(left["vec_id"].to_numpy(dtype=np.int64)):
+        row = sm[r]
+        self_mask = dst_ids == sid
+        if self_mask.any():
+            row = row.copy()
+            row[self_mask] = -np.inf
+        bi = int(np.argmax(row))
+        if row[bi] == -np.inf:  # block held only the query itself
+            continue
+        out_src.append(int(sid))
+        out_dst.append(int(dst_ids[bi]))
+        out_sc.append(int(row[bi]))
+    if not out_src:
+        return empty
+    return pd.DataFrame(
+        {"src": out_src, "dst": out_dst, "score_micro": out_sc}
+    )
+
+
+def _mnn_reduce(partials: DataFrame) -> DataFrame:
+    """Cell partials -> global top-1: map-side-combinable struct max
+    (score desc, then min dst — matching the oracle's QUALIFY order).
+    Exact for any partition of the candidate set into cells because
+    (score, -dst) max is associative."""
+    return (
+        partials.groupBy("src")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score_micro"), (-F.col("dst")).alias("nd")
+                )
+            ).alias("m")
+        )
+        .select(
+            "src",
+            (-F.col("m.nd")).alias("dst"),
+            F.col("m.score_micro").alias("score_micro"),
+        )
+    )
+
+
+def mnn_top1(e: DataFrame) -> DataFrame:
+    """The distributed exact top-1 search stage of mutual_knn_pairs,
+    pre-checkpoint: (chunk, block) cogrouped Arrow matmul kernel +
+    struct-max global reduce. Exposed so tests can pin the plan shape
+    (FlatMapCoGroupsInPandas, no driver collect) that the checkpoint
+    barrier hides from the registered query's final plan string."""
+    q_side = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(MNN_QCHUNKS)).cast("int").alias("qc"),
+    ).withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(MNN_BLOCKS - 1)))
+    )
+    c_side = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.pmod(F.col("vec_id"), F.lit(MNN_BLOCKS)).cast("int").alias("blk"),
+    ).withColumn(
+        "qc", F.explode(F.sequence(F.lit(0), F.lit(MNN_QCHUNKS - 1)))
+    )
+    partials = (
+        q_side.groupBy("qc", "blk")
+        .cogroup(c_side.groupBy("qc", "blk"))
+        .applyInPandas(
+            _mnn_block_top1, "src long, dst long, score_micro long"
+        )
+    )
+    return _mnn_reduce(partials)
+
+
+# band shape of the LSH-bucketed MNN: 32 deterministic hyperplanes as
+# MNN_LSH_BANDS bands x MNN_LSH_BITS sign bits; a pair is a candidate
+# iff it collides in >= 1 band. More/wider bands trade recall for
+# bucket size — at 100 TB these are THE knobs (bits up => buckets
+# shrink quadratically in kernel cost; bands up => recall recovers).
+MNN_LSH_BANDS = 16
+MNN_LSH_BITS = 2
+
+
+def mnn_top1_lsh(e: DataFrame) -> DataFrame:
+    """The LSH-bucketed MNN search — the 100 TB composition the exact
+    block-NL's docstring names: the SAME exact kernel and struct-max
+    reduce, with candidate generation swapped from all-pairs (chunk,
+    block) cells to sign-hyperplane band buckets, so per-cell cost is
+    O(bucket^2) instead of O((N/C)(N/B)) and total cost follows the
+    bucket-occupancy profile instead of N^2. Result is exact AMONG
+    CANDIDATES; pairs whose members share no band are missed — the
+    recall-vs-exact floor is pinned by test (the banded-LSH family
+    posture)."""
+    bands = []
+    for bidx in range(MNN_LSH_BANDS):
+        key = sum(
+            [
+                F.when(
+                    _plane_dot(bidx * MNN_LSH_BITS + j) > 0,
+                    F.lit(2**j),
+                ).otherwise(F.lit(0))
+                for j in range(MNN_LSH_BITS)
+            ],
+            F.lit(0),
+        )
+        bands.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                key.cast("long").alias("bkey"),
+            )
+        )
+    q_side = e.select(
+        "vec_id", "embedding", F.explode(F.array(*bands)).alias("bk")
+    ).select("vec_id", "embedding", "bk.band", "bk.bkey")
+    c_side = q_side.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        "band",
+        "bkey",
+    )
+    partials = (
+        q_side.groupBy("band", "bkey")
+        .cogroup(c_side.groupBy("band", "bkey"))
+        .applyInPandas(
+            _mnn_block_top1, "src long, dst long, score_micro long"
+        )
+    )
+    return _mnn_reduce(partials)
+
+
+@register("mutual_knn_pairs_lsh", extra=True)  # rows-only: banded recall
+def mutual_knn_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL NEAREST NEIGHBOR matching, LSH-bucketed — the variant a
+    100 TB corpus actually runs (the exact sibling zx_mutual_knn_pairs
+    is the verifier): candidate generation by sign-hyperplane band
+    collision, the same exact Arrow kernel per bucket, the same
+    struct-max reduce and mutuality equi-join. Approximate by design
+    (a pair sharing no band is unseen), so registered rows-only with
+    the recall floor vs the exact sibling pinned by test."""
+    e = table(spark, sf_dir, "embeddings")
+    nn = mnn_top1_lsh(e).localCheckpoint(eager=False)
+    return _mnn_mutual(spark, sf_dir, nn)
+
+
+def _mnn_mutual(spark: SparkSession, sf_dir: str, nn: DataFrame) -> DataFrame:
+    """Mutuality + label decoration shared by the exact and LSH MNN
+    paths: one equi self-join of the N-row top-1 table (dst = b_src,
+    filter b_dst = src), then two label joins — nothing corpus-sized
+    is ever forced into a broadcast."""
     n2 = nn.select(
         F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
     )
-    # mutuality as an EQUI join (dst = b_src): a plain shuffle hash
-    # join on an N-row 2-long table — no broadcast of anything
-    # corpus-sized anywhere in the plan
     mutual = (
         nn.join(n2, F.col("dst") == F.col("b_src"))
         .filter(
@@ -4464,98 +4643,6 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-
-
-def mnn_top1(e: DataFrame) -> DataFrame:
-    """The distributed exact top-1 search stage of mutual_knn_pairs,
-    pre-checkpoint: (chunk, block) cogrouped Arrow matmul kernel +
-    struct-max global reduce. Exposed so tests can pin the plan shape
-    (FlatMapCoGroupsInPandas, no driver collect) that the checkpoint
-    barrier hides from the registered query's final plan string."""
-    import numpy as np
-    import pandas as pd
-
-    q_side = e.select(
-        "vec_id",
-        "embedding",
-        F.pmod(F.col("vec_id"), F.lit(MNN_QCHUNKS)).cast("int").alias("qc"),
-    ).withColumn(
-        "blk", F.explode(F.sequence(F.lit(0), F.lit(MNN_BLOCKS - 1)))
-    )
-    c_side = e.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cemb"),
-        F.pmod(F.col("vec_id"), F.lit(MNN_BLOCKS)).cast("int").alias("blk"),
-    ).withColumn(
-        "qc", F.explode(F.sequence(F.lit(0), F.lit(MNN_QCHUNKS - 1)))
-    )
-
-    def block_top1(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "src": pd.Series([], dtype="int64"),
-                "dst": pd.Series([], dtype="int64"),
-                "score_micro": pd.Series([], dtype="int64"),
-            }
-        )
-        if not len(left) or not len(right):
-            return empty
-        A = np.floor(
-            np.array(list(left["embedding"]), dtype=np.float64) * 1e6
-        )  # integer-valued float64: exact under BLAS (see docstring)
-        Bm = np.floor(
-            np.array(list(right["cemb"]), dtype=np.float64) * 1e6
-        )
-        an = np.sqrt((A * A).sum(axis=1))
-        bn = np.sqrt((Bm * Bm).sum(axis=1))
-        # integer-valued float64 matmul: exact, order-free, BLAS
-        sm = np.floor((A @ Bm.T) / (an[:, None] * bn[None, :]) * 1e6)
-        dst_ids = right["cid"].to_numpy(dtype=np.int64)
-        order = np.argsort(dst_ids)  # argmax's first-max => min dst
-        dst_ids = dst_ids[order]
-        sm = sm[:, order]
-        out_src, out_dst, out_sc = [], [], []
-        for r, sid in enumerate(left["vec_id"].to_numpy(dtype=np.int64)):
-            row = sm[r]
-            self_mask = dst_ids == sid
-            if self_mask.any():
-                row = row.copy()
-                row[self_mask] = -np.inf
-            bi = int(np.argmax(row))
-            if row[bi] == -np.inf:  # block held only the query itself
-                continue
-            out_src.append(int(sid))
-            out_dst.append(int(dst_ids[bi]))
-            out_sc.append(int(row[bi]))
-        if not out_src:
-            return empty
-        return pd.DataFrame(
-            {"src": out_src, "dst": out_dst, "score_micro": out_sc}
-        )
-
-    partials = (
-        q_side.groupBy("qc", "blk")
-        .cogroup(c_side.groupBy("qc", "blk"))
-        .applyInPandas(block_top1, "src long, dst long, score_micro long")
-    )
-    # block partials -> global top-1: map-side-combinable struct max
-    # (score desc, then min dst — matching the oracle's QUALIFY order)
-    nn = (
-        partials.groupBy("src")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("score_micro"), (-F.col("dst")).alias("nd")
-                )
-            ).alias("m")
-        )
-        .select(
-            "src",
-            (-F.col("m.nd")).alias("dst"),
-            F.col("m.score_micro").alias("score_micro"),
-        )
-    )
-    return nn
 
 
 # -------------------------------------------- isotonic calibration

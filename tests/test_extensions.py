@@ -1650,3 +1650,44 @@ def test_mutual_knn_plan_is_distributed(spark, sf_dir):
     # broadcast feeds the kernel (the two broadcasts in the final
     # plan are the planner's size-chosen label joins)
     assert "broadcast" not in top1.lower()
+
+
+def test_mutual_knn_lsh_recall_floor(spark):
+    """The LSH-bucketed MNN (the registered 100 TB scale path) must
+    recover >= 0.85 of the exact sibling's pairs at sf0.01 — a harsh
+    floor for a banded method because BOTH endpoints' top-1 must
+    survive candidate restriction (measured 0.971 at sf0.01 / 0.943
+    at sf0.1 with 16 x 2-bit bands); and everything it emits must be
+    a genuine mutual pair among its candidates (matching invariant)."""
+    from eventstream_notify_spark.operators import vectors as vx
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in vx.mutual_knn_pairs(spark, sf).collect()
+    }
+    rows = vx.mutual_knn_pairs_lsh(spark, sf).collect()
+    lsh = {(r.vec_a, r.vec_b) for r in rows}
+    assert len(exact & lsh) / len(exact) >= 0.85
+    seen: set = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert r.vec_a not in seen and r.vec_b not in seen
+        seen.add(r.vec_a)
+        seen.add(r.vec_b)
+
+
+def test_mutual_knn_lsh_plan_is_bucketed(spark, sf_dir):
+    """The scale path's search stage must be the cogrouped kernel over
+    band buckets — no driver collect, no corpus broadcast, no
+    cartesian blowup."""
+    from eventstream_notify_spark.catalog import table
+    from eventstream_notify_spark.operators import vectors as vx
+    from eventstream_notify_spark.plans.explain import plan_str
+
+    plan = plan_str(
+        vx.mnn_top1_lsh(table(spark, sf_dir, "embeddings")), "simple"
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "broadcast" not in plan.lower()

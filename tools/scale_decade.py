@@ -61,6 +61,7 @@ FAMILY = [
     "zx_graph_triangle_count",
     "zx_graph_modularity",
     "zx_mutual_knn_pairs",
+    "zx_mutual_knn_pairs_lsh",
 ]
 
 # Previously excluded, now closed: zx_graph_triangle_count's first cut
@@ -106,6 +107,11 @@ WORK_MODEL = {
     # block) cells but does not remove it — the LSH-bucketed
     # composition is the linear-ish sibling
     "zx_mutual_knn_pairs": "block_quadratic",
+    # at FIXED band bits, bucket size grows with N, so the banded MNN
+    # tracks quadratic here too; production raises MNN_LSH_BITS with
+    # corpus size to hold bucket occupancy (the knob its docstring
+    # names) — this audit measures the fixed-knob posture honestly
+    "zx_mutual_knn_pairs_lsh": "block_quadratic",
 }
 
 
