@@ -3463,6 +3463,13 @@ def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             if best is None or key < best[0]:
                 best = (key, feat, v, pol, werr)
         _, feat, v, pol, werr = best
+        if werr == 0 or werr == wtot:
+            # a perfect (or perfectly inverted) best stump: alpha is
+            # unbounded and the exp-reweighting degenerates — stop
+            # with the rounds fitted so far instead of dividing by
+            # zero (degenerate-corpus robustness sweep, r10; the
+            # full corpora never hit this: eps is strictly interior)
+            break
         eps = werr / float(wtot)
         alpha = 0.5 * math.log((wtot - werr) / float(werr))
         alpha_q = int(math.floor(alpha * _ADA_SCALE + 0.5))

@@ -1036,9 +1036,18 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.lit(9),
                 F.floor(
-                    (F.col("l_extendedprice") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo"))
-                    * 10
+                    # NULL ratio on a single-value domain (hi = lo):
+                    # both engines' LEAST skips NULLs, so every row
+                    # folds into bucket 9 — DuckDB reaches the same
+                    # place via NULL-on-zero-divide; Spark's ANSI
+                    # divide would error instead (r10 degenerate-
+                    # corpus sweep), hence the explicit guard
+                    F.when(
+                        F.col("hi") > F.col("lo"),
+                        (F.col("l_extendedprice") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * 10,
+                    )
                 ).cast("int"),
             ).alias("bucket")
         )

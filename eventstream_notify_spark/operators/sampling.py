@@ -447,7 +447,17 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     alloc = F.broadcast(
         wgt.crossJoin(F.broadcast(tot)).select(
             "event_type",
-            F.floor(F.lit(_NEYMAN_BUDGET) * F.col("w") / F.col("tw"))
+            # tw = 0 (every stratum zero-variance, e.g. one row per
+            # stratum): allocation is undefined — NULL n_h keeps the
+            # rank filter false and emits zero rows, exactly the
+            # oracle's NULL-on-zero-divide arm; Spark's ANSI divide
+            # would error instead (r10 degenerate-corpus sweep)
+            F.floor(
+                F.when(
+                    F.col("tw") > 0,
+                    F.lit(_NEYMAN_BUDGET) * F.col("w") / F.col("tw"),
+                )
+            )
             .cast("bigint")
             .alias("n_h"),
         )

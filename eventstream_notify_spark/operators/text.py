@@ -5600,8 +5600,26 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     prow = train.agg(
         F.sum(is_pos).alias("nd1"), F.count("*").alias("ndall")
     ).first()
-    v, tot1, tot0 = int(crow.v), int(crow.tot1), int(crow.tot0)
-    nd1, ndall = int(prow.nd1), int(prow.ndall)
+    if not int(crow.v or 0):
+        # EMPTY train fold (degenerate corpus): the oracle's lo CTE
+        # is empty, every test doc scores NULL, and the histogram is
+        # one NULL-score group — n_pos/n_neg are the test totals and
+        # AUC is 0.5 (one tied group) or NULL if either class is
+        # absent. Mirror that closed form instead of 0-dividing.
+        t = test.agg(
+            F.sum(is_pos).cast("bigint").alias("n_pos"),
+            F.sum(1 - is_pos).cast("bigint").alias("n_neg"),
+        )
+        return t.select(
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.lit(0.5),
+            ).alias("auc"),
+        )
+    v, tot1, tot0 = int(crow.v), int(crow.tot1 or 0), int(crow.tot0 or 0)
+    nd1, ndall = int(prow.nd1 or 0), int(prow.ndall)
 
     dflt_lo = _mn_scalar(1.0 / (tot1 + v)) - _mn_scalar(1.0 / (tot0 + v))
     prior_lo = _mn_scalar(nd1 / ndall) - _mn_scalar((ndall - nd1) / ndall)
@@ -5638,6 +5656,12 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lohi = hist.agg(
         F.min("s").alias("lo"), F.max("s").alias("hi")
     ).first()
+    if lohi.lo is None:  # empty TEST fold: all-NULL aggregate row,
+        return hist.agg(  # exactly the oracle's empty-c SELECT
+            F.sum("pos_s").cast("bigint").alias("n_pos"),
+            F.sum("neg_s").cast("bigint").alias("n_neg"),
+            F.lit(None).cast("double").alias("auc"),
+        )
     slo, shi = float(lohi.lo), float(lohi.hi)
     width = (shi - slo) / _AUC_BUCKETS if shi > slo else 1.0
     b = hist.withColumn(

@@ -402,6 +402,11 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         costed = pts.select("vec_id", "embedding", cq.alias("cq"))
         phi = int(costed.agg(F.sum("cq")).collect()[0][0])
+        if phi == 0:
+            # every point IS a center (degenerate corpus): sampling
+            # probability 4*cq/phi is 0/0 — the oracle's NULL arm
+            # admits nobody, so skip the round instead of dividing
+            continue
         h = F.expr(_lehmer_sql("vec_id", r)).cast("double")
         samp = (
             costed.filter(
@@ -2123,18 +2128,22 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     own = (sample @ C.T / cn).argmax(axis=1)
     resid = sample - C[own]
     books = []
+    # fewer training rows than codes (degenerate corpus): a codebook
+    # can't have more entries than distinct residuals seeded it —
+    # clamp like vopt_dp clamps buckets (full corpora never hit this)
+    kc = min(PQ_KCODES, len(sample))
     for m in range(PQ_M):
         S = resid[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-        cb = S[:PQ_KCODES].copy()  # deterministic init: first k rows
+        cb = S[:kc].copy()  # deterministic init: first k rows
         for _ in range(IVFPQ_ITERS):
             a = (
                 ((S[:, None, :] - cb[None, :, :]) ** 2).sum(-1).argmin(1)
             )
-            for k in range(PQ_KCODES):
+            for k in range(kc):
                 if (a == k).any():
                     cb[k] = S[a == k].mean(0)
         books.extend(
-            (m, k, [float(x) for x in cb[k]]) for k in range(PQ_KCODES)
+            (m, k, [float(x) for x in cb[k]]) for k in range(kc)
         )
     book = F.broadcast(
         spark.createDataFrame(books, "sub int, code int, pc array<double>")

@@ -742,3 +742,41 @@ def test_vopt_dp_clamps_k_to_series_length():
     ]
     assert all(sse == 0.0 for *_x, sse in buckets)
     assert vopt_dp([], 8) == ([], 0.0)
+
+
+def test_degenerate_corpus_never_crashes(spark, tmp_path):
+    """r10 robustness sweep distilled: the six operators that crashed
+    on a 1-row-per-table corpus (zero-variance strata, empty train
+    folds, zero-cost k-means rounds, single-value histogram domains,
+    perfect stumps, codebooks larger than the sample) must degrade
+    gracefully — empty or closed-form output, never a divide-by-zero
+    or index error. Mirrors each oracle's NULL-on-degenerate arm."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = str(tmp_path / "degen")
+    (tmp_path / "degen").mkdir()
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+            f" ORDER BY 1 LIMIT 1) TO '{sf}/{t}.parquet'"
+            " (FORMAT PARQUET)"
+        )
+    qs = entrymod.queries()
+    expect_rows = {
+        "zx_adaboost_stumps": 0,   # perfect stump -> stop before r1
+        "zx_eval_auc_roc": 1,      # (n_pos, n_neg, NULL auc)
+        "zx_kmeans_parallel_init": 1,  # just the seed center
+        "zx_profile_histogram": 1,     # single-value domain -> bucket 9
+        "zx_sample_neyman": 0,     # zero-variance strata -> no alloc
+        "zx_sim_search_ivfpq": 0,  # clamped 1-row codebook, no queries
+    }
+    for name, want in expect_rows.items():
+        got = qs[name](spark, sf).count()
+        assert got == want, f"{name}: {got} rows != {want}"
