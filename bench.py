@@ -32,6 +32,58 @@ HEADLINE = [
     "ts_similarity",
 ]
 
+# Reduced-cadence set (VERDICT r10 #7): A/B pairs where the OTHER side
+# is the declared production path. The demoted side stays registered,
+# oracle-checked, and CI-tested (tests/test_registry_contract.py pins
+# this map against the registry); it just doesn't run in the DEFAULT
+# bench — pass --full for the whole matrix (the round-exit sf0.001
+# record pass always uses --full so the freshness gate sees every
+# fingerprint). Map: demoted -> (production sibling, why).
+DEMOTED: dict[str, tuple[str, str]] = {
+    "zx_sim_search_pq": (
+        "zx_sim_search_ivfpq",
+        "PQ codec alone; the composed IVF+PQ tier is the scale path",
+    ),
+    "zx_sim_search_ivf": (
+        "zx_sim_search_ivf_kmeans",
+        "deterministic-sample centroids; k-means-refined tier supersedes",
+    ),
+    "zx_kmeans_parallel_init": (
+        "zx_sim_search_ivf_kmeans",
+        "the init step the IVF-kmeans tier consumes",
+    ),
+    "zx_mutual_knn_pairs": (
+        "zx_mutual_knn_pairs_lsh",
+        "exact block-quadratic verifier; LSH composition is the "
+        "100 TB path",
+    ),
+    "zx_dedup_near_embedding": (
+        "zx_dedup_near_embedding_lsh",
+        "exact block-quadratic verifier; banded LSH is the 100 TB path",
+    ),
+    "zx_sliding_dau": (
+        "zx_sliding_dau_hll",
+        "exact 7x pair expansion; HLL sketches are the scale path",
+    ),
+    "zx_skyline_pareto": (
+        "zx_skyline_pareto_bucketed",
+        "first cut; the bucket-pruned variant is the scale path",
+    ),
+    "zx_mm_decode_stub": (
+        "zx_mm_decode",
+        "stub codec; superseded by the real PPM/BMP decode in r6",
+    ),
+    "zx_stream_dedup_exact": (
+        "zx_stream_dedup_exact_bounded",
+        "state linear in distinct contents; bloom+escrow tier is the "
+        "100 TB posture",
+    ),
+    "zx_stream_cep_burst": (
+        "zx_stream_cep_burst_buffered",
+        "ordered-source fast path; the buffered twin is late-event-safe",
+    ),
+}
+
 
 def _pcts(vals: list[float]) -> dict[str, float | None]:
     vals = sorted(vals)
@@ -222,6 +274,14 @@ def latency_mode(duration_s: float = 20.0, rate: int = 20, runs: int = 3) -> Non
         results.append(r)
     p50s = sorted(r["steady"]["p50"] for r in results)
     spread = round(p50s[-1] / max(p50s[0], 1e-9), 2)
+    # p99 gate (r10 verdict #5): the tail is pinned alongside the
+    # median — per run, steady p99 must stay under the soft ceiling
+    # (2x that run's p50) so a tail regression can't hide under a
+    # healthy median. Recorded per run + as the median headline.
+    p99s = sorted(r["steady"]["p99"] for r in results)
+    p99_ok = all(
+        r["steady"]["p99"] <= 2.0 * r["steady"]["p50"] for r in results
+    )
     out = {
         "metric": "e2e_latency",
         "value": p50s[len(p50s) // 2],
@@ -229,6 +289,9 @@ def latency_mode(duration_s: float = 20.0, rate: int = 20, runs: int = 3) -> Non
         "runs": results,
         "p50_spread": spread,
         "stable": spread <= 2.0,
+        "p99": p99s[len(p99s) // 2],
+        "p99_ceiling": "2x p50 per run",
+        "p99_within_ceiling": p99_ok,
         "cold_start_s": cold_start_s,  # paid once, before any probe
         "first_commit_s": [r["first_commit_s"] for r in results],
         "rate_ev_s": rate,
@@ -251,8 +314,9 @@ def scaling_mode() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark)
     cleanup = make_cleanup(spark)
-    t_small, _ = run_suite(spark, small, 1, cleanup)
-    t_big, _ = run_suite(spark, big, 1, cleanup)
+    # scaling is an AUDIT: always the full matrix, demotions included
+    t_small, _ = run_suite(spark, small, 1, cleanup, full=True)
+    t_big, _ = run_suite(spark, big, 1, cleanup, full=True)
     ratios: dict[str, float] = {}
     flagged: dict[str, float] = {}
     for name, tb in t_big.items():
@@ -386,6 +450,59 @@ def _canon_lists(s: str) -> str:
 
 
 PREV_PATH = Path(__file__).resolve().parent / "bench_prev.json"
+
+# Idle-calibration probes: cheap, stable, plan-diverse (a scan-side
+# agg, a sort-merge join, a hash-key window). Compared median-of-3
+# against the committed record before the suite runs.
+CALIBRATION = ["agg_hash", "join_shuffle", "dedup_exact"]
+CALIBRATION_MAX_RATIO = 1.5
+
+
+def idle_probe(spark, sf_dir: str, sf: str, cleanup) -> dict:
+    """Time the CALIBRATION queries (median-of-3 each) against their
+    committed records. Median ratio > CALIBRATION_MAX_RATIO => the box
+    is contended: the bench still runs and prints, but the committed
+    record must not be overwritten (main() checks ``contended``).
+    First run at an SF (no committed records) => trivially not
+    contended."""
+    try:
+        prev = (
+            json.loads(PREV_PATH.read_text()).get(str(sf), {}).get(
+                "queries", {}
+            )
+            if PREV_PATH.exists()
+            else {}
+        )
+    except Exception:  # noqa: BLE001
+        prev = {}
+    qs = entrymod.queries()
+    ratios: dict[str, float] = {}
+    for name in CALIBRATION:
+        p = prev.get(name)
+        if name not in qs or not p or p <= 0:
+            continue
+        runs: list[float] = []
+        for _ in range(3):
+            cleanup()
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — probe must never fail the bench
+                break
+            runs.append(time.time() - t0)
+        if runs:
+            ratios[name] = round(sorted(runs)[len(runs) // 2] / p, 2)
+    med = (
+        sorted(ratios.values())[len(ratios) // 2] if ratios else None
+    )
+    return {
+        "ratios": ratios,
+        "median_ratio": med,
+        "threshold": CALIBRATION_MAX_RATIO,
+        "contended": med is not None and med > CALIBRATION_MAX_RATIO,
+    }
 
 
 def compare_to_prev(timings: dict, fps: dict, sf: str) -> dict:
@@ -538,13 +655,22 @@ def main() -> None:
     reps = 1
     if "--n" in sys.argv:
         reps = max(1, int(sys.argv[sys.argv.index("--n") + 1]))
+    full = "--full" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark)
     cleanup = make_cleanup(spark)
-    timings, fps = run_suite(spark, sf_dir, reps, cleanup)
+    # IDLE CALIBRATION (r10 verdict #1): before the suite, median-of-3
+    # three cheap fixed queries against their committed records. A
+    # contended box (the r10 blemish: a 396 s record committed vs the
+    # 303 s idle run) shows up here as a broad slowdown — the run
+    # still executes and prints, but REFUSES to overwrite the
+    # committed record, so a loaded capture can never become the next
+    # round's variance baseline.
+    idle = idle_probe(spark, sf_dir, sf, cleanup)
+    timings, fps = run_suite(spark, sf_dir, reps, cleanup, full=full)
     total = round(sum(v for v in timings.values() if v >= 0), 2)
     headline = {n: timings[n] for n in HEADLINE if n in timings}
     cmp_prev = compare_to_prev(timings, fps, sf)
@@ -572,20 +698,52 @@ def main() -> None:
                     "note": "exceeds 5x the committed idle record —"
                     " suspect box contention; re-measure isolated",
                 }
+        # AUTO-RE-MEASURE (r10 verdict #2): a breached query re-runs
+        # ONCE at suite end — by then whatever transient load hit it
+        # mid-suite has usually passed, so the record self-corrects
+        # (the better of the two measurements is recorded) instead of
+        # only self-annotating. The original suite time stays in the
+        # watchdog entry as suite_s.
+        qs_all = entrymod.queries()
+        for name, w in watchdog.items():
+            cleanup()
+            t0 = time.time()
+            try:
+                qs_all[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rm = round(time.time() - t0, 2)
+            except Exception:  # noqa: BLE001
+                continue
+            w["re_measured_s"] = rm
+            if rm < timings[name]:
+                w["suite_s"] = timings[name]
+                timings[name] = rm
     except Exception:  # noqa: BLE001 — the watchdog must never fail the bench
         watchdog = {}
-    try:
-        record = {}
-        if PREV_PATH.exists():
-            record = json.loads(PREV_PATH.read_text())
-            if "queries" in record:  # pre-keyed legacy layout
-                record = {}
-        record[str(sf)] = {
-            "queries": timings, "fingerprints": fps, "reps": reps,
-        }
-        PREV_PATH.write_text(json.dumps(record, separators=(",", ":")))
-    except Exception:  # noqa: BLE001 — recording must never fail the bench
-        pass
+    record_written = False
+    if not idle.get("contended"):
+        try:
+            record = {}
+            if PREV_PATH.exists():
+                record = json.loads(PREV_PATH.read_text())
+                if "queries" in record:  # pre-keyed legacy layout
+                    record = {}
+            # MERGE into the SF section (not replace): a default run
+            # skips DEMOTED queries, and replacing would drop their
+            # fingerprints from the last --full pass
+            sec = record.get(str(sf), {})
+            sec_q = dict(sec.get("queries", {}))
+            sec_q.update(timings)
+            sec_f = dict(sec.get("fingerprints", {}))
+            sec_f.update(fps)
+            record[str(sf)] = {
+                "queries": sec_q, "fingerprints": sec_f, "reps": reps,
+            }
+            PREV_PATH.write_text(json.dumps(record, separators=(",", ":")))
+            record_written = True
+        except Exception:  # noqa: BLE001 — recording must never fail the bench
+            pass
     # Two lines, deliberately: the full per-query map first (humans,
     # SURVEY tables), then a SHORT summary line LAST. The driver
     # captures a bounded tail of stdout and parses the last JSON line;
@@ -593,16 +751,19 @@ def main() -> None:
     # ("parsed": null), so the final line carries only the suite
     # value, sf, and the 8-query headline map — small enough to
     # survive any tail clip.
-    full = {
+    full_map = {
         "queries": timings,
         "sf": sf,
         "unit": "sec",
         "value": total,
         "comparison_vs_prev": cmp_prev,
         "watchdog_breaches": watchdog,
+        "idle_check": idle,
+        "record_written": record_written,
+        "demoted_skipped": sorted(DEMOTED) if not full else [],
         "metric": "suite_wall_clock_full",
     }
-    print(json.dumps(full, separators=(",", ":")))
+    print(json.dumps(full_map, separators=(",", ":")))
     summary = {
         "metric": "suite_wall_clock",
         "value": total,
@@ -612,6 +773,13 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        # idle gate: contended => the committed record was NOT touched
+        "idle_check": {
+            "median_ratio": idle.get("median_ratio"),
+            "contended": idle.get("contended"),
+            "record_written": record_written,
+        },
+        "n_demoted_skipped": 0 if full else len(DEMOTED),
         # latest committed artifacts from the other bench modes
         "artifacts": {
             kind: max(
@@ -761,12 +929,14 @@ def make_cleanup(spark):
 
 
 def run_suite(
-    spark, sf_dir: str, reps: int, cleanup
+    spark, sf_dir: str, reps: int, cleanup, full: bool = False
 ) -> tuple[dict[str, float], dict[str, str]]:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+    if not full:
+        names = [n for n in names if n not in DEMOTED]
     timings: dict[str, float] = {}
     fps: dict[str, str] = {}
     errors: dict[str, str] = {}

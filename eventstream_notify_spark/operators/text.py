@@ -2076,6 +2076,15 @@ def _deletion_join_asym(
     return pairs.filter(jac >= t).select("doc_a", "doc_b")
 
 
+CONTAIN_WITNESS_BUDGET = 16  # supers kept per subsumed doc: the
+#   curation decision is "is A subsumed, and by whom" — B earliest
+#   witnesses answer it; the full witness list is quadratic OUTPUT on
+#   a duplicate-heavy corpus (measured at the 10x decade: 829M pairs,
+#   100x per 10x docs; the audit's worst cell at 39.25x). First-B by
+#   super_doc id is deterministic, coverage-preserving (every subsumed
+#   doc keeps >=1 witness), and IN the oracle.
+
+
 @register(
     "dedup_containment",
     extra=True,
@@ -2092,11 +2101,18 @@ def _deletion_join_asym(
                len(list_intersect(a.toks, b.toks)) AS common,
                a.sz AS asz
         FROM sized a JOIN sized b ON a.doc_id <> b.doc_id
+    ),
+    qual AS (
+        SELECT sub_doc, super_doc,
+               ROUND(common * 1.0 / asz, 6) AS containment,
+               row_number() OVER (
+                   PARTITION BY sub_doc ORDER BY super_doc
+               ) AS rnk
+        FROM pairs
+        WHERE common * 1.0 / asz >= 0.9 AND asz >= 5
     )
-    SELECT sub_doc, super_doc,
-           ROUND(common * 1.0 / asz, 6) AS containment
-    FROM pairs
-    WHERE common * 1.0 / asz >= 0.9 AND asz >= 5
+    SELECT sub_doc, super_doc, containment
+    FROM qual WHERE rnk <= {CONTAIN_WITNESS_BUDGET}
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2109,7 +2125,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-A threshold — the count IS the intersection size, so
     verification needs no set re-materialization; tiny sets (<5
     tokens) are excluded as trivially contained. At 100 TB the token
-    posting lists are the index you already built for dedup_near."""
+    posting lists are the index you already built for dedup_near.
+
+    Output is budgeted (the winnowing posture): each sub_doc reports
+    its first CONTAIN_WITNESS_BUDGET super_docs by id — the decision
+    a curation pipeline consumes ("subsumed, and by whom") is intact,
+    while the emitted pair set is <= B*n instead of the quadratic
+    full witness list a duplicate-heavy corpus produces (829M pairs
+    at the 10x decade before the budget). On the bitmask path the
+    budget is pushed INTO candidate generation: only each mask
+    class's first B+1 docs can ever be witnesses, so the doc-attach
+    join — the 829M-row stage — never materializes more than B+1
+    supers per class pair."""
     d = table(spark, sf_dir, "documents")
     docsets = _token_sets(d).localCheckpoint(eager=False)
     # Strategy pick, like dedup_near: one profiling scalar decides.
@@ -2150,24 +2177,99 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     classes = masks.groupBy("mask").agg(F.count("*").alias("n")).select("mask")
-    ca = classes.select(F.col("mask").alias("ma")).filter(
-        F.bit_count("ma") >= 5
+    # repartition pins the broadcast-NL stream side at full core count:
+    # the class frame is tiny (35k rows at the decade) so AQE coalesces
+    # its shuffle to ~1 partition — which would run the classes^2 ALU
+    # loop (1.2B cells at the decade) on ONE core
+    par = spark.sparkContext.defaultParallelism
+    # bca precomputed on the stream side + integer threshold compare:
+    # the classes^2 NL loop (1.2B cells at the decade) then costs one
+    # AND + one popcount + one integer compare per cell instead of two
+    # popcounts and a double division; the containment VALUE is only
+    # computed after the budget, on <= (B+1) x classes rows
+    ca = (
+        classes.select(
+            F.col("mask").alias("ma"), F.bit_count("mask").alias("bca")
+        )
+        .filter(F.col("bca") >= 5)
+        .repartition(par)
     )
     cb = classes.select(F.col("mask").alias("mb"))
-    cont = (
+    qual = (
+        ca.crossJoin(F.broadcast(cb))
+        .filter(
+            F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))) * 10
+            >= F.col("bca") * 9
+        )
+        .select("ma", "mb")
+    )
+    # Witness-budget pushdown: a sub_doc's first-B supers (by id) can
+    # only come from each qualifying class's first B+1 docs (B, plus
+    # one slack slot in case the sub_doc itself is among them — every
+    # class qualifies against its own mask at containment 1.0).
+    # HOW matters as much as WHAT here: the qualifying class-pair set
+    # is ~122M rows at the 10x decade, and a row_number window over it
+    # is a 122M-row skewed sort (measured: 516 s). Instead the merge
+    # of "B+1 smallest supers across qualifying classes" is ONE
+    # map-side-combinable aggregate fused into the crossJoin stage —
+    # slice(array_sort(collect_list)) per ma — so the class-pair set
+    # is never sorted and never shuffled as rows (only per-ma partial
+    # lists move, and each ma lives in exactly one stream-side
+    # partition of the broadcast NL join, so the merge is local).
+    # top_docs (<= B+1 per class) rides the same broadcast; measured
+    # 39.7 s / 9.4x at the decade. Containment values are NOT carried
+    # through the aggregate (halves the shuffled bytes) — they are
+    # recomputed from the two masks after the merge, bit-identical
+    # because bit_count algebra is exact integer math.
+    budget = CONTAIN_WITNESS_BUDGET
+    top_docs = (
+        masks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("mask").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= budget + 1)
+        .select(F.col("mask").alias("mb"), F.col("doc_id").alias("super_doc"))
+    )
+    merged = (
+        qual.join(F.broadcast(top_docs), "mb")
+        .groupBy("ma")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("super_doc")), 1, budget + 1
+            ).alias("ws")
+        )
+    )
+    sup = merged.select("ma", F.explode("ws").alias("super_doc")).join(
+        masks.select(
+            F.col("doc_id").alias("super_doc"), F.col("mask").alias("mb")
+        ),
+        "super_doc",
+    )
+    cont_v = (
         F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
         * 1.0
         / F.bit_count("ma")
     )
-    qual = ca.crossJoin(F.broadcast(cb)).filter(cont >= 0.9).select(
-        "ma", "mb", F.round(cont, 6).alias("containment")
-    )
     da = masks.select(F.col("doc_id").alias("sub_doc"), F.col("mask").alias("ma"))
-    db = masks.select(F.col("doc_id").alias("super_doc"), F.col("mask").alias("mb"))
-    return (
-        qual.join(da, "ma")
-        .join(db, "mb")
+    return _witness_budget(
+        sup.join(da, "ma")
         .filter(F.col("sub_doc") != F.col("super_doc"))
+        .select("sub_doc", "super_doc", F.round(cont_v, 6).alias("containment"))
+    )
+
+
+def _witness_budget(pairs: DataFrame) -> DataFrame:
+    """First CONTAIN_WITNESS_BUDGET supers per sub_doc, by super id —
+    the deterministic output budget shared by both containment paths
+    (mirrored verbatim in the DuckDB oracle's rnk filter)."""
+    rn = F.row_number().over(
+        Window.partitionBy("sub_doc").orderBy("super_doc")
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") <= CONTAIN_WITNESS_BUDGET)
         .select("sub_doc", "super_doc", "containment")
     )
 
@@ -2192,8 +2294,10 @@ def _containment_inverted(docsets: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("common"))
     )
     cont = F.col("common") * 1.0 / F.col("asz")
-    return pairs.filter(cont >= 0.9).select(
-        "sub_doc", "super_doc", F.round(cont, 6).alias("containment")
+    return _witness_budget(
+        pairs.filter(cont >= 0.9).select(
+            "sub_doc", "super_doc", F.round(cont, 6).alias("containment")
+        )
     )
 
 

@@ -141,6 +141,158 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- bounded-state exact dedup
+#
+# `stream_dedup_exact`'s state is LINEAR in distinct contents (its
+# oracle is all-history first-wins, so that's the floor for exact
+# semantics: 10.0x state per 10x docs in SCALING_DECADE). At 100 TB
+# the state store would BE the corpus digest set. This tier bounds
+# state by construction — no timers, so it replays under availableNow:
+#
+#   bloom-front: per shard, a fixed BLOOM_BITS-bit filter remembers
+#     every content ever admitted (no deletions -> a seen content can
+#     NEVER be re-admitted: zero false admits, the property exact
+#     dedup exists for).
+#   exact-escrow: per shard, the most recent ESCROW_CAP content
+#     digests with their first-seen doc_id. A dup that hits escrow
+#     resolves exactly (canonical_id + exact=true); older dups resolve
+#     via the bloom alone (is_dup=true, canonical_id null,
+#     exact=false).
+#
+# The accuracy trade is one-sided and measurable: a NOVEL content can
+# be falsely dropped only by a bloom false positive, p ~= (1 - e^(-k
+# n_shard / m))^k — at the 10x decade (~780 distinct/shard, m=16384,
+# k=4) that is ~9e-4; the false-drop test pins <=1%. All hashing
+# derives from the sha256 hex digest (shard and bit positions are hex
+# slices), so a pure-python twin replays the kernel bit-for-bit.
+
+BLOOM_SHARDS = 64  # state keys: numRowsTotal <= 64 regardless of corpus
+BLOOM_BITS = 16_384  # per-shard filter, 2 KiB
+BLOOM_K = 4  # probe positions per content
+ESCROW_CAP = 512  # exact (digest, first_id) pairs kept per shard
+
+BOUNDED_EXACT_OUTPUT = (
+    "doc_id long, canonical_id long, is_dup boolean, exact boolean"
+)
+BOUNDED_EXACT_STATE = "bloom binary, esc_h array<string>, esc_id array<long>"
+
+
+def _bloom_positions(hex_digest: str) -> list[int]:
+    """BLOOM_K bit positions from non-overlapping hex slices of the
+    sha256 digest (slices start at offset 4; the shard key uses
+    [0:4]). Pure string math — identical in the python twin."""
+    return [
+        int(hex_digest[4 + 8 * i : 12 + 8 * i], 16) % BLOOM_BITS
+        for i in range(BLOOM_K)
+    ]
+
+
+def make_bounded_exact_fn(escrow_cap: int = ESCROW_CAP):
+    """Kernel factory (cap parameterized so tests can force escrow
+    eviction on a small corpus)."""
+
+    def bounded_exact_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        if state.exists:
+            bloom_b, esc_h, esc_id = state.get
+            bloom = int.from_bytes(bloom_b, "big")
+            esc = dict(zip(list(esc_h), [int(i) for i in esc_id]))
+        else:
+            bloom = 0
+            esc = {}
+        out_id, out_canon, out_dup, out_exact = [], [], [], []
+        for did, h in zip(pdf["doc_id"], pdf["h"]):
+            did = int(did)
+            if h in esc:
+                out_canon.append(esc[h])
+                out_dup.append(True)
+                out_exact.append(True)
+            else:
+                mask = 0
+                for p in _bloom_positions(h):
+                    mask |= 1 << p
+                if bloom & mask == mask:
+                    # seen before (or a ~1e-3 false positive): drop,
+                    # canonical unknown — the escrow entry has aged out
+                    out_canon.append(None)
+                    out_dup.append(True)
+                    out_exact.append(False)
+                else:
+                    bloom |= mask
+                    esc[h] = did
+                    out_canon.append(did)
+                    out_dup.append(False)
+                    out_exact.append(True)
+            out_id.append(did)
+        if len(esc) > escrow_cap:  # FIFO: dict preserves insert order
+            for stale in list(esc)[: len(esc) - escrow_cap]:
+                del esc[stale]
+        state.update(
+            (
+                bloom.to_bytes(BLOOM_BITS // 8, "big"),
+                list(esc.keys()),
+                list(esc.values()),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": out_id,
+                "canonical_id": pd.array(out_canon, dtype="Int64"),
+                "is_dup": out_dup,
+                "exact": out_exact,
+            }
+        )
+
+    return bounded_exact_fn
+
+
+def stream_bounded_exact_flags(
+    docs: DataFrame, escrow_cap: int = ESCROW_CAP
+) -> DataFrame:
+    """Bounded-state exact-dedup frame: shard key = first 4 hex chars
+    of the sha256 digest mod BLOOM_SHARDS, so state rows are capped at
+    BLOOM_SHARDS no matter how many distinct contents arrive."""
+    keyed = docs.select(
+        F.sha2(F.col("text"), 256).alias("h"), "doc_id"
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("h", 1, 4), 16, 10).cast("long")
+         % BLOOM_SHARDS).cast("int"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        make_bounded_exact_fn(escrow_cap),
+        BOUNDED_EXACT_OUTPUT,
+        BOUNDED_EXACT_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+@register("stream_dedup_exact_bounded", extra=True)  # rows-only: bloom
+# membership is not SQL-expressible; a pure-python twin replays the
+# kernel bit-for-bit in tests (the xxhash/zlib rows-only precedent)
+def stream_dedup_exact_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup, BOUNDED-STATE tier: the 100 TB posture
+    of ``zx_stream_dedup_exact``. Admission semantics are preserved
+    exactly — the bloom front never forgets, so a seen content is
+    never re-admitted (zero false admits) — while state is constant
+    (<= BLOOM_SHARDS rows of 2 KiB bloom + ESCROW_CAP digests) instead
+    of linear in distinct contents. The trade: dups older than the
+    escrow horizon resolve with canonical_id null (exact=false), and a
+    novel content is falsely dropped with probability ~9e-4 at the
+    decade corpus (bloom FP; pinned <=1% by test)."""
+    return run_bounded(
+        stream_bounded_exact_flags(file_documents_stream(spark, sf_dir))
+    )
+
+
 _PARTNER_CHUNK = 2_000_000  # total list elements per yielded frame:
 # bounds the Arrow batch a mega-bucket can hand back in one transfer
 

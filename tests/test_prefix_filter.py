@@ -97,6 +97,53 @@ def test_profiling_is_one_action(spark, sf_dir):
     assert ran == 2, f"strategy choice ran {ran} SQL executions, want 2"
 
 
+def test_containment_budget_preserves_coverage(spark, sf_dir):
+    """The witness budget (first-B supers per sub_doc) must lose no
+    SUBSUMED DOC — every sub_doc with >=1 qualifying super in the
+    unbudgeted truth still appears, with exactly its first
+    min(B, n_supers) witnesses by super id."""
+    from collections import defaultdict
+
+    from eventstream_notify_spark.operators.text import (
+        CONTAIN_WITNESS_BUDGET,
+    )
+    from eventstream_notify_spark.registry import queries
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    truth = defaultdict(list)  # sub_doc -> sorted qualifying supers
+    for sub, sup in con.sql(
+        f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_distinct(
+                       regexp_extract_all(lower(text), '{TOKEN_RE}')) AS toks
+            FROM documents
+        ),
+        sized AS (SELECT doc_id, toks, len(toks) AS sz FROM tok)
+        SELECT a.doc_id AS sub_doc, b.doc_id AS super_doc
+        FROM sized a JOIN sized b ON a.doc_id <> b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0 / a.sz >= 0.9
+          AND a.sz >= 5
+        ORDER BY 1, 2
+        """
+    ).fetchall():
+        truth[int(sub)].append(int(sup))
+    got = defaultdict(list)
+    for r in (
+        queries()["zx_dedup_containment"](spark, sf_dir)
+        .orderBy("sub_doc", "super_doc")
+        .collect()
+    ):
+        got[r.sub_doc].append(r.super_doc)
+    assert set(got) == set(truth), "budget dropped/invented sub_docs"
+    for sub, sups in truth.items():
+        assert got[sub] == sups[:CONTAIN_WITNESS_BUDGET], sub
+    assert len(truth) > 0
+
+
 def test_containment_strategies_agree(spark, sf_dir):
     """The bitmask-class containment path and the general inverted-
     index path are the same operator: identical (sub, super,

@@ -87,3 +87,26 @@ def test_coverage_md_matches_registry():
         f"extra={set(committed) - set(live)} "
         f"mode_flips={[n for n in set(live) & set(committed) if live[n] != committed[n]]}"
     )
+
+
+def test_demoted_bench_set_is_consistent():
+    """bench.py's reduced-cadence set (VERDICT r10 #7): every demoted
+    query must still be REGISTERED (it stays oracle-checked and
+    --full-benchable), its declared production sibling must be
+    registered and must NOT itself be demoted, and no SURVEY §2
+    contract query may ever be demoted."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import DEMOTED
+
+    reg = queries()
+    for loser, (winner, why) in DEMOTED.items():
+        assert loser in reg, f"demoted {loser} not registered"
+        assert winner in reg, f"{loser}'s production sibling {winner} missing"
+        assert winner not in DEMOTED, f"{winner} is both production and demoted"
+        assert loser.startswith(EXTRA_PREFIX), (
+            f"{loser}: contract queries must never be demoted"
+        )
+        assert why  # a demotion carries its rationale

@@ -332,3 +332,174 @@ def test_absence_kernel_ttl_gap_unalertable():
     assert list(got["gap_us"]) == [3 * day]
     assert list(got["gap_start_us"]) == [35 * day]
     assert ABSENCE_GAP_US == 2 * day
+
+
+# ------------------------------- bounded-state exact dedup tier
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _python_twin(rows, escrow_cap):
+    """Pure-python replay of the bloom+escrow kernel: same sha256 hex
+    slices, same shard key, same FIFO eviction — the rows-only check's
+    exact twin."""
+    import hashlib
+    from collections import defaultdict
+
+    from eventstream_notify_spark.streaming.dedup import (
+        BLOOM_K,
+        BLOOM_BITS,
+        BLOOM_SHARDS,
+    )
+
+    shards = defaultdict(list)
+    for doc_id, text in rows:
+        h = hashlib.sha256(text.encode()).hexdigest()
+        shards[int(h[:4], 16) % BLOOM_SHARDS].append((doc_id, h))
+    out = {}
+    for docs in shards.values():
+        bloom, esc = 0, {}
+        for doc_id, h in sorted(docs):
+            if h in esc:
+                out[doc_id] = (esc[h], True, True)
+                continue
+            mask = 0
+            for i in range(BLOOM_K):
+                mask |= 1 << (int(h[4 + 8 * i : 12 + 8 * i], 16) % BLOOM_BITS)
+            if bloom & mask == mask:
+                out[doc_id] = (None, True, False)
+            else:
+                bloom |= mask
+                esc[h] = doc_id
+                out[doc_id] = (doc_id, False, True)
+        if len(esc) > escrow_cap:
+            for stale in list(esc)[: len(esc) - escrow_cap]:
+                del esc[stale]
+    return out
+
+
+def test_bounded_exact_matches_python_twin_and_unbounded(spark):
+    """At sf0.001 (~8 distinct contents per shard, far under the
+    escrow cap) the bounded tier must agree with BOTH the pure-python
+    twin (bit-for-bit kernel replay) and the unbounded exact sibling
+    (every decision still exact)."""
+    from eventstream_notify_spark.streaming.dedup import ESCROW_CAP
+
+    got = {
+        r.doc_id: (r.canonical_id, r.is_dup, r.exact)
+        for r in lookup("stream_dedup_exact_bounded").fn(spark, SF).collect()
+    }
+    rows = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    assert got == _python_twin(rows, ESCROW_CAP)
+    exact_sib = {
+        r.doc_id: (r.canonical_id, r.is_dup)
+        for r in lookup("stream_dedup_exact").fn(spark, SF).collect()
+    }
+    assert {d: v[:2] for d, v in got.items()} == exact_sib
+    assert all(v[2] for v in got.values())  # escrow never overflowed
+
+
+def test_bounded_exact_accuracy_trade_under_eviction(spark, tmp_path):
+    """Force escrow eviction (cap=4, 8-micro-batch replay) on a
+    duplicate-heavy synthetic corpus (the testdata documents contain
+    no exact dups): the one-sided accuracy contract must hold
+    CONTENT-LEVEL — every distinct content admits at most one
+    representative (zero false admits: the bloom never forgets),
+    contents with zero admitted representative (false drops via bloom
+    FP) stay under 1%, and some dup genuinely resolved bloom-only
+    (eviction was exercised)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as SF
+
+    from eventstream_notify_spark.streaming.dedup import (
+        stream_bounded_exact_flags,
+    )
+    from eventstream_notify_spark.streaming.pipeline import run_bounded
+
+    # 2000 arrivals of 400 distinct contents (5 each), ids ascending —
+    # dups land batches after their canonical once split 8 ways
+    d = spark.range(2000).select(
+        SF.col("id").alias("doc_id"),
+        SF.concat(
+            SF.lit("synthetic content "), (SF.col("id") % 400).cast("string")
+        ).alias("text"),
+    )
+    src = str(tmp_path / "docs")
+    d.repartition(8).write.parquet(src)
+    schema = ", ".join(f"{n} {t}" for n, t in d.dtypes)
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = {
+        r.doc_id: (r.is_dup, r.exact)
+        for r in run_bounded(
+            stream_bounded_exact_flags(docs, escrow_cap=4)
+        ).collect()
+    }
+    by_content = defaultdict(list)
+    for r in d.select("doc_id", "text").collect():
+        by_content[r.text].append(r.doc_id)
+    admitted_per_content = {
+        t: sum(1 for i in ids if not got[i][0])
+        for t, ids in by_content.items()
+    }
+    assert max(admitted_per_content.values()) <= 1  # zero false admits
+    false_drops = sum(1 for n in admitted_per_content.values() if n == 0)
+    assert false_drops / len(by_content) <= 0.01, false_drops
+    # eviction genuinely happened: some dup resolved bloom-only
+    assert any(v[0] and not v[1] for v in got.values())
+
+
+def test_bounded_exact_kernel_escrow_capped():
+    """Kernel-level: state never holds more than escrow_cap digests,
+    and the bloom bytes stay at their fixed size, across batches."""
+    import pandas as pd
+
+    from eventstream_notify_spark.streaming.dedup import (
+        BLOOM_BITS,
+        make_bounded_exact_fn,
+    )
+
+    fn = make_bounded_exact_fn(escrow_cap=3)
+    st = _FakeState()
+    import hashlib
+
+    def batch(ids):
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "h": [
+                    hashlib.sha256(f"text-{i}".encode()).hexdigest()
+                    for i in ids
+                ],
+            }
+        )
+
+    list(fn((0,), iter([batch([1, 2, 3, 4, 5])]), st))
+    bloom, esc_h, esc_id = st.get
+    assert len(bloom) == BLOOM_BITS // 8
+    assert len(esc_h) == 3 and list(esc_id) == [3, 4, 5]  # FIFO evict
+    list(fn((0,), iter([batch([6, 7])]), st))
+    bloom, esc_h, esc_id = st.get
+    assert len(esc_h) == 3 and list(esc_id) == [5, 6, 7]

@@ -162,14 +162,19 @@ def stream_decade(spark, sf_dir: str, which: str) -> dict:
 
     Work models: exact = linear (state rows = distinct contents, per-
     arrival work O(1)); minhash(capped) = linear (per-arrival pair
-    fan-out <= 4 bands x STREAM_BUCKET_CAP regardless of skew)."""
+    fan-out <= 4 bands x STREAM_BUCKET_CAP regardless of skew);
+    exact_bounded = CONSTANT state (bloom+escrow per shard: state rows
+    = touched shards <= BLOOM_SHARDS no matter how many distinct
+    contents arrive — the r10 verdict #4 tier)."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from eventstream_notify_spark.streaming.dedup import (
+        BLOOM_SHARDS,
         STREAM_BUCKET_CAP,
+        stream_bounded_exact_flags,
         stream_exact_flags,
         stream_minhash_pairs,
     )
@@ -190,11 +195,11 @@ def stream_decade(spark, sf_dir: str, which: str) -> dict:
         # ttl_ms=None: availableNow replay cannot carry processing-
         # time timers (see streaming/dedup.py); the CAP is the state
         # bound under audit here
-        sdf = (
-            stream_exact_flags(docs)
-            if which == "exact"
-            else stream_minhash_pairs(docs, ttl_ms=None)
-        )
+        sdf = {
+            "exact": lambda: stream_exact_flags(docs),
+            "exact_bounded": lambda: stream_bounded_exact_flags(docs),
+            "minhash": lambda: stream_minhash_pairs(docs, ttl_ms=None),
+        }[which]()
         out = os.path.join(tmp, "out")
         t0 = time.time()
         q = (
@@ -236,6 +241,10 @@ def stream_decade(spark, sf_dir: str, which: str) -> dict:
             rec["max_partner_snapshot"] = int(mx)
             rec["bucket_cap"] = STREAM_BUCKET_CAP
             rec["state_bounded"] = mx <= STREAM_BUCKET_CAP
+        if which == "exact_bounded":
+            # state rows = touched shards, hard-capped by construction
+            rec["shards"] = BLOOM_SHARDS
+            rec["state_bounded"] = rec["final_state_rows"] <= BLOOM_SHARDS
         return rec
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -309,7 +318,11 @@ def main() -> int:
     # at both SFs; bounded state confirmed at the decade
     streaming = {}
     if only is None:
-        for which, model in (("exact", "linear"), ("minhash", "linear")):
+        for which, model in (
+            ("exact", "linear"),
+            ("exact_bounded", "constant_state"),
+            ("minhash", "linear"),
+        ):
             small = stream_decade(spark, SMALL, which)
             big = stream_decade(spark, BIG, which)
             ratio = round(big["wall_s"] / max(small["wall_s"], 0.01), 2)
@@ -321,6 +334,11 @@ def main() -> int:
             ok = ratio <= 10.0 and srows <= 10.0
             if which == "minhash":
                 ok = ok and big.get("state_bounded", False)
+            if which == "exact_bounded":
+                # the whole point of the tier: state does NOT scale
+                # with distinct contents — rows stay <= BLOOM_SHARDS
+                # and the 10x/1x row ratio stays ~1
+                ok = ok and big.get("state_bounded", False) and srows <= 1.1
             streaming[f"stream_dedup_{which}"] = {
                 "sf01": small,
                 "x10": big,
