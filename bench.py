@@ -451,10 +451,13 @@ def _canon_lists(s: str) -> str:
 
 PREV_PATH = Path(__file__).resolve().parent / "bench_prev.json"
 
-# Idle-calibration probes: cheap, stable, plan-diverse (a scan-side
-# agg, a sort-merge join, a hash-key window). Compared median-of-3
-# against the committed record before the suite runs.
-CALIBRATION = ["agg_hash", "join_shuffle", "dedup_exact"]
+# Idle-calibration probes: stable, plan-diverse, and all >= ~0.5 s at
+# the committed record (a 0.17 s probe false-flagged a clean 296 s
+# run at 2.14x — sub-half-second queries are jitter, the suite's own
+# movers rule). Each probe gets ONE untimed warm call (its specific
+# codegen shapes aren't covered by warmup(), and the committed values
+# are mid-suite-hot medians), then median-of-3 timed runs.
+CALIBRATION = ["agg_hash", "join_shuffle", "alert_rules"]
 CALIBRATION_MAX_RATIO = 1.5
 
 
@@ -479,16 +482,28 @@ def idle_probe(spark, sf_dir: str, sf: str, cleanup) -> dict:
     ratios: dict[str, float] = {}
     for name in CALIBRATION:
         p = prev.get(name)
-        if name not in qs or not p or p <= 0:
+        if name not in qs or not p or p < 0.5:
+            continue  # missing or jitter-dominated record: no signal
+        try:  # untimed warm call: pay this probe's codegen once
+            _exec_with_timeout(
+                lambda n=name: qs[n](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        except Exception:  # noqa: BLE001 — probe must never fail the bench
             continue
         runs: list[float] = []
         for _ in range(3):
             cleanup()
             t0 = time.time()
             try:
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                _exec_with_timeout(
+                    lambda n=name: qs[n](spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
             except Exception:  # noqa: BLE001 — probe must never fail the bench
                 break
             runs.append(time.time() - t0)
@@ -709,9 +724,12 @@ def main() -> None:
             cleanup()
             t0 = time.time()
             try:
-                qs_all[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                _exec_with_timeout(
+                    lambda n=name: qs_all[n](spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
                 rm = round(time.time() - t0, 2)
             except Exception:  # noqa: BLE001
                 continue
@@ -928,6 +946,46 @@ def make_cleanup(spark):
     return cleanup
 
 
+# Per-query hang guard: >30x any query's normal time. Root cause it
+# defends against (observed once in ~10 full idle runs): an eager
+# localCheckpoint's AdaptiveSparkPlanExec parks FOREVER in
+# withFinalPlanUpdate -> LinkedBlockingQueue.take when a stage-
+# materialization event is lost (a rare Spark driver-side race; zero
+# CPU, no running job, jstack-verified 2026-08-16). Without a guard
+# the whole suite — including the round driver's — stalls behind one
+# wedged query. The wedged py4j thread can't be cancelled (there is
+# no job to cancel), so the guard abandons it (daemon thread) and the
+# suite continues on fresh py4j connections; the query records as
+# failed with a HANG note.
+QUERY_TIMEOUT_S = 180.0
+
+
+def _exec_with_timeout(fn_call, timeout_s: float = QUERY_TIMEOUT_S):
+    """Run fn_call() in a daemon thread; raise TimeoutError if it
+    doesn't finish in time (the thread is abandoned, not killed)."""
+    import threading
+
+    out: dict = {}
+
+    def body() -> None:
+        try:
+            out["v"] = fn_call()
+        except Exception as e:  # noqa: BLE001 — re-raised on the caller side
+            out["e"] = e
+
+    t = threading.Thread(target=body, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise TimeoutError(
+            f"query exceeded {timeout_s:.0f}s — suspected AQE "
+            "final-plan-update hang; thread abandoned"
+        )
+    if "e" in out:
+        raise out["e"]
+    return out.get("v")
+
+
 def run_suite(
     spark, sf_dir: str, reps: int, cleanup, full: bool = False
 ) -> tuple[dict[str, float], dict[str, str]]:
@@ -950,12 +1008,16 @@ def run_suite(
         q_reps = max(reps, 3) if name in HEADLINE else reps
         runs: list[float] = []
         df = None
+        def one_run():
+            d = fn(spark, sf_dir)
+            d.write.format("noop").mode("overwrite").save()
+            return d
+
         for _ in range(q_reps):
             cleanup()
             t0 = time.time()
             try:
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
+                df = _exec_with_timeout(one_run)
                 runs.append(time.time() - t0)
             except Exception as e:  # noqa: BLE001
                 # a -1 without its exception is undiagnosable (r7:
@@ -968,8 +1030,7 @@ def run_suite(
                 cleanup()
                 t0 = time.time()
                 try:
-                    df = fn(spark, sf_dir)
-                    df.write.format("noop").mode("overwrite").save()
+                    df = _exec_with_timeout(one_run)
                     runs.append(time.time() - t0)
                     errors[name] = "RETRY_OK: " + errors[name]
                 except Exception:  # noqa: BLE001 — genuine failure

@@ -110,3 +110,23 @@ def test_demoted_bench_set_is_consistent():
             f"{loser}: contract queries must never be demoted"
         )
         assert why  # a demotion carries its rationale
+
+
+def test_bench_query_hang_guard():
+    """bench.py's per-query timeout (the AQE final-plan-update hang
+    defense): a wedged call records TimeoutError instead of stalling
+    the suite; fast calls pass values and exceptions through."""
+    import time
+
+    import pytest as _pytest
+
+    from bench import _exec_with_timeout
+
+    assert _exec_with_timeout(lambda: 42, timeout_s=5.0) == 42
+    with _pytest.raises(ValueError):
+        _exec_with_timeout(lambda: (_ for _ in ()).throw(ValueError("x")),
+                           timeout_s=5.0)
+    t0 = time.time()
+    with _pytest.raises(TimeoutError):
+        _exec_with_timeout(lambda: time.sleep(30), timeout_s=0.5)
+    assert time.time() - t0 < 5.0
