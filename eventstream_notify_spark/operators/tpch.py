@@ -762,16 +762,24 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped >60 days after order date; finished orders only): the
     supplier was late on a multi-supplier order where NO OTHER
     supplier was late — the classic EXISTS + NOT-EXISTS double
-    correlated self-reference. Spark shape: the late set materializes
-    once (lazy checkpoint, three consumers), EXISTS becomes a LEFT
-    SEMI against other-supplier lineitems, NOT EXISTS a LEFT ANTI
-    against other-supplier late rows — both on the orderkey with the
-    supplier inequality in the join condition, so each is one
-    shuffle, no aggregation-based workarounds. The EXISTS' lineitem
-    side carries a shuffle_merge hint for the same reason as Q4
-    (r9 verdict #6): semi builds right, and a fact projection that
-    fits under the broadcast threshold becomes a linearly-growing
-    broadcast build — the driver-bound plan at scale."""
+    correlated self-reference.
+
+    Spark shape (r12 rework, VERDICT r11 #2 — the previous cut's two
+    fact-fact self-joins over a checkpointed late set measured 2.69x
+    at the decade): the NOT EXISTS decorrelates into ONE aggregation
+    of the late set by orderkey — "no other late supplier" is exactly
+    COUNT(DISTINCT l_suppkey) = 1, with the group's row count
+    carrying each late row's contribution to numwait and MAX(suppkey)
+    recovering the (unique) supplier. That kills the anti join, the
+    late set's second consumer, and with it the localCheckpoint (one
+    fewer eager-AQE hang surface). The surviving EXISTS stays a LEFT
+    SEMI against other-supplier lineitems ON THE SAME KEY the
+    aggregation just partitioned by, so the solo side enters the semi
+    without re-shuffling; the lineitem side keeps the shuffle_merge
+    hint for the same reason as Q4 (r9 verdict #6): semi builds
+    right, and a fact projection that fits under the broadcast
+    threshold becomes a linearly-growing broadcast build — the
+    driver-bound plan at scale."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem")
     late = (
@@ -780,30 +788,29 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
         .select("l_orderkey", "l_suppkey")
-        .localCheckpoint(eager=False)
     )
-    l1 = late.alias("l1")
+    solo = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nsup"),
+            F.max("l_suppkey").alias("l_suppkey"),
+            F.count("*").alias("cnt"),
+        )
+        .filter(F.col("nsup") == 1)
+        .drop("nsup")
+    )
     l2 = li.select("l_orderkey", "l_suppkey").hint("shuffle_merge").alias("l2")
-    l3 = late.alias("l3")
-    survived = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    survived = solo.alias("l1").join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
     )
     s = table(spark, sf_dir, "supplier")
     return (
         survived.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("cnt").cast("long").alias("numwait"))
     )
 
 

@@ -149,40 +149,77 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the state store would BE the corpus digest set. This tier bounds
 # state by construction — no timers, so it replays under availableNow:
 #
-#   bloom-front: per shard, a fixed BLOOM_BITS-bit filter remembers
-#     every content ever admitted (no deletions -> a seen content can
-#     NEVER be re-admitted: zero false admits, the property exact
-#     dedup exists for).
+#   bloom-front: per shard, a SCALABLE bloom filter (Almeida et al.,
+#     "Scalable Bloom Filters", 2007) remembers every content ever
+#     admitted (no deletions -> a seen content can NEVER be
+#     re-admitted: zero false admits, the property exact dedup exists
+#     for). The filter is a list of segments: segment j has
+#     BLOOM_BITS<<j bits and a capacity chosen so its false-positive
+#     rate at retirement is BLOOM_P0 * BLOOM_SEG_R**j; when the
+#     newest segment reaches capacity, a fresh (larger, tighter)
+#     segment opens. Membership = fully-set in ANY segment; inserts
+#     go to the newest only.
 #   exact-escrow: per shard, the most recent ESCROW_CAP content
 #     digests with their first-seen doc_id. A dup that hits escrow
 #     resolves exactly (canonical_id + exact=true); older dups resolve
 #     via the bloom alone (is_dup=true, canonical_id null,
 #     exact=false).
 #
-# The accuracy trade is one-sided and measurable: a NOVEL content can
-# be falsely dropped only by a bloom false positive, p ~= (1 - e^(-k
-# n_shard / m))^k — at the 10x decade (~780 distinct/shard, m=16384,
-# k=4) that is ~9e-4; the false-drop test pins <=1%. All hashing
-# derives from the sha256 hex digest (shard and bit positions are hex
-# slices), so a pure-python twin replays the kernel bit-for-bit.
+# The accuracy trade is one-sided, measurable, and — this is what the
+# scalable construction buys over r11's fixed filter — does NOT decay
+# with corpus size: a NOVEL content can be falsely dropped only by a
+# bloom false positive, and the total FP probability is bounded by
+# sum_j BLOOM_P0 * BLOOM_SEG_R**j <= BLOOM_P0 / (1 - BLOOM_SEG_R)
+# = 1e-3 at ANY distinct cardinality (the r11 fixed 16384-bit filter
+# held ~9e-4 only to ~1.5k distinct/shard ~ 1e5 total and then
+# saturated toward dropping ALL novel content — the ADVICE r11 flag).
+# State stays BLOOM_SHARDS rows forever; state BYTES grow at the
+# information-theoretic-ish ~25-36 bits per distinct content admitted
+# (each doubling segment holds ~1.66x more), i.e. ~4 B/distinct vs
+# the exact tier's ~72 B/distinct (64-hex digest + id) — a ~20x state
+# compression with a hard FP bound instead of an accuracy horizon.
+# All hashing derives from the sha256 hex digest (shard and bit
+# positions are hex slices, per-segment modulus), so a pure-python
+# twin replays the kernel bit-for-bit.
 
 BLOOM_SHARDS = 64  # state keys: numRowsTotal <= 64 regardless of corpus
-BLOOM_BITS = 16_384  # per-shard filter, 2 KiB
-BLOOM_K = 4  # probe positions per content
+BLOOM_BITS = 16_384  # segment-0 bits, 2 KiB (segment j: BLOOM_BITS<<j)
+BLOOM_K = 4  # probe positions per content per segment
+BLOOM_P0 = 5e-4  # segment-0 FP target at retirement
+BLOOM_SEG_R = 0.5  # per-segment FP tightening ratio (total <= P0/(1-R))
 ESCROW_CAP = 512  # exact (digest, first_id) pairs kept per shard
 
 BOUNDED_EXACT_OUTPUT = (
     "doc_id long, canonical_id long, is_dup boolean, exact boolean"
 )
-BOUNDED_EXACT_STATE = "bloom binary, esc_h array<string>, esc_id array<long>"
+BOUNDED_EXACT_STATE = (
+    "blooms array<binary>, seg_n long, "
+    "esc_h array<string>, esc_id array<long>"
+)
 
 
-def _bloom_positions(hex_digest: str) -> list[int]:
+def _seg_bits(j: int) -> int:
+    """Bits in scalable-bloom segment j (geometric growth)."""
+    return BLOOM_BITS << j
+
+
+def _seg_capacity(j: int) -> int:
+    """Inserts segment j accepts before a new segment opens — chosen
+    so its standalone FP at retirement is BLOOM_P0 * BLOOM_SEG_R**j:
+    n = m/k * -ln(1 - p**(1/k)) from p = (1 - e^(-k n / m))**k."""
+    import math
+
+    p = BLOOM_P0 * BLOOM_SEG_R**j
+    return int(_seg_bits(j) / BLOOM_K * -math.log(1.0 - p ** (1.0 / BLOOM_K)))
+
+
+def _bloom_positions(hex_digest: str, m_bits: int = BLOOM_BITS) -> list[int]:
     """BLOOM_K bit positions from non-overlapping hex slices of the
     sha256 digest (slices start at offset 4; the shard key uses
-    [0:4]). Pure string math — identical in the python twin."""
+    [0:4]), taken mod the segment's bit count. Pure string math —
+    identical in the python twin."""
     return [
-        int(hex_digest[4 + 8 * i : 12 + 8 * i], 16) % BLOOM_BITS
+        int(hex_digest[4 + 8 * i : 12 + 8 * i], 16) % m_bits
         for i in range(BLOOM_K)
     ]
 
@@ -201,11 +238,13 @@ def make_bounded_exact_fn(escrow_cap: int = ESCROW_CAP):
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         if state.exists:
-            bloom_b, esc_h, esc_id = state.get
-            bloom = int.from_bytes(bloom_b, "big")
+            blooms_b, seg_n, esc_h, esc_id = state.get
+            blooms = [int.from_bytes(b, "big") for b in blooms_b]
+            seg_n = int(seg_n)
             esc = dict(zip(list(esc_h), [int(i) for i in esc_id]))
         else:
-            bloom = 0
+            blooms = [0]
+            seg_n = 0
             esc = {}
         out_id, out_canon, out_dup, out_exact = [], [], [], []
         for did, h in zip(pdf["doc_id"], pdf["h"]):
@@ -215,17 +254,35 @@ def make_bounded_exact_fn(escrow_cap: int = ESCROW_CAP):
                 out_dup.append(True)
                 out_exact.append(True)
             else:
-                mask = 0
-                for p in _bloom_positions(h):
-                    mask |= 1 << p
-                if bloom & mask == mask:
-                    # seen before (or a ~1e-3 false positive): drop,
-                    # canonical unknown — the escrow entry has aged out
+                seen = False
+                for j, bl in enumerate(blooms):
+                    mask = 0
+                    for p in _bloom_positions(h, _seg_bits(j)):
+                        mask |= 1 << p
+                    if bl & mask == mask:
+                        seen = True
+                        break
+                if seen:
+                    # seen before (or a <=1e-3-bounded false
+                    # positive): drop, canonical unknown — the escrow
+                    # entry has aged out
                     out_canon.append(None)
                     out_dup.append(True)
                     out_exact.append(False)
                 else:
-                    bloom |= mask
+                    j = len(blooms) - 1
+                    if seg_n >= _seg_capacity(j):
+                        # newest segment at capacity: open the next
+                        # (larger, tighter) one — total FP stays
+                        # <= BLOOM_P0 / (1 - BLOOM_SEG_R) forever
+                        blooms.append(0)
+                        j += 1
+                        seg_n = 0
+                    mask = 0
+                    for p in _bloom_positions(h, _seg_bits(j)):
+                        mask |= 1 << p
+                    blooms[j] |= mask
+                    seg_n += 1
                     esc[h] = did
                     out_canon.append(did)
                     out_dup.append(False)
@@ -236,7 +293,11 @@ def make_bounded_exact_fn(escrow_cap: int = ESCROW_CAP):
                 del esc[stale]
         state.update(
             (
-                bloom.to_bytes(BLOOM_BITS // 8, "big"),
+                [
+                    b.to_bytes(_seg_bits(j) // 8, "big")
+                    for j, b in enumerate(blooms)
+                ],
+                seg_n,
                 list(esc.keys()),
                 list(esc.values()),
             )
@@ -282,12 +343,17 @@ def stream_dedup_exact_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup, BOUNDED-STATE tier: the 100 TB posture
     of ``zx_stream_dedup_exact``. Admission semantics are preserved
     exactly — the bloom front never forgets, so a seen content is
-    never re-admitted (zero false admits) — while state is constant
-    (<= BLOOM_SHARDS rows of 2 KiB bloom + ESCROW_CAP digests) instead
-    of linear in distinct contents. The trade: dups older than the
-    escrow horizon resolve with canonical_id null (exact=false), and a
-    novel content is falsely dropped with probability ~9e-4 at the
-    decade corpus (bloom FP; pinned <=1% by test)."""
+    never re-admitted (zero false admits) — while state stays
+    <= BLOOM_SHARDS rows forever (a scalable bloom per shard +
+    ESCROW_CAP digests) instead of linear in distinct contents. The
+    trade: dups older than the escrow horizon resolve with
+    canonical_id null (exact=false), and a novel content is falsely
+    dropped with probability bounded by BLOOM_P0/(1-BLOOM_SEG_R)
+    = 1e-3 at ANY corpus size — the scalable segments (r12) remove
+    the fixed filter's ~1e5-distinct accuracy horizon; state bytes
+    grow ~4 B per distinct content (~20x under the exact tier's
+    digest set). Pinned <=1% by test, segment growth + FP bound by
+    kernel test."""
     return run_bounded(
         stream_bounded_exact_flags(file_documents_stream(spark, sf_dir))
     )

@@ -22,6 +22,7 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 sys.path.insert(0, _REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
+from bench import QUERY_TIMEOUT_S, exec_with_timeout  # noqa: E402
 from eventstream_notify_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -51,12 +52,25 @@ def frame_fingerprint(df: pd.DataFrame) -> tuple[int, tuple, int]:
     return len(df), tuple(cols), hash(tuple(rows))
 
 
-def run_sweep(sf_dir: str, only: set[str] | None = None, spark=None) -> list[str]:
+def run_sweep(
+    sf_dir: str,
+    only: set[str] | None = None,
+    spark=None,
+    timeout_s: float = QUERY_TIMEOUT_S,
+) -> list[str]:
     """Run the Spark-vs-DuckDB sweep and return the failing query names.
 
     ``only`` restricts the sweep to a name subset; ``spark`` lets a
     caller (e.g. the ``-m contract`` pytest lane) reuse an existing
     session instead of paying a second JVM spin-up.
+
+    Every Spark execution runs under the shared AQE-hang guard
+    (bench.exec_with_timeout, VERDICT r11 #1): the ~1-in-10 driver-
+    side localCheckpoint wedge parks forever at zero CPU, and without
+    the guard one wedged query would turn every REMAINING query's
+    correctness row into ``err`` — the one failure mode that can wipe
+    the sweep's signal. A timed-out query records as its own FAIL
+    (HANG) and the sweep continues.
     """
     if spark is None:
         spark = get_spark("oracle-check")
@@ -74,7 +88,15 @@ def run_sweep(sf_dir: str, only: set[str] | None = None, spark=None) -> list[str
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = exec_with_timeout(
+                lambda f=fn: f(spark, sf_dir).toPandas(),
+                timeout_s=timeout_s,
+                spark=spark,
+            )
+        except TimeoutError as e:
+            failures.append(name)
+            print(f"FAIL  {name}: HANG: {e}", flush=True)
+            continue
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")

@@ -35,6 +35,7 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 sys.path.insert(0, _REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
+from bench import exec_with_timeout  # noqa: E402
 from eventstream_notify_spark.session import get_spark  # noqa: E402
 
 SMALL = "/root/testdata/sf0.1"
@@ -120,15 +121,32 @@ def median(xs: list[float]) -> float:
     return xs[len(xs) // 2]
 
 
+# Sub-5 s measurements are jitter-dominated enough to destabilize a
+# RATIO whose other side is stable (VERDICT r11 #4: containment's
+# decade cell read 9.51x vs 14.18x across two runs purely from its
+# sub-3 s sf0.1 denominator) — once the first reps show the query is
+# fast, widen to median-of-FAST_MIN_REPS.
+FAST_CUTOFF_S = 5.0
+FAST_MIN_REPS = 5
+
+
 def time_query(spark, name, sf_dir, reps) -> tuple[float, int]:
     fn = entrymod.queries()[name]
     times = []
     n = 0
-    for _ in range(reps):
+    want = reps
+    done = 0
+    while done < want:
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # shared AQE-hang guard (VERDICT r11 #1): a wedged rep raises
+        # instead of stalling the sweep; the caller records the member
+        # as failed-with-note and moves on
+        n = exec_with_timeout(lambda d=df: d.count(), spark=spark)
         times.append(time.time() - t0)
+        done += 1
+        if done == reps and median(times) < FAST_CUTOFF_S:
+            want = max(reps, FAST_MIN_REPS)
         # Measurement hygiene: many family members eagerly
         # localCheckpoint, and checkpointed RDD blocks stay pinned
         # until their DataFrame is garbage-collected — by mid-sweep
@@ -152,7 +170,15 @@ def time_query(spark, name, sf_dir, reps) -> tuple[float, int]:
     return median(times), n
 
 
-def stream_decade(spark, sf_dir: str, which: str) -> dict:
+_PROVIDERS = {
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider",
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider",
+}
+
+
+def stream_decade(spark, sf_dir: str, which: str, provider: str = "rocksdb") -> dict:
     """Streaming-family decade measurement (VERDICT r8 #5): replay the
     documents table as an 8-file / 8-micro-batch stream through the
     stateful dedup kernels, recording per-batch throughput and
@@ -165,7 +191,15 @@ def stream_decade(spark, sf_dir: str, which: str) -> dict:
     fan-out <= 4 bands x STREAM_BUCKET_CAP regardless of skew);
     exact_bounded = CONSTANT state (bloom+escrow per shard: state rows
     = touched shards <= BLOOM_SHARDS no matter how many distinct
-    contents arrive — the r10 verdict #4 tier)."""
+    contents arrive — the r10 verdict #4 tier).
+
+    ``provider`` selects the state-store backend EXPLICITLY (VERDICT
+    r11 #6): "rocksdb" is the session/100 TB posture (also the
+    session.py default these rows always ran under — now recorded in
+    the row instead of implied), "hdfs" the heap-backed comparison.
+    The provider conf is pinned per-checkpoint at first start, and
+    every run here uses a fresh checkpoint, so setting the session
+    conf scopes it to this run."""
     import shutil
     import tempfile
 
@@ -187,6 +221,10 @@ def stream_decade(spark, sf_dir: str, which: str) -> dict:
         probe = spark.read.parquet(src)
         schema = ", ".join(f"{n} {t}" for n, t in probe.dtypes)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            _PROVIDERS[provider],
+        )
         docs = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -210,7 +248,14 @@ def stream_decade(spark, sf_dir: str, which: str) -> dict:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        # bounded wait (the hang-guard discipline, VERDICT r11 #1):
+        # an availableNow replay of 8 files has no business running
+        # 10 minutes; stop and raise instead of wedging the audit
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                f"stream_decade({which}, {provider}) exceeded 600s"
+            )
         wall = time.time() - t0
         batches = []
         for p in q.recentProgress or []:
@@ -224,16 +269,22 @@ def stream_decade(spark, sf_dir: str, which: str) -> dict:
                         op.get("numRowsTotal", 0)
                         for op in p["stateOperators"]
                     ),
+                    "state_bytes": sum(
+                        op.get("memoryUsedBytes", 0)
+                        for op in p["stateOperators"]
+                    ),
                 }
             )
         res = spark.read.schema(sdf.schema).parquet(out)
         n_docs = probe.count()
         rec = {
+            "provider": provider,
             "wall_s": round(wall, 2),
             "docs": n_docs,
             "docs_per_s": round(n_docs / max(wall, 0.01), 1),
             "n_batches": len(batches),
             "final_state_rows": batches[-1]["state_rows"] if batches else 0,
+            "final_state_bytes": batches[-1]["state_bytes"] if batches else 0,
             "batches": batches,
         }
         if which == "minhash":
@@ -248,6 +299,11 @@ def stream_decade(spark, sf_dir: str, which: str) -> dict:
         return rec
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        # restore the session posture (RocksDB) for whatever runs next
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            _PROVIDERS["rocksdb"],
+        )
 
 
 def main() -> int:
@@ -280,12 +336,45 @@ def main() -> int:
     # JVM/codegen warmup so the first family member isn't penalized
     entrymod.queries()["dedup_exact"](spark, SMALL).count()
 
+    def deep_clean() -> None:
+        """Pre-re-measure hygiene: everything time_query's per-rep
+        cleanup does, plus cache clear and a settling pause, so the
+        re-measure sees the session a standalone run would."""
+        import gc
+
+        try:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(True)
+        except Exception:  # noqa: BLE001 — hygiene must never fail the audit
+            pass
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(2.0)
+
+    # Auto-isolated-re-measure trigger (VERDICT r11 #3): a member is
+    # re-measured not only when it BREACHES its declared gate but also
+    # when its ratio lands above this absolute mark while still inside
+    # a generous quadratic model — both r11 hand-merged provenance
+    # notes (containment 26.4x gate-breach, MNN-LSH 20.71x inside its
+    # 38.9x gate) were sweep residue that an isolated re-run resolved.
+    REMEASURE_ABOVE = 15.0
+
     table = {}
     for name in FAMILY:
         if only is not None and name not in only:
             continue
-        ts, ns = time_query(spark, name, SMALL, reps)
-        tb, nb = time_query(spark, name, BIG, reps)
+        try:
+            ts, ns = time_query(spark, name, SMALL, reps)
+            tb, nb = time_query(spark, name, BIG, reps)
+        except TimeoutError as e:
+            # hang guard tripped: record the member as failed-with-
+            # note and keep sweeping — one wedge must not erase the
+            # rest of the audit (VERDICT r11 #1)
+            table[name] = {"pass": False, "note": f"HANG: {e}"}
+            print(f"{name}: HANG — {e}", flush=True)
+            deep_clean()
+            continue
         ratio = round(tb / max(ts, 0.01), 2)
         rows_ratio = round(nb / max(ns, 1), 2)
         model = WORK_MODEL.get(name, "linear")
@@ -296,6 +385,37 @@ def main() -> int:
         else:
             work_ratio = rows_ratio
         ok = ratio <= 10.0 or ratio <= 1.5 * work_ratio
+        note = None
+        if not ok or ratio > REMEASURE_ABOVE:
+            # self-gating (VERDICT r11 #3): re-measure ISOLATED —
+            # deep-clean the session so predecessor residue (pinned
+            # checkpoint blocks, cache) can't inflate this member,
+            # then take fresh medians on both sides. The in-sweep
+            # numbers stay in the record as provenance.
+            in_sweep = (round(ts, 2), round(tb, 2), ratio)
+            deep_clean()
+            try:
+                ts, ns = time_query(spark, name, SMALL, max(reps, 3))
+                tb, nb = time_query(spark, name, BIG, max(reps, 3))
+            except TimeoutError as e:
+                table[name] = {"pass": False, "note": f"HANG on re-measure: {e}"}
+                print(f"{name}: HANG on re-measure — {e}", flush=True)
+                deep_clean()
+                continue
+            ratio = round(tb / max(ts, 0.01), 2)
+            rows_ratio = round(nb / max(ns, 1), 2)
+            if model == "block_quadratic":
+                work_ratio = round(rows_ratio**2, 2)
+            elif model != "pairs":
+                work_ratio = rows_ratio
+            ok = ratio <= 10.0 or ratio <= 1.5 * work_ratio
+            note = (
+                f"auto-isolated re-measure: in-sweep {in_sweep[0]}s -> "
+                f"{in_sweep[1]}s ({in_sweep[2]}x) exceeded "
+                f"{'its gate' if in_sweep[2] > 1.5 * work_ratio and in_sweep[2] > 10 else f'the {REMEASURE_ABOVE}x re-measure mark'}; "
+                "re-measured after deep session cleanup (sweep-residue "
+                "control, VERDICT r11 #3)"
+            )
         table[name] = {
             "sf01_s": round(ts, 2),
             "x10_s": round(tb, 2),
@@ -307,10 +427,13 @@ def main() -> int:
             "workload_ratio": work_ratio,
             "pass": ok,
         }
+        if note:
+            table[name]["note"] = note
         print(
             f"{name}: {ts:.2f}s -> {tb:.2f}s  ratio {ratio}x  "
             f"rows {ns}->{nb} ({rows_ratio}x) workload {work_ratio}x  "
-            f"{'ok' if ok else 'FAIL'}",
+            f"{'ok' if ok else 'FAIL'}"
+            + (" [auto re-measured]" if note else ""),
             flush=True,
         )
 
@@ -318,13 +441,17 @@ def main() -> int:
     # at both SFs; bounded state confirmed at the decade
     streaming = {}
     if only is None:
-        for which, model in (
-            ("exact", "linear"),
-            ("exact_bounded", "constant_state"),
-            ("minhash", "linear"),
+        for which, model, provider in (
+            ("exact", "linear", "rocksdb"),
+            ("exact_bounded", "constant_state", "rocksdb"),
+            # heap-backed comparison row for the bounded tier (VERDICT
+            # r11 #6): same kernel, HDFSBacked provider — the RocksDB
+            # row must land within 1.5x of this wall (gated below)
+            ("exact_bounded", "constant_state", "hdfs"),
+            ("minhash", "linear", "rocksdb"),
         ):
-            small = stream_decade(spark, SMALL, which)
-            big = stream_decade(spark, BIG, which)
+            small = stream_decade(spark, SMALL, which, provider)
+            big = stream_decade(spark, BIG, which, provider)
             ratio = round(big["wall_s"] / max(small["wall_s"], 0.01), 2)
             srows = round(
                 big["final_state_rows"]
@@ -339,7 +466,10 @@ def main() -> int:
                 # with distinct contents — rows stay <= BLOOM_SHARDS
                 # and the 10x/1x row ratio stays ~1
                 ok = ok and big.get("state_bounded", False) and srows <= 1.1
-            streaming[f"stream_dedup_{which}"] = {
+            row = f"stream_dedup_{which}" + (
+                "" if provider == "rocksdb" else f"_{provider}"
+            )
+            streaming[row] = {
                 "sf01": small,
                 "x10": big,
                 "ratio": ratio,
@@ -348,10 +478,26 @@ def main() -> int:
                 "pass": ok,
             }
             print(
-                f"stream_dedup_{which}: {small['wall_s']}s -> "
+                f"{row}: {small['wall_s']}s -> "
                 f"{big['wall_s']}s ratio {ratio}x  state "
                 f"{small['final_state_rows']}->{big['final_state_rows']} "
                 f"({srows}x)  {'ok' if ok else 'FAIL'}",
+                flush=True,
+            )
+        # provider-overhead gate (VERDICT r11 #6): the RocksDB-backed
+        # bounded-tier decade wall must stay within 1.5x of the heap-
+        # backed row — validates the 100 TB posture (RocksDB) doesn't
+        # ride on a provider nobody would run at scale
+        rk = streaming.get("stream_dedup_exact_bounded")
+        hd = streaming.get("stream_dedup_exact_bounded_hdfs")
+        if rk and hd:
+            ov = round(rk["x10"]["wall_s"] / max(hd["x10"]["wall_s"], 0.01), 2)
+            rk["rocksdb_vs_hdfs_wall_x10"] = ov
+            rk["provider_overhead_ok"] = ov <= 1.5
+            rk["pass"] = rk["pass"] and rk["provider_overhead_ok"]
+            print(
+                f"bounded-tier provider overhead (rocksdb/hdfs wall at "
+                f"10x): {ov}x  {'ok' if ov <= 1.5 else 'FAIL'}",
                 flush=True,
             )
 
@@ -367,10 +513,11 @@ def main() -> int:
         if not streaming:
             streaming = prev.get("streaming", {})
 
+    ratios_all = [v["ratio"] for v in table.values() if "ratio" in v]
     result = {
         "metric": "scaling_decade_sf01_to_x10",
-        "value": round(median([v["ratio"] for v in table.values()]), 2),
-        "worst": max(v["ratio"] for v in table.values()),
+        "value": round(median(ratios_all), 2),
+        "worst": max(ratios_all),
         "unit": "x",
         "reps": reps,
         "excluded": EXCLUDED,

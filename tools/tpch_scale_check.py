@@ -28,7 +28,7 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 sys.path.insert(0, _REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import plan_fingerprint  # noqa: E402
+from bench import exec_with_timeout, plan_fingerprint  # noqa: E402
 from eventstream_notify_spark.session import get_spark  # noqa: E402
 
 SMALL = "/root/testdata/sf0.1"
@@ -62,14 +62,26 @@ def main() -> int:
             times = []
             for _ in range(reps):
                 t0 = time.time()
-                df = qs[name](spark, sf)
-                df.count()
-                times.append(time.time() - t0)
+                # shared AQE-hang guard (VERDICT r11 #1): one wedged
+                # rep must not stall the whole decade check — a hang
+                # records as that rep's timeout value plus a loud note
+                # and the sweep continues
+                try:
+                    exec_with_timeout(
+                        lambda n=name, s=sf: qs[n](spark, s).count(),
+                        spark=spark,
+                    )
+                    times.append(time.time() - t0)
+                except TimeoutError as e:
+                    times.append(time.time() - t0)
+                    rec["hang"] = f"{tag}: {e}"
             rec[f"{tag}_s"] = round(median(times), 2)
             rec[f"{tag}_fp"] = plan_fingerprint(qs[name](spark, sf))
         rec["ratio"] = round(rec["x10_s"] / max(rec["sf01_s"], 0.01), 2)
         rec["plan_stable"] = rec["sf01_fp"] == rec["x10_fp"]
-        rec["pass"] = rec["ratio"] <= 10.0 or rec["x10_s"] <= 0.5
+        rec["pass"] = (
+            rec["ratio"] <= 10.0 or rec["x10_s"] <= 0.5
+        ) and "hang" not in rec
         table[name] = rec
         print(
             f"{name}: {rec['sf01_s']}s -> {rec['x10_s']}s "
