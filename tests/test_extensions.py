@@ -700,7 +700,8 @@ def test_sq8_recall_vs_exact(spark):
     overlap = sum(
         len(ex_top[q] & sq_top[q]) / 5.0 for q in ex_top
     ) / len(ex_top)
-    assert overlap >= 0.8
+    # measured 0.98 at sf0.01 (r12); floor = measured - margin
+    assert overlap >= 0.93
 
 
 def test_m4_bucket_invariants(spark):
@@ -782,8 +783,10 @@ def test_pq_recall_vs_exact(spark):
     """PQ + exact re-rank must recover most of the exact top-5: the
     ADC shortlist (50 of the corpus) bounds what re-rank can recover,
     and with ~N/13 centroids per subspace measured recall@5 is 0.9 at
-    sf0.01; 0.7 is the regression floor (float-summation order in the
-    Lloyd means can flip marginal assignments between runs)."""
+    sf0.01; 0.79 (measured 0.84 minus margin, r12 — VERDICT r11 #5
+    closed the 14-point slack) is the regression floor (float-
+    summation order in the Lloyd means can flip marginal assignments
+    between runs)."""
     from collections import defaultdict
 
     from eventstream_notify_spark.operators.vectors import (
@@ -801,7 +804,7 @@ def test_pq_recall_vs_exact(spark):
     overlap = sum(
         len(ex_top[q] & pq_top[q]) / 5.0 for q in ex_top
     ) / len(ex_top)
-    assert overlap >= 0.7
+    assert overlap >= 0.79
 
 
 def test_bpe_encode_matches_python_reference(spark, monkeypatch):

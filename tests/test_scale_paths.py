@@ -102,9 +102,10 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
 
 
 def test_ivf_multiprobe_recall_floor(spark):
-    """IVF recall@5 vs exact cosine must clear the same 0.8 floor the
-    bench --recall gate pins at sf0.1 (multiprobe P=8; single-cell
-    probing measured 0.375/0.40 there — worse than coin-flip top-k)."""
+    """IVF recall@5 vs exact cosine, floor at measured-minus-margin
+    (VERDICT r11 #5; multiprobe P=8 measures 1.00 at sf0.01 —
+    single-cell probing measured 0.375/0.40, worse than coin-flip
+    top-k; the bench --recall gate pins the sf0.1 floors)."""
     from collections import defaultdict
 
     sf = "/root/testdata/sf0.01"
@@ -120,7 +121,8 @@ def test_ivf_multiprobe_recall_floor(spark):
         rec = sum(
             len(exact[q] & approx[q]) / 5.0 for q in exact
         ) / len(exact)
-        assert rec >= 0.8, f"{qname} recall@5 {rec:.3f} < 0.8"
+        # measured 1.00 at sf0.01 for both tiers (r12)
+        assert rec >= 0.95, f"{qname} recall@5 {rec:.3f} < 0.95"
 
 
 def test_bq_recall_floor(spark):
@@ -141,14 +143,15 @@ def test_bq_recall_floor(spark):
         approx[r.query_id].add(r.vec_id)
     assert exact.keys() == approx.keys()
     rec = sum(len(exact[q] & approx[q]) / 5.0 for q in exact) / len(exact)
-    assert rec >= 0.8, f"zx_sim_search_bq recall@5 {rec:.3f} < 0.8"
+    # measured 0.94 at sf0.01 (r12)
+    assert rec >= 0.89, f"zx_sim_search_bq recall@5 {rec:.3f} < 0.89"
 
 
 def test_ivfpq_recall_floor_and_shape(spark):
     """IVFPQ (coarse cells cut candidates, residual PQ cuts bytes,
-    exact re-rank restores precision) must clear a 0.8 recall@5 floor
-    at sf0.01 (measured 0.90 there, 0.815 at sf0.1 — the bench
-    --recall gate pins 0.7 at the bench SF), with exact final scores
+    exact re-rank restores precision) must clear a 0.85 recall@5
+    floor at sf0.01 (measured 0.90 there, 0.815 at sf0.1 — the bench
+    --recall gate pins 0.765 at the bench SF), with exact final scores
     (the re-rank emits true cosine, so every returned score must
     equal the exact operator's score for that same pair)."""
     from collections import defaultdict
@@ -168,7 +171,7 @@ def test_ivfpq_recall_floor_and_shape(spark):
             assert abs(r.score - escore[(r.query_id, r.vec_id)]) < 1e-9
     assert exact.keys() == approx.keys()
     rec = sum(len(exact[q] & approx[q]) / 5.0 for q in exact) / len(exact)
-    assert rec >= 0.8, f"ivfpq recall@5 {rec:.3f} < 0.8"
+    assert rec >= 0.85, f"ivfpq recall@5 {rec:.3f} < 0.85"
 
 
 def test_kmeans_ivf_shape_and_scores(spark, sf_dir):
