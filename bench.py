@@ -518,14 +518,26 @@ def idle_probe(spark, sf_dir: str, sf: str, cleanup) -> dict:
     # SFs some probes fall under the 0.5 s jitter floor, and a single
     # noisy survivor must not veto the record refresh that keeps
     # demoted-query fingerprints fresh (ADVICE r11). One-probe medians
-    # are reported but carry a low_signal note and never gate.
+    # are reported but carry a low_signal note and gate only in the
+    # extreme case below.
     low_signal = len(ratios) < 2
+    # ADVICE r12: a lone surviving probe at >2x the threshold is not
+    # jitter (sub-0.5s noise moves a probe tens of percent, not 3x) —
+    # a genuinely contended box where only one probe clears the jitter
+    # floor must still withhold the record write.
+    lone_extreme = (
+        low_signal
+        and med is not None
+        and med > 2 * CALIBRATION_MAX_RATIO
+    )
     return {
         "ratios": ratios,
         "median_ratio": med,
         "threshold": CALIBRATION_MAX_RATIO,
         "low_signal": low_signal,
-        "contended": (
+        "lone_extreme": lone_extreme,
+        "contended": lone_extreme
+        or (
             not low_signal
             and med is not None
             and med > CALIBRATION_MAX_RATIO
@@ -1003,20 +1015,45 @@ def exec_with_timeout(fn_call, timeout_s: float = QUERY_TIMEOUT_S, spark=None):
     """Run fn_call() in a daemon thread; raise TimeoutError if it
     doesn't finish in time (the thread is abandoned, not killed).
 
-    ``spark``: when given, a timeout also cancels all active jobs —
-    the AQE wedge itself has NO running job (nothing to cancel,
-    harmless), but a genuinely slow query that overruns the guard
-    would otherwise keep its Spark jobs running and contend with the
-    retry and every subsequent measurement."""
+    ``spark``: when given, the guarded call runs under its OWN Spark
+    job group (set from the daemon thread — PySpark's pinned-thread
+    mode maps it to a dedicated JVM thread, so the group scopes to
+    exactly this call's jobs) and a timeout cancels ONLY that group
+    (VERDICT r12 #6: the previous cancelAllJobs() was correct for the
+    sequential harnesses this serves, but would kill innocent
+    concurrent jobs if the guard were ever reused from a session with
+    parallel work). The AQE wedge itself has NO running job (nothing
+    to cancel, harmless), but a genuinely slow query that overruns
+    the guard would otherwise keep its Spark jobs running and contend
+    with the retry and every subsequent measurement."""
     import threading
+    import uuid
 
     out: dict = {}
+    group = f"swg-guard-{uuid.uuid4().hex[:12]}"
 
     def body() -> None:
         try:
+            if spark is not None:
+                try:
+                    # interruptOnCancel=True so cancellation actually
+                    # interrupts running task threads, not just queued
+                    spark.sparkContext.setJobGroup(
+                        group, "exec_with_timeout guarded call", True
+                    )
+                except Exception:  # noqa: BLE001 — guard must still run
+                    pass
             out["v"] = fn_call()
         except Exception as e:  # noqa: BLE001 — re-raised on the caller side
             out["e"] = e
+        finally:
+            if spark is not None:
+                try:
+                    spark.sparkContext.setLocalProperty(
+                        "spark.jobGroup.id", None
+                    )
+                except Exception:  # noqa: BLE001 — thread is abandoned anyway
+                    pass
 
     t = threading.Thread(target=body, daemon=True)
     t.start()
@@ -1024,7 +1061,7 @@ def exec_with_timeout(fn_call, timeout_s: float = QUERY_TIMEOUT_S, spark=None):
     if t.is_alive():
         if spark is not None:
             try:
-                spark.sparkContext.cancelAllJobs()
+                spark.sparkContext.cancelJobGroup(group)
             except Exception:  # noqa: BLE001 — best-effort cleanup
                 pass
         raise TimeoutError(

@@ -181,6 +181,20 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All hashing derives from the sha256 hex digest (shard and bit
 # positions are hex slices, per-segment modulus), so a pure-python
 # twin replays the kernel bit-for-bit.
+#
+# CHECKPOINT-FORMAT BREAK (r12, ADVICE r12): the state schema changed
+# from the r11 fixed-filter shape (`bloom binary, esc_h, esc_id`) to
+# `blooms array<binary>, seg_n long, esc_h, esc_id`. A streaming
+# checkpoint written by the pre-r12 kernel will fail on resume with a
+# state-schema mismatch. Audits and tests always start from fresh
+# checkpoints; a long-lived deployment upgrading in place must drain
+# + restart with a new checkpoint dir (the admitted-set is then
+# rebuilt from replay, or accepted as reset — the bloom is a
+# dedup-quality optimization, not a correctness store). In-place
+# migration (wrap the legacy 16384-bit filter as segment 0) is
+# possible but deliberately not implemented: silent auto-migration of
+# a probabilistic structure is harder to audit than an explicit
+# restart.
 
 BLOOM_SHARDS = 64  # state keys: numRowsTotal <= 64 regardless of corpus
 BLOOM_BITS = 16_384  # segment-0 bits, 2 KiB (segment j: BLOOM_BITS<<j)

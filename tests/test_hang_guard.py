@@ -44,24 +44,38 @@ def test_hang_raises_timeout_promptly():
     assert time.time() - t0 < 5.0
 
 
-def test_hang_cancels_jobs_best_effort():
-    """A timeout with a spark handle calls cancelAllJobs (the slow-
-    query case: unlike the AQE wedge, a genuinely slow query still has
-    running jobs that would contend with everything measured after
-    it). A broken handle must not mask the TimeoutError."""
+def test_hang_cancels_only_its_job_group():
+    """A timeout with a spark handle cancels the GUARDED CALL'S job
+    group, not all jobs (VERDICT r12 #6: cancelAllJobs was correct
+    for the sequential harnesses, but would kill innocent concurrent
+    jobs if the guard were reused from a session with parallel work).
+    The group is set from inside the guarded thread and the same id
+    is cancelled on timeout. A broken handle must not mask the
+    TimeoutError."""
 
     class _Ctx:
-        cancelled = False
+        set_group = None
+        cancelled_group = None
 
-        def cancelAllJobs(self):
-            _Ctx.cancelled = True
+        def setJobGroup(self, gid, desc, interrupt):
+            _Ctx.set_group = (gid, interrupt)
+
+        def setLocalProperty(self, k, v):
+            pass
+
+        def cancelJobGroup(self, gid):
+            _Ctx.cancelled_group = gid
 
     class _Spark:
         sparkContext = _Ctx()
 
     with pytest.raises(TimeoutError):
         exec_with_timeout(lambda: time.sleep(30), timeout_s=0.3, spark=_Spark())
-    assert _Ctx.cancelled
+    assert _Ctx.set_group is not None
+    gid, interrupt = _Ctx.set_group
+    assert gid.startswith("swg-guard-")
+    assert interrupt is True  # running tasks get interrupted, not just queued
+    assert _Ctx.cancelled_group == gid
 
     class _Broken:
         @property
@@ -70,6 +84,53 @@ def test_hang_cancels_jobs_best_effort():
 
     with pytest.raises(TimeoutError):
         exec_with_timeout(lambda: time.sleep(30), timeout_s=0.3, spark=_Broken())
+
+
+def test_timeout_spares_unrelated_concurrent_job(spark):
+    """VERDICT r12 #6 acceptance: an UNRELATED Spark job running
+    concurrently in another thread survives a guard timeout — the
+    cancel is scoped to the guarded call's job group. Under the old
+    cancelAllJobs cleanup the bystander below was killed."""
+    import threading
+
+    def _sleep_partitions(secs):
+        def gen(it):
+            import time as _t
+
+            for pdf in it:
+                _t.sleep(secs)
+                yield pdf
+
+        return gen
+
+    bystander_out = {}
+
+    def bystander():
+        try:
+            df = spark.range(2).repartition(2)
+            bystander_out["n"] = len(
+                df.mapInPandas(_sleep_partitions(4.0), df.schema).collect()
+            )
+        except Exception as e:  # noqa: BLE001 — assert below surfaces it
+            bystander_out["e"] = e
+
+    b = threading.Thread(target=bystander)
+    b.start()
+    time.sleep(1.0)  # let the bystander's tasks actually start
+    slow = spark.range(1).repartition(1)
+    with pytest.raises(TimeoutError):
+        exec_with_timeout(
+            lambda: slow.mapInPandas(_sleep_partitions(30.0), slow.schema)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            timeout_s=1.5,
+            spark=spark,
+        )
+    b.join(timeout=60.0)
+    assert not b.is_alive()
+    assert "e" not in bystander_out, f"bystander killed: {bystander_out.get('e')}"
+    assert bystander_out["n"] == 2
 
 
 def test_oracle_sweep_survives_wedged_query(spark, sf_dir, monkeypatch):

@@ -138,11 +138,18 @@ def time_query(spark, name, sf_dir, reps) -> tuple[float, int]:
     done = 0
     while done < want:
         t0 = time.time()
-        df = fn(spark, sf_dir)
+
         # shared AQE-hang guard (VERDICT r11 #1): a wedged rep raises
         # instead of stalling the sweep; the caller records the member
-        # as failed-with-note and moves on
-        n = exec_with_timeout(lambda d=df: d.count(), spark=spark)
+        # as failed-with-note and moves on. Construction runs INSIDE
+        # the guard (ADVICE r12 medium): many family members eagerly
+        # localCheckpoint at DataFrame build time, which is exactly
+        # where the documented AQE final-plan wedge fires.
+        def _build_and_count():
+            d = fn(spark, sf_dir)
+            return d, d.count()
+
+        df, n = exec_with_timeout(_build_and_count, spark=spark)
         times.append(time.time() - t0)
         done += 1
         if done == reps and median(times) < FAST_CUTOFF_S:
@@ -393,6 +400,11 @@ def main() -> int:
             # then take fresh medians on both sides. The in-sweep
             # numbers stay in the record as provenance.
             in_sweep = (round(ts, 2), round(tb, 2), ratio)
+            # ADVICE r12: the note must classify the trigger with the
+            # work_ratio IN EFFECT when the in-sweep number breached,
+            # not the re-measured one (rows can shift across the
+            # re-measure for sampled members).
+            pre_work_ratio = work_ratio
             deep_clean()
             try:
                 ts, ns = time_query(spark, name, SMALL, max(reps, 3))
@@ -412,7 +424,7 @@ def main() -> int:
             note = (
                 f"auto-isolated re-measure: in-sweep {in_sweep[0]}s -> "
                 f"{in_sweep[1]}s ({in_sweep[2]}x) exceeded "
-                f"{'its gate' if in_sweep[2] > 1.5 * work_ratio and in_sweep[2] > 10 else f'the {REMEASURE_ABOVE}x re-measure mark'}; "
+                f"{'its gate' if in_sweep[2] > 1.5 * pre_work_ratio and in_sweep[2] > 10 else f'the {REMEASURE_ABOVE}x re-measure mark'}; "
                 "re-measured after deep session cleanup (sweep-residue "
                 "control, VERDICT r11 #3)"
             )
@@ -514,10 +526,13 @@ def main() -> int:
             streaming = prev.get("streaming", {})
 
     ratios_all = [v["ratio"] for v in table.values() if "ratio" in v]
+    # ADVICE r12: if every swept member hung (or an --only run hit
+    # only HANG rows), median([])/max([]) would crash the audit after
+    # all the work and write NO artifact — record null stats instead.
     result = {
         "metric": "scaling_decade_sf01_to_x10",
-        "value": round(median(ratios_all), 2),
-        "worst": max(ratios_all),
+        "value": round(median(ratios_all), 2) if ratios_all else None,
+        "worst": max(ratios_all) if ratios_all else None,
         "unit": "x",
         "reps": reps,
         "excluded": EXCLUDED,
