@@ -84,6 +84,20 @@ def tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # r13 opt: RocksDB changelog checkpointing — commit a per-batch
+    # changelog instead of snapshotting SST files on every commit (the
+    # recommended high-commit-rate posture at scale; snapshots happen
+    # asynchronously). Checkpoint REPRESENTATION only, computed rows
+    # unchanged; ignored by non-RocksDB providers. Runtime-settable and
+    # read at stream start, so it reaches streams in the driver's
+    # vanilla session too (both file stream sources call tune_session).
+    # Measured at sf0.1: state commit ~1.5 s -> ~0.2 s per instance
+    # (zx_stream_agg_chain 4.67 -> 2.7 s, zx_stream_ewma 4.88 -> 4.0 s).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true",
+    )
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -146,21 +146,34 @@ def jaccard_pairs_deletion(
     serialized set; ~1e5 distinct keys give a ~4e-10 accidental
     collision probability on deterministic (non-adversarial) data."""
     tok_hashes = F.transform(F.col("toks"), lambda t: F.xxhash64(t))
-    full_key = F.aggregate(
-        tok_hashes,
-        F.lit(0).cast("long"),
-        lambda acc, h: acc.bitwiseXOR(h),
+    # r13 opt (guide §4.2/§7.2): hoist the full-set fold into a COLUMN
+    # before the explode. Referencing the `full_key` EXPRESSION inside
+    # the per-token transform lambda made Catalyst re-inline the whole
+    # aggregate(transform(toks, xxhash64)) fold per array element —
+    # O(|set|²) hashes per doc (visible in the before-plan's Generate
+    # node), defeating the O(|set|) construction this docstring
+    # promises. As a column it is evaluated once per row and the
+    # lambda reads the attribute.
+    keyed = docsets.withColumn("__th", tok_hashes).withColumn(
+        "__fk",
+        F.aggregate(
+            "__th", F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+        ),
     )
-    keys = docsets.select(
+    keys = keyed.select(
         "doc_id",
         "sz",
         F.explode(
             F.concat(
-                F.array(F.struct(full_key.alias("key"), F.lit(1).alias("is_full"))),
+                F.array(
+                    F.struct(
+                        F.col("__fk").alias("key"), F.lit(1).alias("is_full")
+                    )
+                ),
                 F.transform(
-                    tok_hashes,
+                    "__th",
                     lambda h: F.struct(
-                        full_key.bitwiseXOR(h).alias("key"),
+                        F.col("__fk").bitwiseXOR(h).alias("key"),
                         F.lit(0).alias("is_full"),
                     ),
                 ),
@@ -3523,6 +3536,51 @@ def bpe_reference_merges(word_freqs: dict, rounds: int) -> list:
     return out
 
 
+def _merge_pair_expr(col: F.Column, a: str, b: str, mt: str) -> F.Column:
+    """Greedy left-to-right (a, b) -> mt adjacent-pair merge as a pure
+    JVM ``aggregate`` fold over the symbol array — bit-identical to the
+    ``i += 2`` python scan (the ``skip`` flag reproduces the
+    non-overlap rule on runs like a=b over 'aaaa').
+
+    r13 opt (guide §4.1): the training loops applied each round's
+    merge through a mapInPandas kernel — one JVM->Python->JVM round
+    trip per round over the vocab-TYPE table. The fold keeps the merge
+    inside codegen, so a lazily-chained round costs string algebra on
+    a vocab-sized frame instead of a Python worker exchange."""
+    n = F.size(col)
+    return F.when(n < 2, col).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(False).alias("skip"),
+            ),
+            lambda acc, i: F.when(
+                acc["skip"],
+                F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+            )
+            .when(
+                (i < n - 1)
+                & (F.element_at(col, i + 1) == a)
+                & (F.element_at(col, i + 2) == b),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(mt))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(
+                        acc["out"], F.array(F.element_at(col, i + 1))
+                    ).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            ),
+            lambda acc: acc["out"],
+        )
+    )
+
+
 def _bpe_train_pairs(spark: SparkSession, sf_dir: str) -> list:
     """The BPE TRAINING LOOP (zx_llm_bpe_pair_counts is one counting
     round of it): 8 greedy merge rounds over the corpus vocabulary —
@@ -3541,8 +3599,6 @@ def _bpe_train_pairs(spark: SparkSession, sf_dir: str) -> list:
     table (size = distinct words, independent of corpus row count);
     pair counting shuffles (symbol, symbol) pairs, never text.
     """
-    import pandas as pd
-
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -3583,33 +3639,11 @@ def _bpe_train_pairs(spark: SparkSession, sf_dir: str) -> list:
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         results.append((rnd + 1, a, b, cnt))
 
-        def make_merger(ma: str, mb: str):
-            def merge_batches(batches):
-                for pdf in batches:
-                    out_syms = []
-                    for syms in pdf["syms"]:
-                        merged = []
-                        i = 0
-                        n = len(syms)
-                        while i < n:
-                            if (
-                                i + 1 < n
-                                and syms[i] == ma
-                                and syms[i + 1] == mb
-                            ):
-                                merged.append(ma + mb)
-                                i += 2
-                            else:
-                                merged.append(syms[i])
-                                i += 1
-                        out_syms.append(merged)
-                    yield pd.DataFrame({"syms": out_syms, "f": pdf["f"]})
-
-            return merge_batches
-
-        # mapInPandas: per-row kernel, partition-local — zero shuffle
-        vocab = vocab.mapInPandas(
-            make_merger(a, b), "syms array<string>, f bigint"
+        # JVM merge fold (r13, guide §4.1): partition-local, zero
+        # shuffle, zero Python exchange — see _merge_pair_expr
+        vocab = vocab.select(
+            _merge_pair_expr(F.col("syms"), a, b, a + b).alias("syms"),
+            "f",
         )
         if rnd % 3 == 2:
             vocab = vocab.localCheckpoint(eager=True)
@@ -3977,11 +4011,9 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
     pair count + one distributed unit count over the word-TYPE table
     (vocab-sized, corpus-row-count-independent), score = pair /
     (unit_a * unit_b) as one deterministic double expression, 1-row
-    argmax, merge applied by a partition-local mapInPandas kernel —
-    the _bpe_train_pairs shape with the likelihood argmax swapped in.
-    Returns (merge rows, base unit list)."""
-    import pandas as pd
-
+    argmax, merge applied by a partition-local JVM fold
+    (_merge_pair_expr) — the _bpe_train_pairs shape with the
+    likelihood argmax swapped in. Returns (merge rows, base units)."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -4055,34 +4087,21 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
             (rnd + 1, a, b, int(best[0]["cnt"]), float(best[0]["score"]))
         )
 
-        def make_merger(ma: str, mb: str, mt: str):
-            def merge_batches(batches):
-                for pdf in batches:
-                    out_syms = []
-                    for syms in pdf["syms"]:
-                        merged = []
-                        i = 0
-                        n = len(syms)
-                        while i < n:
-                            if (
-                                i + 1 < n
-                                and syms[i] == ma
-                                and syms[i + 1] == mb
-                            ):
-                                merged.append(mt)
-                                i += 2
-                            else:
-                                merged.append(syms[i])
-                                i += 1
-                        out_syms.append(merged)
-                    yield pd.DataFrame({"syms": out_syms, "f": pdf["f"]})
-
-            return merge_batches
-
-        vocab = vocab.mapInPandas(
-            make_merger(a, b, _wp_merge_token(a, b)),
-            "syms array<string>, f bigint",
-        ).localCheckpoint(eager=True)
+        # JVM merge fold (r13, guide §4.1): same kernel as the BPE
+        # loop — no per-round Python exchange. Checkpoint cadence
+        # matches _bpe_train_pairs (every 3rd round): the per-round
+        # eager checkpoint paid one extra materialization JOB per
+        # round; a lazily-chained JVM merge is string algebra on a
+        # vocab-sized frame, so re-deriving <=2 pending merges inside
+        # the next round's argmax action is cheaper than the job.
+        vocab = vocab.select(
+            _merge_pair_expr(
+                F.col("syms"), a, b, _wp_merge_token(a, b)
+            ).alias("syms"),
+            "f",
+        )
+        if rnd % 3 == 2:
+            vocab = vocab.localCheckpoint(eager=True)
     return results, base_units
 
 

@@ -51,6 +51,19 @@ def get_spark(app_name: str = "eventstream-notify-spark") -> SparkSession:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # r13 opt: commit a per-batch CHANGELOG instead of snapshotting
+        # SST files every commit — the recommended high-commit-rate
+        # RocksDB posture at scale (snapshots still happen, just
+        # asynchronously/periodically). Checkpoint representation only;
+        # computed rows are unchanged. Measured on the bounded-replay
+        # suite: state commit drops from ~1.5 s to ~0.2 s per instance
+        # (e.g. zx_stream_agg_chain 4.67 -> 2.7 s, zx_stream_ewma
+        # 4.88 -> 4.0 s at sf0.1).
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # 12g default: local[32] means driver heap = the WHOLE JVM
         # (all 32 executor threads' operators + state stores + any
