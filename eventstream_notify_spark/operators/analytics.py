@@ -2575,9 +2575,29 @@ def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, h[i], m[i]) for i in range(_HB_N * _HB_N)],
         "cell int, hrank bigint, mrank bigint",
     )
-    basec = base.withColumn(
-        "cell", (F.col("x") * _HB_N + F.col("y")).cast("int")
-    ).join(F.broadcast(cells), "cell")
+    # r13 opt (guide §5): the two global_row_number calls below each
+    # run TWO driver actions (min/max + bucket counts), and the probe
+    # frames add two more — every one re-derived this scan+join chain.
+    # One lazy checkpoint materializes it on the first action; the
+    # remaining ~7 consumers read the RDD.
+    basec = (
+        base.withColumn(
+            "cell", (F.col("x") * _HB_N + F.col("y")).cast("int")
+        )
+        .join(F.broadcast(cells), "cell")
+        .localCheckpoint(eager=False)
+    )
+    # probe sets are layout-independent — build ONCE, not per layout
+    probes = F.broadcast(
+        basec.filter(F.col("o_orderkey") % 293 == 0)
+        .select(F.col("x").alias("px"))
+        .distinct()
+    )
+    dprobes = F.broadcast(
+        basec.filter(F.col("o_orderkey") % 293 == 0)
+        .select(F.col("y").alias("py"))
+        .distinct()
+    )
     outs = []
     for layout, rank_col in (("hilbert", "hrank"), ("morton", "mrank")):
         ranked, _n = global_row_number(
@@ -2601,16 +2621,6 @@ def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("y").alias("max_y"),
             )
             .localCheckpoint(eager=False)
-        )
-        probes = F.broadcast(
-            base.filter(F.col("o_orderkey") % 293 == 0)
-            .select(F.col("x").alias("px"))
-            .distinct()
-        )
-        dprobes = F.broadcast(
-            base.filter(F.col("o_orderkey") % 293 == 0)
-            .select(F.col("y").alias("py"))
-            .distinct()
         )
         nf = files.agg(
             F.countDistinct("file_id").cast("bigint").alias("n_files")

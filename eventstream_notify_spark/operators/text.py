@@ -517,31 +517,87 @@ def cc_labels(
     See dedup_cluster's docstring for the batching/convergence
     argument."""
     d = table(spark, sf_dir, "documents")
-    ident = d.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d"))
-    # lazy checkpoint: the first probe action materializes the pair
-    # graph and the first 10 hops in one job instead of two
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("s", "d")
-        .union(ident)
+    # r13 opt (guide §1.1 first-principles / the graph_triangles
+    # class-compression insight): Jaccard depends only on the token
+    # SET, so docs with identical sets are pairwise J=1 — every
+    # same-class pair IS a dedup_near edge (a clique), and CC over the
+    # doc graph factors through the CLASS graph exactly. Propagation
+    # hops therefore run over a few-hundred-row class edge list
+    # instead of the ~190k-row doc pair list at sf0.1 (the pair list
+    # is the one super-linear frame in the family), and seeding each
+    # class with its min doc_id makes the class fixpoint label equal
+    # the component's min doc_id — the oracle's exact closure.
+    # Empty-token docs are excluded from classes (J over two empty
+    # sets is NULL, dedup_near emits no such pair) and fall through
+    # as singletons via the final coalesce.
+    cmap = (
+        d.select(
+            "doc_id",
+            F.array_sort(F.array_distinct(tokens_col())).alias("toks"),
+        )
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", F.md5(F.concat_ws(" ", "toks")).alias("ck"))
         .localCheckpoint(eager=False)
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    cmin = cmap.groupBy("ck").agg(F.min("doc_id").alias("lab"))
+    ce = (
+        pairs.join(
+            F.broadcast(
+                cmap.select(
+                    F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca")
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                cmap.select(
+                    F.col("doc_id").alias("doc_b"), F.col("ck").alias("cb")
+                )
+            ),
+            "doc_b",
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select("ca", "cb")
+        .distinct()
+    )
+    # lazy checkpoint: the first probe action materializes the class
+    # edge build and the first 10 hops in one job instead of two
+    edges = (
+        ce.union(ce.select(F.col("cb"), F.col("ca")))
+        .toDF("s", "d")
+        .union(cmin.select(F.col("ck").alias("s"), F.col("ck").alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    labels = cmin
     prev_sum = None
-    for hops in [10] + [2] * 15:  # supports graph diameter <= 40
+    for hops in [10] + [2] * 15:  # supports class-graph diameter <= 40
         for _hop in range(hops):
             labels = (
-                edges.join(labels, edges.d == labels.doc_id)
+                edges.join(labels, edges.d == labels.ck)
                 .groupBy(F.col("s").alias("node"))
-                .agg(F.min("cluster_id").alias("cluster_id"))
-                .withColumnRenamed("node", "doc_id")
+                .agg(F.min("lab").alias("lab"))
+                .withColumnRenamed("node", "ck")
             )
         labels = labels.localCheckpoint(eager=False)
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels
+    # lazy checkpoint: consumers reference the label frame several
+    # times (graph_modularity three times) — materialize the doc-level
+    # expansion once instead of re-running tokenize + the mapping
+    # joins per reference
+    return (
+        d.select("doc_id")
+        .join(cmap, "doc_id", "left")
+        .join(labels, "ck", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lab", F.col("doc_id")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
 
 @register(

@@ -453,11 +453,12 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #3 — IVF with k-means-refined centroids: start
     from the deterministic seed centroids and run Lloyd iterations as
-    pure DataFrame ops (assign = broadcast join + argmax window;
-    update = groupBy mean over array positions via posexplode), then
-    probe as in sim_search_ivf. Each iteration is one broadcast join +
-    one aggregation — the standard distributed k-means shape; K stays
-    driver-sized (centroids broadcast), N never leaves the cluster.
+    pure DataFrame ops (assign = inline argmax over the broadcast
+    centroid array, zero shuffles; update = groupBy mean over array
+    positions via posexplode), then probe as in sim_search_ivf. Each
+    iteration is one broadcast + one aggregation — the standard
+    distributed k-means shape; K stays driver-sized (centroids
+    broadcast), N never leaves the cluster.
     Each iteration's centroid frame is localCheckpoint()ed: K rows of
     driver-sized data, so the checkpoint is cheap, and it truncates
     the lineage that would otherwise grow one broadcast-join + two
@@ -482,27 +483,34 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-        # centroid norm comes precomputed on the K-row broadcast side
-        # (K evaluations per iteration), never per (point, centroid)
-        # pair — the HOF norm loop over a NxK pair frame was the
-        # dominant assign cost. The argmax itself is a HASH-AGG
-        # (max_by over (score, -cid) for the score-desc/cid-asc
-        # tie-break), not a sort window: partial aggregation shrinks
-        # the pair frame map-side before the exchange, so only one
-        # candidate row per (partition, vec_id) shuffles.
-        return (
-            points.crossJoin(F.broadcast(centroids))
-            .withColumn("cscore", dot("embedding", "ce") / F.col("cn"))
-            .groupBy("vec_id")
-            .agg(
-                F.first("embedding").alias("embedding"),
-                F.first("nrm").alias("nrm"),
-                F.max_by(
-                    F.col("cid"),
-                    F.struct(F.col("cscore"), (-F.col("cid")).alias("nc")),
-                ).alias("cid"),
+        # r13 opt (guide §2.4): pack the K-row centroid frame into ONE
+        # array row and compute each point's argmax INLINE — the N×K
+        # pair frame, its map-side partial agg and the groupBy(vec_id)
+        # Exchange all disappear; assign is now a narrow projection
+        # (zero shuffles per Lloyd iteration, was one). Same
+        # left-to-right dot fold per (point, centroid), and
+        # array_max over struct(score, -cid) is exactly the old
+        # max_by(cid, struct(cscore, -cid)) tie-break (score desc,
+        # then cid asc; -cid is unique so float ties cannot flip).
+        # K stays driver-sized by design, so one array row is the
+        # honest at-scale carrier too (it is what the broadcast held).
+        carr = centroids.agg(
+            F.collect_list(F.struct("cid", "ce", "cn")).alias("carr")
+        )
+        best = F.array_max(
+            F.transform(
+                F.col("carr"),
+                lambda c: F.struct(
+                    (dot("embedding", c["ce"]) / c["cn"]).alias("s"),
+                    (-c["cid"]).alias("nc"),
+                ),
             )
-            .select("vec_id", "embedding", "nrm", "cid")
+        )
+        return points.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (-best["nc"]).cast("long").alias("cid"),
         )
 
     for it in range(n_iters):
@@ -2152,6 +2160,12 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- distributed encode: coarse assign (argmax hash-agg), then
     # per-subspace residual -> nearest code (min_by hash-agg). The
     # corpus's search-time representation is (cid, 8 small ints).
+    # measured r13: the inline-argmax rewrite used for the Lloyd
+    # assign in sim_search_ivf_kmeans REGRESSED here — this consumer
+    # needs TWO fields of the winner (cid AND ce for the residual),
+    # and CollapseProject re-inlines the whole K-dot argmax per field
+    # reference; the agg boundary below evaluates it once.
+    # Deliberately kept as the pair-frame + max_by formulation.
     assign = (
         e.crossJoin(cent)
         .withColumn("cscore", dot("embedding", "ce") / F.col("cn"))
@@ -2189,6 +2203,11 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .join(book, "sub")
+        # measured r13: an inline argmin over a 256-entry codebook
+        # array (transform + array_min) ran ~30% SLOWER than this flat
+        # exploded join + min_by — the flat frame stays inside
+        # whole-stage codegen while HOF lambdas evaluate per element.
+        # Deliberately kept as the exploded-join formulation.
         .withColumn("d", _l2sq(F.col("rv"), F.col("pc")))
         .groupBy("vec_id", "cid", "sub")
         .agg(
