@@ -284,6 +284,20 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness of both strategies vs the naive spec is pinned by
     tests/test_prefix_filter.py. Approximate further-scale path:
     ``dedup_minhash``."""
+    pairs, _docsets = near_dup_pairs(spark, sf_dir)
+    return pairs
+
+
+def near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """dedup_near's kernel, returning BOTH the exact pair frame and
+    the lazily-checkpointed token-set frame it was built from
+    (doc_id, toks sorted-distinct array, sz). r13: the graph-family
+    riders (cc_labels, pagerank, kcore, triangles, link_prediction)
+    all need a token-set class map — deriving it from this already-
+    materialized frame instead of re-tokenizing saves a full
+    regexp+sort pass over documents per rider."""
     d = table(spark, sf_dir, "documents")
     # lazy checkpoint: the profiling action below is the FIRST action
     # over the token sets, so it materializes them as a side effect —
@@ -305,8 +319,19 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_sz, vocab = prof.max_sz or 0, prof.vocab or 0
     delta = int((1 - JACCARD_T) * min(2 * max_sz, vocab))
     if delta <= 1:
-        return jaccard_pairs_deletion(docsets, JACCARD_T)
-    return jaccard_pairs_prefix(docsets, JACCARD_T)
+        return jaccard_pairs_deletion(docsets, JACCARD_T), docsets
+    return jaccard_pairs_prefix(docsets, JACCARD_T), docsets
+
+
+def class_map(docsets: DataFrame) -> DataFrame:
+    """(doc_id, ck) identical-token-set class map over non-empty sets,
+    derived from near_dup_pairs' checkpointed token-set frame (no
+    re-tokenize). md5 over the space-joined sorted set is collision-
+    free on [a-z0-9]+ tokens."""
+    return (
+        docsets.filter(F.size("toks") >= 1)
+        .select("doc_id", F.md5(F.concat_ws(" ", "toks")).alias("ck"))
+    )
 
 
 @register("dedup_minhash", extra=True)  # rows-only: LSH is approximate by design
@@ -507,7 +532,10 @@ _CC_COMPRESSED_CTE = f"""
 
 
 def cc_labels(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame,
+    docsets: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over a (doc_a, doc_b) pair frame by
     min-label propagation (the dedup_cluster kernel, factored so
@@ -529,16 +557,14 @@ def cc_labels(
     # the component's min doc_id — the oracle's exact closure.
     # Empty-token docs are excluded from classes (J over two empty
     # sets is NULL, dedup_near emits no such pair) and fall through
-    # as singletons via the final coalesce.
+    # as singletons via the final coalesce. When the caller holds
+    # near_dup_pairs' checkpointed token sets, the class map rides
+    # them (no re-tokenize).
     cmap = (
-        d.select(
-            "doc_id",
-            F.array_sort(F.array_distinct(tokens_col())).alias("toks"),
-        )
-        .filter(F.size("toks") >= 1)
-        .select("doc_id", F.md5(F.concat_ws(" ", "toks")).alias("ck"))
-        .localCheckpoint(eager=False)
-    )
+        class_map(docsets)
+        if docsets is not None
+        else class_map(_token_sets(d))
+    ).localCheckpoint(eager=False)
     cmin = cmap.groupBy("ck").agg(F.min("doc_id").alias("lab"))
     ce = (
         pairs.join(
@@ -635,11 +661,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB's recursive CTE computes the true min-label closure
     — an exact cross-engine check of an ITERATIVE graph algorithm."""
-    # the symmetrized union references the pair build twice, but
-    # ReusedExchange dedupes identical shuffle subtrees (measured
-    # equal to an explicit checkpoint) — no extra materialization
-    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    labels = cc_labels(spark, sf_dir, pairs)
+    p, docsets = near_dup_pairs(spark, sf_dir)
+    labels = cc_labels(
+        spark, sf_dir, p.select("doc_a", "doc_b"), docsets=docsets
+    )
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -1979,54 +2004,118 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass). The floating-point formulation would be impossible to
     oracle-check: double sums over in-neighbors are partition-order
     dependent."""
-    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    # ONE checkpointed base frame: degree rides ON the edge rows
-    # (joining a separate degree frame inside every iteration would
-    # add _PR_ITERS joins), and everything else — the rank seed, the
-    # vertex frame — derives from this single materialization. Two
-    # independent checkpoints here would each re-run the dedup_near
-    # pair generation (measured: +6 s).
-    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
-        "s", "d"
+    p, docsets = near_dup_pairs(spark, sf_dir)
+    pairs = p.select("doc_a", "doc_b")
+    # r13 opt (class compression, the cc_labels/graph_triangles
+    # discipline): identical token sets have uniform adjacency, all
+    # members of a class carry IDENTICAL rank at every step (equal
+    # init + identical in-neighborhoods), and the integer recurrence
+    # factors exactly through the class graph:
+    #   deg_X = (s_X - 1) + Σ_{Y~X} s_Y
+    #   acc_X = (s_X - 1)·(r_X div deg_X) + Σ_{Y~X} s_Y·(r_Y div deg_Y)
+    #   r'_X  = 15·SCALE div 100 + 85·acc_X div 100
+    # Every iteration now runs over class-count-sized frames (a few
+    # hundred rows at sf0.1) instead of the ~380k doc edge rows — the
+    # per-iteration cost is corpus-INDEPENDENT; the doc-level pair
+    # list is touched exactly once (the class-edge build). Integer
+    # div/sums commute, so the unrolled doc-level SQL oracle still
+    # hash-matches exactly.
+    cmap = class_map(docsets).localCheckpoint(eager=False)
+    sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
+    ce = (
+        pairs.join(
+            F.broadcast(
+                cmap.select(
+                    F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca")
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                cmap.select(
+                    F.col("doc_id").alias("doc_b"), F.col("ck").alias("cb")
+                )
+            ),
+            "doc_b",
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("x"), F.greatest("ca", "cb").alias("y")
+        )
+        .distinct()
     )
-    wdeg = Window.partitionBy("s")
-    edges_deg = (
-        edges.withColumn("deg", F.count("*").over(wdeg))
+    und = ce.union(ce.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    ext = (
+        und.join(
+            F.broadcast(
+                sizes.select(F.col("ck").alias("y"), F.col("s").alias("sy"))
+            ),
+            "y",
+        )
+        .groupBy("x")
+        .agg(F.sum("sy").alias("ext"))
+    )
+    # base: one materialized class frame (ck, s, deg) — the vertex set
+    # is exactly the pair graph's nodes' classes (deg >= 1)
+    base = (
+        sizes.join(ext.withColumnRenamed("x", "ck"), "ck", "left")
+        .select(
+            "ck",
+            "s",
+            (
+                F.col("s") - 1 + F.coalesce("ext", F.lit(0))
+            ).cast("bigint").alias("deg"),
+        )
+        .filter(F.col("deg") >= 1)
         .localCheckpoint(eager=False)
     )
-    verts = edges_deg.select(F.col("s").alias("node")).distinct()
-    r = verts.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    undc = und.localCheckpoint(eager=False)
+    # the iteration state CARRIES (s, deg) so a round needs no join
+    # against base — c is a narrow projection of the state
+    r = base.select(
+        "ck", "s", "deg", F.lit(_PR_SCALE).cast("bigint").alias("r")
+    )
     for t in range(_PR_ITERS):
-        # the rank frame is node-count-sized (KBs here) — broadcast it
-        # onto the edge rows so an iteration is ONE map-side join plus
-        # one aggregation shuffle of (d, contrib) pairs. At node
-        # counts past broadcast range you flip this to a shuffle join
-        # co-partitioned with edges; the recurrence is unchanged.
-        contrib = (
-            edges_deg.join(F.broadcast(r), edges_deg.s == r.node)
-            .select(F.col("d"), F.expr("r div deg").alias("c"))
-            .groupBy("d")
-            .agg(F.sum("c").alias("acc"))
+        c = r.select("ck", "s", "deg", F.expr("r div deg").alias("c"))
+        nb = (
+            undc.join(
+                F.broadcast(
+                    c.select(
+                        F.col("ck").alias("y"),
+                        (F.col("s") * F.col("c")).alias("syc"),
+                    )
+                ),
+                "y",
+            )
+            .groupBy(F.col("x").alias("ck"))
+            .agg(F.sum("syc").alias("nbs"))
         )
-        r = verts.join(F.broadcast(contrib), verts.node == contrib.d, "left").select(
-            "node",
-            (
-                F.lit(15 * _PR_SCALE).cast("bigint") / F.lit(100)
-            ).cast("bigint").alias("_tele"),
-            F.coalesce(F.col("acc"), F.lit(0)).alias("_acc"),
-        ).select(
-            "node",
-            (
-                F.expr(f"{15 * _PR_SCALE} div 100")
-                + F.expr("85 * _acc div 100")
-            ).alias("r"),
+        r = (
+            c.join(F.broadcast(nb), "ck", "left")
+            .select(
+                "ck",
+                "s",
+                "deg",
+                (
+                    F.expr(f"{15 * _PR_SCALE} div 100")
+                    + F.expr(
+                        "85 * ((s - 1) * c + coalesce(nbs, 0)) div 100"
+                    )
+                ).alias("r"),
+            )
         )
-        # the rank frame is tiny; an EAGER checkpoint per iteration
-        # keeps each broadcast side a materialized RDD scan instead of
-        # a t-deep nest of broadcast-within-broadcast subplans (the
-        # nesting, not the data, dominated cold wall time)
+        # the rank frame is class-count-sized; an EAGER checkpoint per
+        # iteration keeps each broadcast side a materialized RDD scan
+        # instead of a t-deep nest of broadcast-within-broadcast
+        # subplans (measured r13: batching to every 3rd round was
+        # SLOWER — un-materialized broadcast subtrees re-execute the
+        # whole inner round chain per broadcast build)
         r = r.localCheckpoint(eager=True)
-    return r.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_fp"))
+    return (
+        cmap.join(r, "ck")
+        .select("doc_id", F.col("r").alias("rank_fp"))
+    )
 
 
 # register the generated oracle after definition (it needs _PAIRS_CTE
@@ -2670,19 +2759,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket candidate cap (vectors._embedding_nn bucket_cap /
     NN_BUCKET_CAP) or minhash banding, both of which bound pairs per
     bucket regardless of skew."""
-    e = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    d = table(spark, sf_dir, "documents")
+    p, docsets = near_dup_pairs(spark, sf_dir)
+    e = p.select("doc_a", "doc_b")
     # token-less docs are NOT an internal clique: Jaccard over two
     # empty sets is 0/0 -> NULL in the oracle (and dedup_near emits no
     # such pair), so the empty-set class must not claim the closed-form
-    # C(s-1,2) internal triangles — drop it before sizing
-    cmap = d.select(
-        "doc_id",
-        F.array_sort(F.array_distinct(tokens_col())).alias("toks"),
-    ).filter(F.size("toks") >= 1).select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", "toks")).alias("ck"),
-    )
+    # C(s-1,2) internal triangles — drop it before sizing. The class
+    # map rides near_dup_pairs' checkpointed token sets (r13: no
+    # re-tokenize pass).
+    cmap = class_map(docsets)
     sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
     tagged = e.join(
         F.broadcast(cmap.select(F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca"))),
@@ -3180,15 +3265,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
       makes doc-level wedge joins quadratic). Doc pairs expand once at
       the end, then a per-doc window takes the top-K.
     """
-    e = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    d = table(spark, sf_dir, "documents")
-    cmap = d.select(
-        "doc_id",
-        F.array_sort(F.array_distinct(tokens_col())).alias("toks"),
-    ).filter(F.size("toks") >= 1).select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", "toks")).alias("ck"),
-    )
+    p, docsets = near_dup_pairs(spark, sf_dir)
+    e = p.select("doc_a", "doc_b")
+    # class map rides near_dup_pairs' checkpointed token sets (r13)
+    cmap = class_map(docsets)
     sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
     tagged = e.join(
         F.broadcast(
@@ -5942,45 +6022,99 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern); rounds are bounded (64) and real dedup
     graphs peel in a handful because cliques stabilize immediately.
     """
-    e = (
-        dedup_near(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    # r13 opt (class compression, the cc_labels/pagerank discipline):
+    # identical-token-set classes have uniform adjacency, so all
+    # members of a class carry the SAME degree every round and peel
+    # together — peeling factors exactly through the class graph:
+    #   deg(x in X) = (s_X - 1) + Σ_{Y~X, Y alive} s_Y
+    # Each peel round runs over class-count-sized frames; the doc
+    # pair list (the one super-linear frame) is touched exactly once.
+    p, docsets = near_dup_pairs(spark, sf_dir)
+    pairs = p.select("doc_a", "doc_b")
+    cmap = class_map(docsets).localCheckpoint(eager=False)
+    sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
+    ce = (
+        pairs.join(
+            F.broadcast(
+                cmap.select(
+                    F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca")
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                cmap.select(
+                    F.col("doc_id").alias("doc_b"), F.col("ck").alias("cb")
+                )
+            ),
+            "doc_b",
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("x"), F.greatest("ca", "cb").alias("y")
+        )
+        .distinct()
     )
-    adj = e.select(
-        F.col("doc_a").alias("w"), F.col("doc_b").alias("v")
-    ).union(e.select(F.col("doc_b").alias("w"), F.col("doc_a").alias("v")))
-    # lazy checkpoints throughout: the count() that drives the
-    # fixpoint test is the materializing action, so each peel round
-    # costs ONE job, not checkpoint-job + count-job
-    nodes = adj.select("w").distinct().localCheckpoint(eager=False)
-    n_prev = nodes.count()
+    und = (
+        ce.union(ce.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .localCheckpoint(eager=False)
+    )
+    # initial alive set = the pair graph's classes (degree >= 1)
+    ext0 = und.groupBy("x").agg(F.count("*").alias("_ne"))
+    alive = (
+        sizes.join(
+            ext0.select(F.col("x").alias("ck"), "_ne"), "ck", "left"
+        )
+        .filter((F.col("s") >= 2) | F.col("_ne").isNotNull())
+        .select("ck", "s")
+        .localCheckpoint(eager=False)
+    )
+    n_prev = alive.count()
+    szy = und.join(
+        F.broadcast(sizes.withColumnRenamed("s", "sy")),
+        F.col("y") == F.col("ck"),
+    ).select("x", "y", "sy")
     for _ in range(KCORE_MAX_ITERS):
-        alive = adj.join(
-            F.broadcast(nodes), "w", "left_semi"
-        ).join(
-            F.broadcast(nodes.select(F.col("w").alias("v"))),
-            "v",
-            "left_semi",
+        ext = (
+            szy.join(
+                F.broadcast(alive.select(F.col("ck").alias("y2"))),
+                F.col("y") == F.col("y2"),
+                "left_semi",
+            )
+            .groupBy(F.col("x").alias("ck"))
+            .agg(F.sum("sy").alias("ext"))
         )
         keep = (
-            alive.groupBy("w")
-            .agg(F.count("*").alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select("w")
+            alive.join(F.broadcast(ext), "ck", "left")
+            .filter(
+                F.col("s") - 1 + F.coalesce("ext", F.lit(0)) >= KCORE_K
+            )
+            .select("ck", "s")
             .localCheckpoint(eager=False)
         )
         n_new = keep.count()
-        nodes = keep
+        alive = keep
         if n_new == n_prev:
             break
         n_prev = n_new
-    core_adj = adj.join(F.broadcast(nodes), "w", "left_semi").join(
-        F.broadcast(nodes.select(F.col("w").alias("v"))), "v", "left_semi"
+    # within-core degree per doc: uniform per class by construction
+    ext_core = (
+        szy.join(
+            F.broadcast(alive.select(F.col("ck").alias("y2"))),
+            F.col("y") == F.col("y2"),
+            "left_semi",
+        )
+        .groupBy(F.col("x").alias("ck"))
+        .agg(F.sum("sy").alias("ext"))
     )
-    return core_adj.groupBy(F.col("w").alias("doc_id")).agg(
-        F.count("*").cast("bigint").alias("core_degree")
+    deg = alive.join(F.broadcast(ext_core), "ck", "left").select(
+        "ck",
+        (F.col("s") - 1 + F.coalesce("ext", F.lit(0)))
+        .cast("bigint")
+        .alias("core_degree"),
     )
+    return cmap.join(deg, "ck").select("doc_id", "core_degree")
 
 
 # --------------------------------------------------- token drift (TV)
@@ -6200,12 +6334,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint: pairs feeds internal-edge counts, the symmetrized
     # degree union AND the in-plan m fold — and dedup_cluster below
     # re-derives the same pair build for its label propagation
-    pairs = (
-        dedup_near(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
-    labels = cc_labels(spark, sf_dir, pairs).select(
+    p, docsets = near_dup_pairs(spark, sf_dir)
+    pairs = p.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    labels = cc_labels(spark, sf_dir, pairs, docsets=docsets).select(
         "doc_id", "cluster_id"
     )
     edges = pairs.unionByName(
