@@ -426,6 +426,11 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (antecedent, consequent). At 100 TB: identical plan, with heavy
     baskets (k near the domain size) the only skew risk — bounded
     here by the 25-brand domain, salted otherwise."""
+    # r13 opt (guide §5): five consumers (n, cnt, both self-join
+    # sides, and the rule expansion) each re-derived this
+    # join+distinct over lineitem — one lazy checkpoint materializes
+    # the basket table once (before-plan had 32 Exchanges from the
+    # repeated subtrees)
     li = (
         table(spark, sf_dir, "lineitem")
         .join(
@@ -434,6 +439,7 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
     cnt = li.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("n_b"))
@@ -2380,6 +2386,11 @@ def recsys_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("item"))
         .distinct()
+        # r13 opt (guide §5): three consumers (item counts, both
+        # co-occurrence self-join sides) each re-derived the
+        # orders⋈lineitem⋈part + distinct — at scale that is three
+        # fact-fact shuffle joins; one lazy checkpoint pays it once
+        .localCheckpoint(eager=False)
     )
     n = ui.groupBy("item").agg(F.count("*").cast("bigint").alias("n_u"))
     a = ui.select("cust", F.col("item").alias("item_a"))

@@ -2768,7 +2768,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map rides near_dup_pairs' checkpointed token sets (r13: no
     # re-tokenize pass).
     cmap = class_map(docsets)
-    sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
+    # lazy checkpoint: four consumers (neighbor sums + both triangle
+    # size joins) re-derived this class-size agg — the shuffle budget
+    # pins the plan at <=10 Exchanges
+    sizes = (
+        cmap.groupBy("ck")
+        .agg(F.count("*").alias("s"))
+        .localCheckpoint(eager=False)
+    )
     tagged = e.join(
         F.broadcast(cmap.select(F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca"))),
         "doc_a",
@@ -6071,20 +6078,26 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_prev = alive.count()
-    szy = und.join(
-        F.broadcast(sizes.withColumnRenamed("s", "sy")),
-        F.col("y") == F.col("ck"),
-    ).select("x", "y", "sy")
-    for _ in range(KCORE_MAX_ITERS):
-        ext = (
-            szy.join(
-                F.broadcast(alive.select(F.col("ck").alias("y2"))),
+
+    # live-neighbor size sum: join und against the ALIVE frame itself
+    # (it carries s), so no separate sizes subtree — and therefore no
+    # second Exchange — appears in the consuming plans
+    def _ext_of(alive_df: DataFrame) -> DataFrame:
+        return (
+            und.join(
+                F.broadcast(
+                    alive_df.select(
+                        F.col("ck").alias("y2"), F.col("s").alias("sy")
+                    )
+                ),
                 F.col("y") == F.col("y2"),
-                "left_semi",
             )
             .groupBy(F.col("x").alias("ck"))
             .agg(F.sum("sy").alias("ext"))
         )
+
+    for _ in range(KCORE_MAX_ITERS):
+        ext = _ext_of(alive)
         keep = (
             alive.join(F.broadcast(ext), "ck", "left")
             .filter(
@@ -6099,22 +6112,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         n_prev = n_new
     # within-core degree per doc: uniform per class by construction
-    ext_core = (
-        szy.join(
-            F.broadcast(alive.select(F.col("ck").alias("y2"))),
-            F.col("y") == F.col("y2"),
-            "left_semi",
-        )
-        .groupBy(F.col("x").alias("ck"))
-        .agg(F.sum("sy").alias("ext"))
-    )
+    ext_core = _ext_of(alive)
     deg = alive.join(F.broadcast(ext_core), "ck", "left").select(
         "ck",
         (F.col("s") - 1 + F.coalesce("ext", F.lit(0)))
         .cast("bigint")
         .alias("core_degree"),
     )
-    return cmap.join(deg, "ck").select("doc_id", "core_degree")
+    # deg is (core-class-count)-sized — broadcast keeps the expansion
+    # join exchange-free (the shuffle budget pins this plan at <=1)
+    return cmap.join(F.broadcast(deg), "ck").select(
+        "doc_id", "core_degree"
+    )
 
 
 # --------------------------------------------------- token drift (TV)

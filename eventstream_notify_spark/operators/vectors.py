@@ -2421,6 +2421,11 @@ def logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits (pos, weight) for the 64 dims plus pos=-1 for the bias and
     a final pos=-2 row carrying training accuracy."""
+    # measured r13: checkpointing this frame across the 10 gradient
+    # jobs is SLOWER than re-reading (A/B 7.15/4.10/3.75 s ckpt vs
+    # 4.24/4.01/3.15 s without) — a 10x re-scan of a columnar parquet
+    # through codegen quantization beats scanning materialized
+    # 64-element-array rows. Deliberately NOT cached.
     e = table(spark, sf_dir, "embeddings").select(
         F.transform(
             "embedding",
@@ -3629,9 +3634,12 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand", "vec_rank")
     )
     d = table(spark, sf_dir, "documents")
+    # r13 opt (guide §5): three consumers (idf, the query-token list,
+    # the postings probe) each re-ran the tokenize+explode over
+    # documents — one lazy checkpoint pays the corpus tokenize once
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens_col())).alias("term")
-    )
+    ).localCheckpoint(eager=False)
     n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
     idf = (
         tok.groupBy("term")
