@@ -4060,43 +4060,122 @@ def sim_search_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exact: every token dot is the same 16-term
     left-to-right double fold as the cosine family, max-of-4 and the
     4-term sum are fixed-order IEEE ops, ties break on vec_id.
-    Scale: query set broadcasts; corpus scans once; per-pair cost is
-    4x4 bounded token dots inside
-    whole-stage codegen — no UDF, no shuffle beyond the top-k window.
+
+    r14 (guide §4.2/§4.3): the 16 interpreted-HOF token dots per pair
+    moved into ONE mapInArrow/numpy block kernel over the corpus scan
+    (the mutual_knn_pairs kernel pattern). Bit-exactness argument —
+    this query is HASH-oracle-paired, so the kernel must reproduce the
+    JVM fold exactly, not approximately:
+    - embeddings are raw float32; each float32→float64 cast is exact
+      and each product of two such doubles is exact (24+24 = 48
+      mantissa bits < 53), so the only rounding anywhere is in the
+      16 accumulating ADDS of each token dot;
+    - the kernel accumulates dim-by-dim over (query × doc) MATRICES —
+      `acc += q[:,i] ⊗ d[:,i]` for i = 1..16 — which performs the
+      IDENTICAL left-to-right IEEE-754 add sequence per pair as the
+      JVM `aggregate` fold (vectorized across pairs, sequential across
+      dims; no BLAS matmul, no pairwise reassociation);
+    - max-of-4 is order-free, the 4-term token sum is accumulated in
+      the same fixed order, and ROUND(·, 6) stays in Spark (JVM
+      BigDecimal HALF_UP semantics, untouched).
+    The kernel also pre-prunes each batch to the per-query top-K with
+    a 2e-6 raw-score margin: HALF_UP rounding to the 1e-6 grid is
+    monotone and moves a value < 5e-7, so a row whose raw score is
+    > 2e-6 below its block's K-th raw score is strictly below the
+    K-th ROUNDED score and can never enter the global top-K — the
+    window's input shrinks from Q×N rows to Q×(K+ε) per batch while
+    the returned rows are provably identical.
+    Scale: query set broadcasts (same driver posture as the previous
+    broadcast hash join build side); corpus scans once; the per-pair
+    score matrix lives only inside one Arrow batch — no UDF-per-row,
+    no shuffle beyond the (now tiny) top-k window.
     """
+    import numpy as np
+
     e = table(spark, sf_dir, "embeddings")
-
-    def tokens(col: str, prefix: str) -> list:
-        # token slices materialize ONCE PER ROW on each side of the
-        # join (N + Q array builds), not once per (pair, token, token)
-        # dot — the interpreted-HOF slice was ~25% of the pair cost
-        return [
-            F.slice(F.col(col), t * MAXSIM_DIM + 1, MAXSIM_DIM).alias(
-                f"{prefix}{t}"
-            )
-            for t in range(MAXSIM_TOKENS)
-        ]
-
-    corpus = e.select("vec_id", *tokens("embedding", "d"))
-    q = F.broadcast(
-        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-            F.col("vec_id").alias("query_id"),
-            *tokens("embedding", "q"),
-        )
+    qpd = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    score = None
-    for qt in range(MAXSIM_TOKENS):
-        best = F.greatest(
-            *[
-                dot(f"q{qt}", f"d{dt}")
-                for dt in range(MAXSIM_TOKENS)
+    qids = qpd["vec_id"].to_numpy(dtype=np.int64)
+    qmat = np.array(
+        [np.asarray(v, dtype=np.float32) for v in qpd["embedding"]],
+        dtype=np.float32,
+    ).astype(np.float64)  # float32 -> float64: exact
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    def maxsim_kernel(batches):
+        import numpy as np  # executor-side
+        import pyarrow as pa
+
+        q_ids, Q = bq.value
+        nq = len(q_ids)
+        out_schema = pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("score", pa.float64()),
             ]
         )
-        score = best if score is None else score + best
-    scored = corpus.join(q, F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        "vec_id",
-        F.round(score, 6).alias("score"),
+        for batch in batches:
+            nd = batch.num_rows
+            if nd == 0 or nq == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            D = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)  # float32 values: exact widen
+                .reshape(nd, MAXSIM_TOKENS * MAXSIM_DIM)
+            )
+            score = None
+            for qt in range(MAXSIM_TOKENS):
+                best = None
+                for dt in range(MAXSIM_TOKENS):
+                    # left-to-right fold across the 16 dims: each +=
+                    # is the same IEEE add the JVM fold performs
+                    acc = np.zeros((nq, nd), dtype=np.float64)
+                    qo, do = qt * MAXSIM_DIM, dt * MAXSIM_DIM
+                    for i in range(MAXSIM_DIM):
+                        acc += Q[:, qo + i][:, None] * D[None, :, do + i]
+                    best = acc if best is None else np.maximum(best, acc)
+                score = best if score is None else score + best
+            # self-pairs are excluded by contract
+            self_mask = q_ids[:, None] == ids[None, :]
+            if self_mask.any():
+                score[self_mask] = -np.inf
+            oq, ov, os_ = [], [], []
+            k = TOP_K
+            for r in range(nq):
+                row = score[r]
+                if nd > k:
+                    kth = np.partition(row, -k)[-k]
+                    keep = np.flatnonzero(row >= kth - 2e-6)
+                else:
+                    keep = np.flatnonzero(row > -np.inf)
+                keep = keep[row[keep] > -np.inf]
+                oq.append(np.full(keep.size, q_ids[r], dtype=np.int64))
+                ov.append(ids[keep])
+                os_.append(row[keep])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(oq), type=pa.int64()),
+                    pa.array(np.concatenate(ov), type=pa.int64()),
+                    pa.array(np.concatenate(os_), type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+    scored = (
+        e.select("vec_id", "embedding")
+        .mapInArrow(
+            maxsim_kernel, "query_id long, vec_id long, score double"
+        )
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")

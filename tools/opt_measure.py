@@ -1,15 +1,15 @@
-"""Round-13 optimization measurement loop (guide §1).
+"""Optimization measurement loop (guide §1) — r14 plans dir.
 
 Isolated per-query timing with the noop sink + formatted-plan capture,
-so every before/after claim in OPTIMIZATION_r13.md is backed by a
-committed artifact under plans/r13/.
+so every before/after claim in OPTIMIZATION_r14.md is backed by a
+committed artifact under plans/r14/.
 
 Usage:
     python tools/opt_measure.py [sf_dir] --reps 3 [--tag before|after] q1 q2 ...
 
 Per query: warmup run (untimed), then median-of-reps with the noop
 sink (bench methodology), plus `.explain("formatted")` written to
-plans/r13/<query>_<tag>.txt when --tag is given. Prints one JSON line
+plans/r14/<query>_<tag>.txt when --tag is given. Prints one JSON line
 with {query: {"sec": median, "exchanges": n, "plan_file": path}}.
 """
 
@@ -28,7 +28,7 @@ from eventstream_notify_spark.plans.explain import plan_str  # noqa: E402
 from eventstream_notify_spark.registry import queries  # noqa: E402
 from eventstream_notify_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r13"
+PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r14"
 
 
 def main() -> None:
@@ -60,7 +60,7 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
-        spark.sparkContext.setJobDescription(f"opt13: {name}")
+        spark.sparkContext.setJobDescription(f"opt14: {name}")
 
         def one() -> object:
             d = fn(spark, sf_dir)
