@@ -288,22 +288,51 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-def near_dup_pairs(
+def class_pair_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """dedup_near's kernel, returning BOTH the exact pair frame and
-    the lazily-checkpointed token-set frame it was built from
-    (doc_id, toks sorted-distinct array, sz). r13: the graph-family
-    riders (cc_labels, pagerank, kcore, triangles, link_prediction)
-    all need a token-set class map — deriving it from this already-
-    materialized frame instead of re-tokenizing saves a full
-    regexp+sort pass over documents per rider."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The r14 shared kernel of the whole near-dup family: the
+    identical-token-set CLASS decomposition and the exact CLASS-level
+    pair graph, built WITHOUT ever materializing doc-level pairs.
+
+    Jaccard depends only on the token SET, so the doc pair graph
+    factors exactly through distinct sets: docs sharing a set form a
+    pairwise-J=1 clique, and a cross-class doc pair exists iff the two
+    CLASS sets satisfy J >= t. r13 already ran the iterative riders
+    (CC/PageRank/k-core/triangles/link-prediction) on the class graph,
+    but each rider still BUILT its class edges by tagging the doc pair
+    frame — the one frame that grows ~83x per data decade on this
+    corpus. Here the candidate join itself (deletion-neighborhood or
+    prefix strategy, unchanged code) runs over ONE ROW PER DISTINCT
+    SET, so nothing pair-count- or doc-count-quadratic is ever grouped
+    or shuffled; doc pairs exist only where they ARE the output
+    (dedup_near's expansion in near_dup_pairs), produced by narrow
+    joins past the aggregation. Guide §1.1/§2.3 (first principles;
+    shuffle a lightweight proxy, not the payload).
+
+    Returns (cpairs, classes, cmap, docsets):
+      cpairs:  (ca, cb, jaccard) — cross-class pairs with J >= t,
+               keyed by class reps (ca < cb); lazily checkpointed
+               (every rider and both expansion joins re-read it).
+      classes: (ck, s) — one row per non-empty distinct set; ck = the
+               class's MIN doc_id (so CC label seeding is the
+               identity), s = member count.
+      cmap:    (doc_id, ck) membership over non-empty sets.
+      docsets: the checkpointed (doc_id, toks, sz) token-set frame.
+
+    Exactness: the strategy profile (max set size, vocabulary) is
+    computed over docs and is identical over class representatives
+    (every doc's set IS some class's set); both strategies are
+    set-algebra on (toks, sz) and blind to multiplicity; class reps
+    are genuine doc_ids so the a.doc_id < b.doc_id candidate ordering
+    stays valid. Class identity groups on the sorted-distinct array
+    itself (exact set equality — strictly stronger than the previous
+    md5-digest proxy)."""
     d = table(spark, sf_dir, "documents")
     # lazy checkpoint: the profiling action below is the FIRST action
     # over the token sets, so it materializes them as a side effect —
-    # the strategy join then reuses the materialized sets instead of
-    # re-running the explode/distinct/collect pipeline (which is the
-    # expensive half of this operator)
+    # the class window then reuses the materialized sets instead of
+    # re-running the tokenize pipeline (the expensive half)
     docsets = _token_sets(d).localCheckpoint(eager=False)
     # one scalar profiling action (cheap at any scale: partial
     # aggregation reduces it map-side) — max set size and vocabulary
@@ -318,20 +347,74 @@ def near_dup_pairs(
     )
     max_sz, vocab = prof.max_sz or 0, prof.vocab or 0
     delta = int((1 - JACCARD_T) * min(2 * max_sz, vocab))
-    if delta <= 1:
-        return jaccard_pairs_deletion(docsets, JACCARD_T), docsets
-    return jaccard_pairs_prefix(docsets, JACCARD_T), docsets
-
-
-def class_map(docsets: DataFrame) -> DataFrame:
-    """(doc_id, ck) identical-token-set class map over non-empty sets,
-    derived from near_dup_pairs' checkpointed token-set frame (no
-    re-tokenize). md5 over the space-joined sorted set is collision-
-    free on [a-z0-9]+ tokens."""
-    return (
+    # ONE shuffle keyed by the set itself assigns every doc its class
+    # rep (min doc_id) and class size; the window's whole-partition
+    # min/count need no ordering. Lazily checkpointed: cmap and
+    # classes are both narrow reads of it.
+    w = Window.partitionBy("toks")
+    enriched = (
         docsets.filter(F.size("toks") >= 1)
-        .select("doc_id", F.md5(F.concat_ws(" ", "toks")).alias("ck"))
+        .select(
+            "doc_id",
+            "toks",
+            "sz",
+            F.min("doc_id").over(w).alias("ck"),
+            F.count(F.lit(1)).over(w).alias("s"),
+        )
+        .localCheckpoint(eager=False)
     )
+    cmap = enriched.select("doc_id", "ck")
+    cl_sets = enriched.filter(F.col("doc_id") == F.col("ck")).select(
+        F.col("ck").alias("doc_id"), "toks", "sz"
+    )
+    classes = enriched.filter(F.col("doc_id") == F.col("ck")).select(
+        "ck", "s"
+    )
+    cp = (
+        jaccard_pairs_deletion(cl_sets, JACCARD_T)
+        if delta <= 1
+        else jaccard_pairs_prefix(cl_sets, JACCARD_T)
+    )
+    cpairs = cp.select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb"), "jaccard"
+    ).localCheckpoint(eager=False)
+    return cpairs, classes, cmap, docsets
+
+
+def near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """dedup_near's kernel, returning BOTH the exact doc-level pair
+    frame and the checkpointed token-set frame. r14: doc pairs are now
+    the EXPANSION of the class-level pair graph — cross-class combos
+    carry the class pair's jaccard, same-class pairs are J=1 cliques
+    by construction — so the only aggregation (the candidate-key
+    groupBy) runs over class pairs and the pair-count-sized frame is
+    produced by narrow joins downstream of it, never shuffled."""
+    cpairs, _classes, cmap, docsets = class_pair_frames(spark, sf_dir)
+    ma = cmap.select(F.col("ck").alias("ca"), F.col("doc_id").alias("da"))
+    mb = cmap.select(F.col("ck").alias("cb"), F.col("doc_id").alias("db"))
+    cross = (
+        cpairs.join(ma, "ca")
+        .join(mb, "cb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    w1 = cmap.select(F.col("ck").alias("ka"), F.col("doc_id").alias("doc_a"))
+    w2 = cmap.select(F.col("ck").alias("kb"), F.col("doc_id").alias("doc_b"))
+    within = w1.join(
+        w2,
+        (F.col("ka") == F.col("kb")) & (F.col("doc_a") < F.col("doc_b")),
+    ).select(
+        "doc_a",
+        "doc_b",
+        # identical sets: common = sz, J = sz/(2*sz - sz) = exactly 1.0
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionByName(within), docsets
 
 
 @register("dedup_minhash", extra=True)  # rows-only: LSH is approximate by design
@@ -531,71 +614,30 @@ _CC_COMPRESSED_CTE = f"""
 """
 
 
-def cc_labels(
-    spark: SparkSession,
-    sf_dir: str,
-    pairs: DataFrame,
-    docsets: DataFrame | None = None,
-) -> DataFrame:
-    """Connected components over a (doc_a, doc_b) pair frame by
-    min-label propagation (the dedup_cluster kernel, factored so
-    consumers holding an already-built/checkpointed pair frame —
-    graph_modularity — don't pay the pair join twice). Returns
-    (doc_id, cluster_id) over ALL documents (singletons included).
-    See dedup_cluster's docstring for the batching/convergence
-    argument."""
-    d = table(spark, sf_dir, "documents")
-    # r13 opt (guide §1.1 first-principles / the graph_triangles
-    # class-compression insight): Jaccard depends only on the token
-    # SET, so docs with identical sets are pairwise J=1 — every
-    # same-class pair IS a dedup_near edge (a clique), and CC over the
-    # doc graph factors through the CLASS graph exactly. Propagation
-    # hops therefore run over a few-hundred-row class edge list
-    # instead of the ~190k-row doc pair list at sf0.1 (the pair list
-    # is the one super-linear frame in the family), and seeding each
-    # class with its min doc_id makes the class fixpoint label equal
-    # the component's min doc_id — the oracle's exact closure.
-    # Empty-token docs are excluded from classes (J over two empty
-    # sets is NULL, dedup_near emits no such pair) and fall through
-    # as singletons via the final coalesce. When the caller holds
-    # near_dup_pairs' checkpointed token sets, the class map rides
-    # them (no re-tokenize).
-    cmap = (
-        class_map(docsets)
-        if docsets is not None
-        else class_map(_token_sets(d))
-    ).localCheckpoint(eager=False)
-    cmin = cmap.groupBy("ck").agg(F.min("doc_id").alias("lab"))
-    ce = (
-        pairs.join(
-            F.broadcast(
-                cmap.select(
-                    F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca")
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                cmap.select(
-                    F.col("doc_id").alias("doc_b"), F.col("ck").alias("cb")
-                )
-            ),
-            "doc_b",
-        )
-        .filter(F.col("ca") != F.col("cb"))
-        .select("ca", "cb")
-        .distinct()
-    )
-    # lazy checkpoint: the first probe action materializes the class
-    # edge build and the first 10 hops in one job instead of two
+def cc_class_labels(cpairs: DataFrame, classes: DataFrame) -> DataFrame:
+    """Connected components over the CLASS graph by min-label
+    propagation — the dedup_cluster kernel at class granularity.
+    Returns (ck, lab) for every non-empty-set class; lab converges to
+    the component's min doc_id. r14: the class edges come straight
+    from class_pair_frames (the candidate join runs at class level),
+    so the ~83x-per-decade doc pair frame is never built at all —
+    r13 still paid one full doc-pair tagging pass here. Seeding is
+    the identity (a class rep IS its min doc_id), and same-class docs
+    are a clique, so the class fixpoint equals the oracle's doc-level
+    min-label closure exactly. See dedup_cluster's docstring for the
+    batching/convergence argument."""
+    ce = cpairs.select("ca", "cb")
+    # lazy checkpoint: the first probe action materializes the edge
+    # union and the first 10 hops in one job instead of two
     edges = (
-        ce.union(ce.select(F.col("cb"), F.col("ca")))
-        .toDF("s", "d")
-        .union(cmin.select(F.col("ck").alias("s"), F.col("ck").alias("d")))
+        ce.toDF("s", "d")
+        .union(ce.select(F.col("cb"), F.col("ca")).toDF("s", "d"))
+        .union(
+            classes.select(F.col("ck").alias("s"), F.col("ck").alias("d"))
+        )
         .localCheckpoint(eager=False)
     )
-    labels = cmin
+    labels = classes.select("ck", F.col("ck").alias("lab"))
     prev_sum = None
     for hops in [10] + [2] * 15:  # supports class-graph diameter <= 40
         for _hop in range(hops):
@@ -610,10 +652,23 @@ def cc_labels(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    # lazy checkpoint: consumers reference the label frame several
-    # times (graph_modularity three times) — materialize the doc-level
-    # expansion once instead of re-running tokenize + the mapping
-    # joins per reference
+    return labels
+
+
+def cc_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    cpairs: DataFrame,
+    classes: DataFrame,
+    cmap: DataFrame,
+) -> DataFrame:
+    """Doc-level connected-components labels: cc_class_labels expanded
+    back over class membership. Returns (doc_id, cluster_id) over ALL
+    documents — empty-token docs (no class) fall through as singletons
+    via the coalesce. Lazily checkpointed: consumers reference the
+    label frame several times."""
+    d = table(spark, sf_dir, "documents")
+    labels = cc_class_labels(cpairs, classes)
     return (
         d.select("doc_id")
         .join(cmap, "doc_id", "left")
@@ -661,10 +716,8 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB's recursive CTE computes the true min-label closure
     — an exact cross-engine check of an ITERATIVE graph algorithm."""
-    p, docsets = near_dup_pairs(spark, sf_dir)
-    labels = cc_labels(
-        spark, sf_dir, p.select("doc_a", "doc_b"), docsets=docsets
-    )
+    cpairs, classes, cmap, _docsets = class_pair_frames(spark, sf_dir)
+    labels = cc_labels(spark, sf_dir, cpairs, classes, cmap)
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -2004,8 +2057,6 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass). The floating-point formulation would be impossible to
     oracle-check: double sums over in-neighbors are partition-order
     dependent."""
-    p, docsets = near_dup_pairs(spark, sf_dir)
-    pairs = p.select("doc_a", "doc_b")
     # r13 opt (class compression, the cc_labels/graph_triangles
     # discipline): identical token sets have uniform adjacency, all
     # members of a class carry IDENTICAL rank at every step (equal
@@ -2014,37 +2065,17 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   deg_X = (s_X - 1) + Σ_{Y~X} s_Y
     #   acc_X = (s_X - 1)·(r_X div deg_X) + Σ_{Y~X} s_Y·(r_Y div deg_Y)
     #   r'_X  = 15·SCALE div 100 + 85·acc_X div 100
-    # Every iteration now runs over class-count-sized frames (a few
+    # Every iteration runs over class-count-sized frames (a few
     # hundred rows at sf0.1) instead of the ~380k doc edge rows — the
-    # per-iteration cost is corpus-INDEPENDENT; the doc-level pair
-    # list is touched exactly once (the class-edge build). Integer
-    # div/sums commute, so the unrolled doc-level SQL oracle still
-    # hash-matches exactly.
-    cmap = class_map(docsets).localCheckpoint(eager=False)
-    sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
-    ce = (
-        pairs.join(
-            F.broadcast(
-                cmap.select(
-                    F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca")
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                cmap.select(
-                    F.col("doc_id").alias("doc_b"), F.col("ck").alias("cb")
-                )
-            ),
-            "doc_b",
-        )
-        .filter(F.col("ca") != F.col("cb"))
-        .select(
-            F.least("ca", "cb").alias("x"), F.greatest("ca", "cb").alias("y")
-        )
-        .distinct()
-    )
+    # per-iteration cost is corpus-INDEPENDENT. r14: the class edges
+    # come straight from class_pair_frames' class-level candidate
+    # join, so the doc pair list (the ~83x-per-decade frame this
+    # corpus grows) is never built at all — r13 still paid one full
+    # doc-pair tagging pass here. Integer div/sums commute, so the
+    # unrolled doc-level SQL oracle still hash-matches exactly.
+    cpairs, classes, cmap, _docsets = class_pair_frames(spark, sf_dir)
+    sizes = classes
+    ce = cpairs.select(F.col("ca").alias("x"), F.col("cb").alias("y"))
     und = ce.union(ce.select(F.col("y").alias("x"), F.col("x").alias("y")))
     ext = (
         und.join(
@@ -2759,39 +2790,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket candidate cap (vectors._embedding_nn bucket_cap /
     NN_BUCKET_CAP) or minhash banding, both of which bound pairs per
     bucket regardless of skew."""
-    p, docsets = near_dup_pairs(spark, sf_dir)
-    e = p.select("doc_a", "doc_b")
     # token-less docs are NOT an internal clique: Jaccard over two
     # empty sets is 0/0 -> NULL in the oracle (and dedup_near emits no
-    # such pair), so the empty-set class must not claim the closed-form
-    # C(s-1,2) internal triangles — drop it before sizing. The class
-    # map rides near_dup_pairs' checkpointed token sets (r13: no
-    # re-tokenize pass).
-    cmap = class_map(docsets)
-    # lazy checkpoint: four consumers (neighbor sums + both triangle
-    # size joins) re-derived this class-size agg — the shuffle budget
-    # pins the plan at <=10 Exchanges
-    sizes = (
-        cmap.groupBy("ck")
-        .agg(F.count("*").alias("s"))
-        .localCheckpoint(eager=False)
-    )
-    tagged = e.join(
-        F.broadcast(cmap.select(F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca"))),
-        "doc_a",
-    ).join(
-        F.broadcast(cmap.select(F.col("doc_id").alias("doc_b"), F.col("ck").alias("cb"))),
-        "doc_b",
-    )
-    # class adjacency: uniform by construction, so distinct is exact
-    ce = (
-        tagged.filter(F.col("ca") != F.col("cb"))
-        .select(
-            F.least("ca", "cb").alias("x"), F.greatest("ca", "cb").alias("y")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    # such pair) — class_pair_frames already excludes empty sets from
+    # classes, so the closed-form C(s-1,2) internal triangles never
+    # see them. r14: class edges come straight from the kernel's
+    # class-level candidate join; the doc pair frame is never built
+    # (r13 still paid one full doc-pair tagging pass here). Edge
+    # orientation x < y (class reps are doc_ids) is what the wedge
+    # join below relies on — cpairs guarantees ca < cb.
+    cpairs, classes, cmap, _docsets = class_pair_frames(spark, sf_dir)
+    sizes = classes
+    ce = cpairs.select(F.col("ca").alias("x"), F.col("cb").alias("y"))
     und = ce.union(ce.select(F.col("y").alias("x"), F.col("x").alias("y")))
     szy = F.broadcast(sizes.select(F.col("ck").alias("y"), F.col("s").alias("sy")))
     nb = (
@@ -3272,30 +3282,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
       makes doc-level wedge joins quadratic). Doc pairs expand once at
       the end, then a per-doc window takes the top-K.
     """
-    p, docsets = near_dup_pairs(spark, sf_dir)
-    e = p.select("doc_a", "doc_b")
-    # class map rides near_dup_pairs' checkpointed token sets (r13)
-    cmap = class_map(docsets)
-    sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
-    tagged = e.join(
-        F.broadcast(
-            cmap.select(F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca"))
-        ),
-        "doc_a",
-    ).join(
-        F.broadcast(
-            cmap.select(F.col("doc_id").alias("doc_b"), F.col("ck").alias("cb"))
-        ),
-        "doc_b",
-    )
-    ce = (
-        tagged.filter(F.col("ca") != F.col("cb"))
-        .select(
-            F.least("ca", "cb").alias("x"), F.greatest("ca", "cb").alias("y")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    # r14: class edges come straight from class_pair_frames' class-
+    # level candidate join — the doc pair frame is never built (r13
+    # still paid one full doc-pair tagging pass here); cpairs
+    # guarantees x < y, which the wedge filter below relies on
+    cpairs, classes, cmap, _docsets = class_pair_frames(spark, sf_dir)
+    sizes = classes
+    ce = cpairs.select(F.col("ca").alias("x"), F.col("cb").alias("y"))
     und = ce.union(ce.select(F.col("y").alias("x"), F.col("x").alias("y")))
     # per-class doc degree (uniform inside a class):
     # deg_Y = (|Y| - 1) + sum of adjacent class sizes
@@ -6036,44 +6029,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   deg(x in X) = (s_X - 1) + Σ_{Y~X, Y alive} s_Y
     # Each peel round runs over class-count-sized frames; the doc
     # pair list (the one super-linear frame) is touched exactly once.
-    p, docsets = near_dup_pairs(spark, sf_dir)
-    pairs = p.select("doc_a", "doc_b")
-    cmap = class_map(docsets).localCheckpoint(eager=False)
-    sizes = cmap.groupBy("ck").agg(F.count("*").alias("s"))
-    ce = (
-        pairs.join(
-            F.broadcast(
-                cmap.select(
-                    F.col("doc_id").alias("doc_a"), F.col("ck").alias("ca")
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                cmap.select(
-                    F.col("doc_id").alias("doc_b"), F.col("ck").alias("cb")
-                )
-            ),
-            "doc_b",
-        )
-        .filter(F.col("ca") != F.col("cb"))
-        .select(
-            F.least("ca", "cb").alias("x"), F.greatest("ca", "cb").alias("y")
-        )
-        .distinct()
-    )
+    # r14: class edges come straight from class_pair_frames' class-
+    # level candidate join — the doc pair frame is never built (r13
+    # still paid one full doc-pair tagging pass here)
+    cpairs, classes, cmap, _docsets = class_pair_frames(spark, sf_dir)
+    sizes = classes
+    ce = cpairs.select(F.col("ca").alias("x"), F.col("cb").alias("y"))
     und = (
         ce.union(ce.select(F.col("y").alias("x"), F.col("x").alias("y")))
         .localCheckpoint(eager=False)
     )
-    # initial alive set = the pair graph's classes (degree >= 1)
-    ext0 = und.groupBy("x").agg(F.count("*").alias("_ne"))
+    # initial alive set = the pair graph's classes (doc degree >= 1):
+    # internal-clique classes (s >= 2) plus classes with any class
+    # edge — membership expressed directly via a distinct edge-
+    # endpoint marker, not a degree count whose value is unused
+    verts = und.select(F.col("x").alias("ck")).distinct()
     alive = (
-        sizes.join(
-            ext0.select(F.col("x").alias("ck"), "_ne"), "ck", "left"
-        )
-        .filter((F.col("s") >= 2) | F.col("_ne").isNotNull())
+        sizes.join(verts.withColumn("_e", F.lit(1)), "ck", "left")
+        .filter((F.col("s") >= 2) | F.col("_e").isNotNull())
         .select("ck", "s")
         .localCheckpoint(eager=False)
     )
@@ -6337,76 +6310,70 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     end. Nodes = pair-graph endpoints (every node has degree >= 1,
     so d_c > 0 and the empty-token ambiguity never enters).
 
-    Scale: rides dedup_cluster's converged labels; internal-edge and
-    degree counts are one broadcast-label join + two hash aggregates
-    over the pair set — no new shuffle axis."""
-    # checkpoint: pairs feeds internal-edge counts, the symmetrized
-    # degree union AND the in-plan m fold — and dedup_cluster below
-    # re-derives the same pair build for its label propagation
-    p, docsets = near_dup_pairs(spark, sf_dir)
-    pairs = p.select("doc_a", "doc_b").localCheckpoint(eager=False)
-    labels = cc_labels(spark, sf_dir, pairs, docsets=docsets).select(
-        "doc_id", "cluster_id"
+    Scale: r14 — the whole computation factors through the CLASS
+    graph, so no doc-level (let alone pair-level) frame is ever built.
+    Every dedup_near edge joins two docs of the SAME component, hence
+    per cluster: internal_edges = all of the cluster's pairs
+    m_c = Σ_{class edges in L} s_a·s_b + Σ_{classes in L} C(s,2),
+    degree_sum = 2·m_c, n_nodes = Σ_{classes in L} s (every class in
+    an edge-bearing cluster is an endpoint class), m = Σ_L m_c — all
+    integer algebra over class-count-sized frames. Clusters without
+    any edge (s=1 singleton classes, empty-token docs) never appear,
+    exactly as in the doc-level formulation where they have no pair
+    row to count. Guide §1.1 (the ideal plan touches only the class
+    graph)."""
+    cpairs, classes, _cmap, _docsets = class_pair_frames(spark, sf_dir)
+    clabels = cc_class_labels(cpairs, classes).localCheckpoint(
+        eager=False
     )
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # cross-class pair weights per cluster: s_a·s_b per class edge
+    # (ca's label == cb's label at the CC fixpoint by definition)
+    sz_a = classes.select(F.col("ck").alias("ca"), F.col("s").alias("sa"))
+    sz_b = classes.select(F.col("ck").alias("cb"), F.col("s").alias("sb"))
+    lab_a = clabels.select(F.col("ck").alias("ca"), "lab")
+    ew = (
+        cpairs.select("ca", "cb")
+        .join(F.broadcast(sz_a), "ca")
+        .join(F.broadcast(sz_b), "cb")
+        .join(F.broadcast(lab_a), "ca")
+        .groupBy("lab")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("xw"))
+    )
+    # within-class cliques + node counts per cluster
+    iw = (
+        classes.join(clabels, "ck")
+        .groupBy("lab")
+        .agg(
+            F.sum(F.expr("s * (s - 1) div 2")).alias("inw"),
+            F.sum("s").alias("nn"),
         )
+    )
+    percl = (
+        iw.join(ew, "lab", "left")
+        .select(
+            F.col("lab").alias("cluster_id"),
+            F.col("nn").cast("bigint").alias("n_nodes"),
+            (F.coalesce("xw", F.lit(0)) + F.col("inw"))
+            .cast("bigint")
+            .alias("internal_edges"),
+        )
+        .filter(F.col("internal_edges") >= 1)
     )
     # m rides in-plan as a 1-row broadcast (no dedicated count action)
-    m1 = pairs.agg(F.count("*").cast("bigint").alias("m"))
-    internal = (
-        pairs.join(
-            F.broadcast(
-                labels.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("cluster_id").alias("ca"),
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                labels.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("cluster_id").alias("cb"),
-                )
-            ),
-            "doc_b",
-        )
-        .filter(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("cluster_id"))
-        .agg(F.count("*").cast("bigint").alias("internal_edges"))
-    )
-    degs = (
-        edges.join(
-            F.broadcast(
-                labels.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("cluster_id"),
-                )
-            ),
-            "doc_a",
-        )
-        .groupBy("cluster_id")
-        .agg(
-            F.count("*").cast("bigint").alias("degree_sum"),
-            F.countDistinct("doc_a").cast("bigint").alias("n_nodes"),
-        )
-    )
+    m1 = percl.agg(F.sum("internal_edges").cast("bigint").alias("m"))
     contrib = (
-        degs.join(internal, "cluster_id", "left")
-        .join(F.broadcast(m1))
+        percl.join(F.broadcast(m1))
         .select(
             "cluster_id",
             "n_nodes",
-            F.coalesce("internal_edges", F.lit(0))
+            "internal_edges",
+            (2 * F.col("internal_edges"))
             .cast("bigint")
-            .alias("internal_edges"),
-            "degree_sum",
+            .alias("degree_sum"),
             (
-                4 * F.col("m") * F.coalesce("internal_edges", F.lit(0))
-                - F.col("degree_sum") * F.col("degree_sum")
+                4 * F.col("m") * F.col("internal_edges")
+                - (2 * F.col("internal_edges"))
+                * (2 * F.col("internal_edges"))
             )
             .cast("bigint")
             .alias("contribution_x4m2"),

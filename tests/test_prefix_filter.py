@@ -68,14 +68,20 @@ def test_both_strategies_exact(spark, sf_dir):
 
 
 def test_profiling_is_one_action(spark, sf_dir):
-    """The adaptive strategy choice builds the token sets and profiles
-    them in ONE pass each (at 100 TB, an extra pass over the token
-    index is real money). Exactly two SQL executions are recorded:
-    the localCheckpoint of the token sets (under AQE this runs the
-    build's shuffle stages — the single build pass) and the fused
-    profiling aggregate (max set size + vocabulary in one job) that
-    consumes it. A third execution would mean the token-set pipeline
-    or the profile runs twice."""
+    """Every build stage of the class-pair kernel runs in ONE pass (at
+    100 TB, an extra pass over the token index is real money). Exactly
+    four SQL executions are recorded at plan-build time:
+    1. the lazy localCheckpoint registration of the token sets
+       (0 jobs — the frame is shuffle-free, nothing to materialize);
+    2. the fused profiling aggregate (max set size + vocabulary in one
+       job), which also materializes the token-set checkpoint;
+    3. the class-window checkpoint (the ONE set-keyed shuffle that
+       assigns class rep + size — AQE materializes its stages when the
+       checkpoint RDD is built);
+    4. the class-level candidate-pair checkpoint (the deletion/prefix
+       join over one row per distinct set).
+    A fifth execution would mean the token-set pipeline, the profile,
+    the class window or the candidate join runs twice."""
     store = spark._jsparkSession.sharedState().statusStore()
     # Two traps in counting SQL executions mid-suite:
     # - the status store is fed by the ASYNC listener bus — drain it
@@ -94,7 +100,7 @@ def test_profiling_is_one_action(spark, sf_dir):
     before = last_exec_id()
     dedup_near(spark, sf_dir)  # builds the plan => runs profiling only
     ran = last_exec_id() - before
-    assert ran == 2, f"strategy choice ran {ran} SQL executions, want 2"
+    assert ran == 4, f"kernel build ran {ran} SQL executions, want 4"
 
 
 def test_containment_budget_preserves_coverage(spark, sf_dir):
